@@ -1,0 +1,63 @@
+"""Fixture-table loading with declared schemas and oracle-parity fixes.
+
+Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per
+scale-factor directory.
+
+Parity-critical handling:
+
+- ``events.ts`` is INT64 TIMESTAMP(NANOS); Spark reads it (under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``) as a long of ns since
+  epoch. The DuckDB oracle reads the same column as a µs TIMESTAMP by
+  truncation. We convert ns→µs by integer floor-division so both engines
+  see bit-identical timestamps.
+
+At 100 TB these would be partitioned/bucketed datasets rather than single
+files; ``load_table`` only declares *what* to read — Catalyst handles
+column pruning + predicate pushdown into the parquet scan, which is what
+actually matters at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# dims small enough to broadcast at ANY scale factor (bounded domains)
+BROADCASTABLE = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes `events.ts` to a µs timestamp."""
+    if name == "events":
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # ns long → µs timestamp, floor division (matches DuckDB's ns→µs cast)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

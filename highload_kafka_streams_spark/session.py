@@ -1,0 +1,79 @@
+"""SparkSession factory + session configuration.
+
+The driver may hand us an already-built SparkSession (``__spark_entry__``
+contract), so everything the engine *needs* must be settable on a live
+session. ``configure_session`` applies those runtime confs; ``get_spark``
+builds a session for tests/bench with the same settings plus
+builder-only ones.
+
+Scale posture (SURVEY.md §4): AQE on (skew joins, partition coalescing),
+modest shuffle partitions for local runs (overridable — a real cluster
+would use ~2-3× total cores), UTC timezone for deterministic timestamp
+semantics, Arrow enabled for the pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are session-settable at runtime (SQLConf). Applied both at
+# build time and defensively on driver-provided sessions.
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot
+    # map to TimestampType; read as long and convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # cover the fixture dims (region 5, nation 25, supplier 1k, part 20k,
+    # customer 15k rows at sf0.1) so star joins broadcast instead of shuffle
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be non-settable on some builds; engine code paths
+            # that depend on one (io.load_table) re-check and fail loudly.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "highload-kafka-streams-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. ``shuffle_partitions`` defaults to 32 — on a real
+    cluster this should be sized to ~2-3× total executor cores / the
+    target partition size, and AQE coalesces the small ones anyway.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure_session(spark)
