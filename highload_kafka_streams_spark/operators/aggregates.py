@@ -68,3 +68,247 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# KGroupedStream#count / #reduce / #aggregate / #cogroup and analytics
+# extensions (distinct, count-distinct, rollup/cube/grouping sets)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_count",
+    oracle="""
+SELECT user_id, event_type, count(*) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedStream#count — per-key record count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q_agg_reduce",
+    oracle="""
+SELECT user_id,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedStream#reduce — associative per-key folds (min/max exact,
+    sum via the deterministic fixed-point form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_agg_aggregate",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(value)
+         AS avg_value,
+       count(DISTINCT user_id) AS n_users,
+       list_sort(list_distinct(list(user_id % 5)))   AS user_shards
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_agg_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedStream#aggregate — arbitrary accumulator: mixes counting,
+    averaging, distinct cardinality, and a collected set (sorted for
+    cross-engine determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            davg("value", "avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sort_array(F.collect_set(F.col("user_id") % 5)).alias("user_shards"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_cogroup",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS key,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS event_value
+  FROM events GROUP BY user_id
+),
+oc AS (
+  SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(ev.key, oc.key) AS key,
+       coalesce(ev.event_value, 0.0) AS event_value,
+       coalesce(oc.n_orders, 0) AS n_orders
+FROM ev FULL OUTER JOIN oc ON ev.key = oc.key
+ORDER BY key
+""",
+)
+def q_agg_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedStream#cogroup — two streams aggregated into one keyed store:
+    per-source partial aggregate, then full-outer merge on the key."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(dsum("value", "event_value"))
+    )
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        ev.join(oc, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("key")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct — KS emulates with a KeyValueStore+filter; Spark plans it
+    as a two-phase aggregate (partial dedup before the shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct().orderBy(
+        "user_id", "event_type"
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("q_agg_approx_count_distinct")  # HLL sketches are engine-specific → rows-only
+def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketch estimates differ by
+    engine, so this is a rows-only check; the exact twin above is the
+    hash-checked one. At 100 TB this is the cardinality operator you
+    actually run (fixed memory per group vs unbounded distinct-set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate: region → nation → grand total in one pass."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+SELECT c_mktsegment, o_orderstatus, count(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL front-end (lifecycle §3.3)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )

@@ -1,0 +1,322 @@
+"""Join operators (SURVEY.md §2.3) — every Kafka Streams join kind plus
+the relational extensions (semi/anti/theta/cross) the analytics surface
+needs.
+
+KS surface covered: ``KStream#join/leftJoin/outerJoin(KStream,
+JoinWindows)`` (windowed stream-stream), ``KStream#join/leftJoin(KTable)``
+(enrichment), ``KStream#join(GlobalKTable)`` (broadcast lookup),
+``KTable#join/leftJoin/outerJoin(KTable)`` and the foreign-key variant.
+
+Scale notes (the part that matters at 100 TB):
+- dims bounded by domain (region=5, nation=25, supplier≈10k) are
+  broadcast — zero shuffle on the fact side, identical to GlobalKTable
+- fact-fact joins shuffle both sides on the key; AQE handles skew splits
+- the windowed stream-stream join is an equi-join on key plus a time
+  range predicate, so Spark plans a hash join with the range as a
+  post-filter — NOT a cartesian; state growth in the streaming form is
+  bounded by watermarks (see streaming.topology)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.compat import dsum
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+from highload_kafka_streams_spark.sources.tables import table_latest_per_key
+
+
+@query(
+    "q_join_stream_stream_windowed",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def q_join_stream_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join(KStream, JoinWindows.ofTimeDifference(30m)) — purchases
+    within 30 minutes after a click by the same user. Batch-replay form of
+    the windowed stream-stream join: equi-key hash join + time-range filter."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        c.join(p, cond)
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("p.value").alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+@query(
+    "q_join_stream_table",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type AS last_type
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.value, l.last_type
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+JOIN latest l ON e.user_id = l.user_id
+ORDER BY e.event_id
+""",
+)
+def q_join_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join(KTable) — enrich each purchase with the user's current
+    table row (latest-per-key snapshot in batch replay)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = table_latest_per_key(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", F.col("event_type").alias("last_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(latest, "user_id")
+        .select("event_id", "user_id", "value", "last_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_join_global_table",
+    oracle="""
+SELECT n.n_name AS nation,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+""",
+)
+def q_join_global_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join(GlobalKTable) — fact stream joined to broadcast dims.
+
+    supplier/nation are bounded dims → broadcast to every executor: the
+    600k-row (at sf0.1; billions at 100 TB) lineitem side never shuffles
+    for the join, only for the final 25-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(rev, "revenue"))
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q_join_table_table",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.n_orders, o.best_price
+FROM customer c
+JOIN (
+  SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS best_price
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey
+""",
+)
+def q_join_table_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable#join(KTable) — two changelog snapshots joined on key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders_tbl = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("best_price"),
+        )
+    )
+    return (
+        cust.join(orders_tbl, cust.c_custkey == orders_tbl.o_custkey)
+        .select("c_custkey", "c_name", "n_orders", "best_price")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_table_table_outer",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_mktsegment AS segment,
+       coalesce(o.n_orders, 0) AS n_orders
+FROM customer c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+""",
+)
+def q_join_table_table_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable#outerJoin(KTable) — both sides' tombstone/null semantics."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders_tbl = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(orders_tbl, cust.c_custkey == orders_tbl.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q_join_foreign_key",
+    oracle="""
+SELECT n.n_name AS nation, count(*) AS n_customers,
+       SUM(CAST(FLOOR(c.c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0
+         AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+""",
+)
+def q_join_foreign_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable#join(KTable, foreignKeyExtractor) — 1:N join on a value field.
+    KS needs subscription/response topics for this; Spark expresses it as a
+    plain equi-join (broadcast here since nation is bounded)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — customers with ≥1 urgent order (EXISTS). Emulated in
+    KS via join+dedupe; first-class in Spark (no row multiplication, the
+    probe side short-circuits on first match)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no urgent orders (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+SELECT s.s_suppkey, c.c_custkey
+FROM supplier s
+JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal + 9000.0
+ORDER BY s.s_suppkey, c.c_custkey
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join — equi-key on nation plus a non-equi balance predicate
+    (planned as hash join on the equi part, theta as post-filter)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        sup.join(
+            cust,
+            (sup.s_nationkey == cust.c_nationkey)
+            & (sup.s_acctbal > cust.c_acctbal + 9000.0),
+        )
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_regionkey <> r2.r_regionkey
+ORDER BY from_region, to_region
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — bounded-side cartesian (route matrix over regions)."""
+    r1 = load_table(spark, sf_dir, "region").alias("r1")
+    r2 = load_table(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("from_region"),
+            F.col("r2.r_name").alias("to_region"),
+        )
+        .orderBy("from_region", "to_region")
+    )
