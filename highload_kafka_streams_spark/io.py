@@ -46,10 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ns long → µs timestamp, floor division (matches DuckDB's ns→µs cast)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # ns long → µs timestamp via INTEGER division (matches DuckDB's ns→µs
+        # cast; double division would round at ~1.7e15 and drift by ±1µs)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

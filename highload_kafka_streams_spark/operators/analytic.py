@@ -1,0 +1,150 @@
+"""Analytic (OVER-clause) window functions (SURVEY.md §2.8).
+
+These back the KTable latest-per-key emulation, per-group top-k, and
+the sessionization oracle. All are single-shuffle operators: one
+Exchange on the PARTITION BY key, then a sort within partitions —
+at 100 TB the key choice (user_id, custkey) spreads evenly, and no
+driver-side work happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.compat import fixed
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+
+@query(
+    "q_window_rank_topk",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) t
+WHERE rn <= 3
+ORDER BY c_custkey, rn
+""",
+)
+def q_window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by price (row_number ≤ k). The rank filter
+    is evaluated per partition — only k rows per key survive the window,
+    never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "q_window_ranking_fns",
+    oracle="""
+SELECT s_suppkey, n_name,
+       rank()        OVER w AS rnk,
+       dense_rank()  OVER w AS drnk,
+       ntile(4)      OVER w AS quartile,
+       percent_rank() OVER w AS prank
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_suppkey
+""",
+)
+def q_window_ranking_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over per-nation balances."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(date_diff('microseconds', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                      CAST(ts AS TIMESTAMP)) AS BIGINT) AS micros_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — per-user previous/next event value and inter-arrival gap
+    (the building block for sessionization and funnel analysis)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("micros_since_prev"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_window_running_agg",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+         AS running_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_n
+FROM events
+ORDER BY event_id
+""",
+)
+def q_window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed running aggregates (cumulative per-user spend) — the
+    fixed-point form keeps every prefix sum bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (F.sum(fixed("value")).over(w) / 10000.0).alias("running_value"),
+            F.count("*").over(w).alias("running_n"),
+        )
+        .orderBy("event_id")
+    )
