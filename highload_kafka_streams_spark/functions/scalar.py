@@ -1,0 +1,284 @@
+"""Scalar function families (SURVEY.md §2.9).
+
+A Kafka Streams app computes these inside opaque ``mapValues`` lambdas;
+our engine exposes them as Spark built-ins so they stay inside
+whole-stage codegen (JVM, vectorized) instead of a per-record Python
+hop. One oracle-checked query per family, written to exercise the
+representative functions where Spark and DuckDB dialects can be made to
+agree exactly.
+
+Transcendentals (exp/ln/pow) are rounded to 9 decimals in BOTH engines:
+libm implementations may differ in the last ulp, everything above that
+is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS lname,
+       upper(p_brand) AS ubrand,
+       trim(p_type) AS ttype,
+       substring(p_name, 1, 8) AS name8,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       replace(p_type, ' ', '_') AS type_us,
+       (p_type LIKE 'PROMO%') AS is_promo,
+       split_part(p_type, ' ', 1) AS type_head
+FROM part
+ORDER BY p_partkey
+""",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim("p_type").alias("ttype"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q_fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       date_part('dow', o_orderdate) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+         AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+""",
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(pow(l_quantity, 2.0), 9) AS qty_sq,
+       round(exp(l_discount), 9) AS disc_exp,
+       round(ln(l_extendedprice), 9) AS price_ln,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+FROM lineitem
+WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 9).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_tier,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       greatest(o_totalprice, 150000.0) AS floor_price,
+       least(o_totalprice, 150000.0) AS capped_price,
+       (o_orderstatus = 'F' AND o_totalprice > 200000) AS big_final
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)).alias(
+            "big_final"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_contains(toks, 'data') AS has_data,
+       toks[1:5] AS head5,
+       list_sort(list_distinct(toks))[1:3] AS first3_distinct,
+       len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+       list_transform(toks[1:3], x -> upper(x)) AS head3_upper
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions (slice/sort/distinct/filter/transform).
+    list_distinct order is unspecified in DuckDB → always sort after."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.slice(toks, 1, 5).alias("head5"),
+        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias(
+            "first3_distinct"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
+            "head3_upper"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+SELECT doc_id,
+       map_keys(map {'lang': lang, 'source': source}) AS meta_keys,
+       (map {'lang': lang, 'source': source}['lang'])[1] AS lang_val,
+       cardinality(map {'lang': lang, 'source': source}) AS n_keys
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value extraction (KS record headers live in
+    exactly this shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.map_keys(meta).alias("meta_keys"),
+        F.element_at(meta, "lang").alias("lang_val"),
+        F.size(meta).alias("n_keys"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 3 AS k_mod
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decoding — KS Serdes-at-the-edge equivalent: declared
+    schema via from_json, never inference."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.withColumn("j", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 3).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized hashes (md5/sha256 agree across engines byte-for-byte;
+    engine-native xxhash64/murmur are exercised rows-only below)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    ).orderBy("doc_id")
+
+
+@query("q_fn_hash_native")  # xxhash64/murmur3 values are engine-specific
+def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native hashes (xxhash64, murmur3) — the fast path used by
+    dedup bucketing and salting at scale; rows-only check."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.hash("text").alias("text_murmur3"),
+        F.abs(F.xxhash64("text") % 1024).alias("bucket"),
+    ).orderBy("doc_id")
