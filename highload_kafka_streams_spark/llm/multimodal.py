@@ -1,0 +1,138 @@
+"""Multimodal column conventions (SURVEY.md §2.11, BASELINE.json:6).
+
+Contract for carrying image/audio/video alongside relational columns:
+
+- the payload is an opaque ``BinaryType`` column (``blob``)
+- typed metadata rides in a sibling struct (``meta``: mime, width/height
+  or duration, codec) so planning-time decisions (filter, partition,
+  route-by-modality) never touch bytes
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages; the Spark-side plumbing (schema, batching,
+  partition preservation) is real and tested — the actual codec calls
+  are stubbed behind ``NotImplementedError`` with a deterministic fake,
+  because no image/audio libraries exist in this container
+- projections that don't select ``blob`` never deserialize it (columnar
+  parquet + column pruning); at 100 TB keep blobs in their own column
+  chunk and NEVER use a blob as a shuffle key — hash it first
+
+No real media fixtures exist, so blobs here are derived deterministically
+from ``documents.text`` (utf-8 bytes) — which also makes the metadata
+query oracle-checkable against DuckDB's ``encode()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+# set True only in environments that ship codecs (PIL/ffmpeg); this repo
+# intentionally has none — the fake path keeps the plumbing testable
+REAL_DECODE_AVAILABLE = False
+
+
+def with_blob_column(docs: DataFrame) -> DataFrame:
+    """Attach the multimodal convention columns to a documents frame."""
+    blob = F.encode(F.col("text"), "utf-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(blob).alias("n_bytes"),
+        (F.col("doc_id") % 3).cast("int").alias("channel"),
+    )
+    return docs.withColumn("blob", blob).withColumn("meta", meta)
+
+
+def decode_blob(raw: bytes) -> bytes:
+    """The codec seam. Real decode needs media libraries (absent here)."""
+    if REAL_DECODE_AVAILABLE:
+        raise NotImplementedError(
+            "wire a real codec (PIL / soundfile / pyav) here"
+        )
+    return raw  # deterministic fake: identity "decode"
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: blob → fixed-width feature row.
+
+    Feature = 4-bin byte histogram + length, a deterministic stand-in
+    with the exact batch shape a real embedding/decoder stage has:
+    consumes arrow batches, returns a new schema, never sees the driver.
+    """
+    for pdf in batches:
+        feats = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["blob"]):
+            data = decode_blob(bytes(raw))
+            hist = [0, 0, 0, 0]
+            for byte in data:
+                hist[byte >> 6] += 1
+            feats.append((doc_id, len(data), hist))
+        out = pd.DataFrame(
+            feats, columns=["doc_id", "n_bytes", "byte_hist"]
+        )
+        yield out
+
+
+FEATURES_SCHEMA = "doc_id long, n_bytes long, byte_hist array<int>"
+
+
+@query(
+    "q_multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS blob_bytes,
+       'application/octet-stream' AS mime,
+       CAST(doc_id % 3 AS INT) AS channel
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over a multimodal table: the plan must prune the
+    blob column (planning on metadata, bytes untouched)."""
+    docs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("blob_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.channel").alias("channel"),
+    ).orderBy("doc_id")
+
+
+@query("q_multimodal_features")  # mapInPandas plumbing — rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over blobs via Arrow-batched mapInPandas —
+    the decode stage shape (stubbed codec, real plumbing)."""
+    docs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    feats = docs.select("doc_id", "blob").mapInPandas(
+        extract_features, schema=FEATURES_SCHEMA
+    )
+    return feats.orderBy("doc_id")
+
+
+@query("q_multimodal_frame_sample")  # rows-only
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling convention: chunk each blob into fixed-size
+    "frames" and keep every k-th — the video-frame-sampling plan shape
+    (explode on a computed index, blob sliced JVM-side via substr)."""
+    docs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    frame_size, stride = 64, 4  # bytes per frame, keep every 4th frame
+    n_frames = F.ceil(F.col("meta.n_bytes") / frame_size).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        ).alias("frame_no"),
+        "blob",
+    ).filter(F.col("frame_no") % stride == 0)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.substring(
+            F.col("blob"), F.col("frame_no") * frame_size + 1, frame_size
+        ).alias("frame_bytes"),
+    ).orderBy("doc_id", "frame_no")

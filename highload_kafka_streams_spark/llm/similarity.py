@@ -1,0 +1,267 @@
+"""Embedding similarity search (SURVEY.md §2.11; PAPERS.md:7,9).
+
+Three tiers over ``embeddings`` (``array<float>``, 64-dim):
+
+- brute-force cosine top-k — the exact baseline: broadcast the query
+  vector, one pass computing cosine per row, ``TakeOrderedAndProject``
+  keeps a k-heap per task (no global sort). Oracle-checked bit-exact
+  via fixed-point dot products.
+- blocked near-dup pairs — all pairs with cosine ≥ τ *within a coarse
+  bucket* (here the label column), the pattern for embedding-dedup at
+  scale: the self-join is per-bucket, never corpus².
+- LSH-bucketed ANN — random-hyperplane signatures (seeded, engine-
+  deterministic) restrict candidates to the query's bucket; the 100 TB
+  path where even per-bucket linear scan is too big. Rows-only check
+  (hash-seeded hyperplanes are engine-specific).
+
+All arithmetic stays in JVM whole-stage codegen (higher-order array
+functions) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+SCALE = 10**12  # fixed-point scale for dot products (|terms| ≤ 64 × ~1 → safe in int64)
+
+
+def fdot(a: Column, b: Column) -> Column:
+    """Order-independent fixed-point dot product of two float arrays."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * SCALE + 0.5).cast("long")
+    )
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        / float(SCALE)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return fdot(a, b) / (F.sqrt(fdot(a, a)) * F.sqrt(fdot(b, b)))
+
+
+_DOT_SQL = """
+  SUM(CAST(FLOOR(CAST({a}[i.i] AS DOUBLE) * CAST({b}[i.i] AS DOUBLE) * 1e12 + 0.5)
+           AS BIGINT)) / 1e12
+"""
+
+
+@query(
+    "q_similarity_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query vector (vec_id=0).
+
+    The query embedding is a broadcast single-row dim; scoring is one
+    narrow pass; orderBy+limit plans TakeOrderedAndProject (per-task
+    k-heap → driver merge of tasks×k rows) — scales linearly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe")
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_similarity_neardup_pairs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         ({_DOT_SQL.format(a='a.embedding', b='b.embedding')})
+         / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+            * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY a.vec_id, b.vec_id, a.label
+)
+SELECT vec_a, vec_b, label, cos_sim
+FROM pairs
+WHERE cos_sim >= 0.35
+ORDER BY vec_a, vec_b
+""",
+)
+def q_similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (cos ≥ 0.35; fixture embeddings are weakly clustered — real corpora would use ~0.95), blocked by the coarse
+    cluster label — the embedding-dedup pattern: per-bucket self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+N_PLANES = 16
+
+
+def _hyperplane(plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d from a hash of
+    (plane, d) mapped into [-1, 1). No RNG state, reproducible anywhere."""
+    return F.array(
+        *[
+            (
+                (F.xxhash64(F.lit(plane * 1024 + d)) % 100000) / 50000.0
+            ).cast("double")
+            for d in range(64)
+        ]
+    )
+
+
+N_BANDS = 4
+BITS_PER_BAND = 4  # OR-amplified: candidate iff ANY band bucket matches
+
+
+@query("q_similarity_ann_lsh")  # hyperplanes from engine hash → rows-only
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH, banded (4 bands × 4 sign
+    bits, OR-amplification): a vector is a candidate iff it shares at
+    least one band bucket with the query; exact cosine re-rank inside the
+    candidate set. At 100 TB the (band, bucket) pair is the partition
+    key — a query probes N_BANDS partitions instead of scanning the
+    corpus, trading recall for a 2^bits-fold scan reduction per band."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bands = []
+    for band in range(N_BANDS):
+        sig = None
+        for p in range(BITS_PER_BAND):
+            plane = band * BITS_PER_BAND + p
+            bit = F.when(
+                fdot(F.col("embedding"), _hyperplane(plane)) >= 0, 1
+            ).otherwise(0)
+            term = F.shiftleft(bit.cast("long"), p)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        bands.append(F.struct(F.lit(band).alias("band"), sig.alias("bucket")))
+    banded = emb.select(
+        "vec_id", "label", "embedding", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", "label", "embedding", "bb.band", "bb.bucket")
+
+    qrow = F.broadcast(
+        banded.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"),
+            F.col("band").alias("qband"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = (
+        banded.filter(F.col("vec_id") != 0)
+        .join(
+            qrow,
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query("q_similarity_ivf")  # rows-only: centroid float math is reduction-order-sensitive
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroid (computed with
+    fixed-point per-dimension means so it IS deterministic); probe the
+    nearest centroid's inverted list, exact re-rank inside. The scale path
+    when buckets must be learned rather than hashed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # per-label centroids: explode dims, fixed-point mean per (label, dim)
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x").cast("double") * SCALE + 0.5).cast("long"))
+                / float(SCALE)
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            "label",
+            F.transform(F.col("dc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    # nearest centroid to the query
+    nearest = (
+        cent.crossJoin(qvec)
+        .select(
+            "label",
+            cosine(
+                F.transform(F.col("centroid"), lambda c: c.cast("float")),
+                F.col("qe"),
+            ).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("probe_label"))
+    )
+    return (
+        emb.join(F.broadcast(nearest), emb.label == F.col("probe_label"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,233 @@
+"""Text analysis for LLM training-data pipelines (SURVEY.md §2.11;
+sentiment/text-stats grounding per PAPERS.md:6).
+
+Token counting, TF-IDF, quality scoring, language ID, and document
+fingerprinting — all over ``documents``, all pure built-in expressions
+(tokenization is ``split`` + ``explode``; scoring is arithmetic), so the
+hot path is whole-stage-codegen JVM even when the corpus is 100 TB.
+The per-term state (document frequencies) is itself a DataFrame joined
+back in — never a driver-side dictionary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+
+@query(
+    "q_text_token_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks
+GROUP BY token
+HAVING count(*) >= 10
+ORDER BY token
+""",
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 10)
+        .orderBy("token")
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+FROM tf JOIN df ON tf.token = df.token, n
+WHERE tf.doc_id < 20 AND df.df >= 2
+ORDER BY tf.doc_id, tf.token
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: two aggregations + a join — the document-frequency table is
+    a DataFrame, broadcast when small, shuffled when the vocab is big."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension of the corpus, not data
+    return (
+        tf.join(df, "token")
+        .filter((F.col("doc_id") < 20) & (F.col("df") >= 2))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+STOPWORDS = {
+    "en": ["the", "and", "for", "with", "that", "this", "are", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con"],
+}
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / n_tokens
+         AS short_token_ratio,
+       CAST(len(list_filter(toks,
+             x -> list_contains(['the','and','for','with','that','this','are','was'], x)))
+            AS DOUBLE) / n_tokens AS en_stopword_ratio,
+       (n_tokens >= 5 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12)
+         AS passes_quality
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length stats, short-token ratio, stopword
+    density, and a composite keep/drop flag — the standard pre-training
+    corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    avg_tok = F.col("n_chars").cast("double") / n_tokens
+    en_sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.length(x) <= 2)).cast("double")
+            / n_tokens
+        ).alias("short_token_ratio"),
+        (
+            F.size(
+                F.filter(toks, lambda x: F.array_contains(en_sw, x))
+            ).cast("double")
+            / n_tokens
+        ).alias("en_stopword_ratio"),
+        ((n_tokens >= 5) & avg_tok.between(2.0, 12.0)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','for','with','that','this','are','was'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas','une','des'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','es','una','por','con'], x))) AS s_es
+  FROM t
+)
+SELECT doc_id, lang AS label_lang,
+       CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family): score each
+    language's marker-word hits, argmax with a fixed precedence order so
+    ties resolve identically everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_de, s_fr, s_es = (score(lang) for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(s_en + s_de + s_fr + s_es == 0, "und")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("label_lang"), pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(len(string_split(text,' ')) - 4, 1)),
+           i -> md5(array_to_string(string_split(text,' ')[i+1:i+5], ' '))
+         ) AS gram_hashes
+  FROM documents
+)
+SELECT doc_id,
+       list_min(gram_hashes) AS fingerprint,
+       len(gram_hashes) AS n_grams
+FROM sh
+ORDER BY doc_id
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (winnowing-style): minimum md5 over word
+    5-gram shingles — md5 is engine-portable, so even the fingerprint is
+    oracle-checked. Two docs sharing a fingerprint almost surely share a
+    5-gram window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 4, F.lit(1)) - 1
+    )
+    gram_hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(gram_hashes).alias("fingerprint"),
+        F.size(gram_hashes).alias("n_grams"),
+    ).orderBy("doc_id")
