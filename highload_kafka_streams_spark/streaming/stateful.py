@@ -1,0 +1,172 @@
+"""Custom stateful processing (SURVEY.md §2.6) — the KS Processor API
+equivalent: ``applyInPandasWithState`` with per-key state and timeouts.
+
+KS surface mapped here:
+- ``KStream#process`` + ``Processor#process`` + ``context.getStateStore``
+  → per-group pandas function with a ``GroupState`` handle
+- ``ProcessorContext#schedule`` (punctuation) → ``GroupStateTimeout``:
+  the function is re-invoked with ``state.hasTimedOut`` when event-time
+  (or processing-time) passes the registered timeout — same "timer
+  fires, flush state" shape as a KS punctuator
+- state stores are per-key, partition-local, checkpointed — Spark's
+  state store (RocksDB provider in production) plays the role of
+  RocksDB + changelog topic in KS
+
+The processor implemented here is a per-user session tracker: it
+accumulates (count, value-sum) per user and emits a session row when
+the inactivity gap passes (event-time timeout = punctuation). In batch
+mode the same logic is expressed with ``applyInPandas`` over complete
+groups — both paths are tested for agreement in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_SECONDS = 30 * 60
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_last", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total_fp", LongType()),  # fixed-point 1e4 (compat.py)
+    ]
+)
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return int(ts.value // 1000)
+
+
+def session_processor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user sessionizer with event-time-timeout punctuation."""
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_us, last_us, n, total_fp = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us * 1000)],
+                "session_last": [pd.Timestamp(last_us * 1000)],
+                "n_events": [n],
+                "total_value": [total_fp / 10_000.0],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    closed: list[tuple[int, int, int, int]] = []
+
+    if state.exists:
+        start_us, last_us, n, total_fp = state.get
+    else:
+        start_us, last_us, n, total_fp = None, None, 0, 0
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for ts, value in zip(rows["ts"], rows["value"]):
+        t = _us(ts)
+        fp = int(value * 10_000 + 0.5)
+        if start_us is None:
+            start_us, last_us, n, total_fp = t, t, 1, fp
+        elif t - last_us > gap_us:
+            closed.append((start_us, last_us, n, total_fp))
+            start_us, last_us, n, total_fp = t, t, 1, fp
+        else:
+            last_us, n, total_fp = t, n + 1, total_fp + fp
+
+    state.update((start_us, last_us, n, total_fp))
+    # punctuation: fire once event-time passes last event + gap
+    state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s * 1000) for s, _, _, _ in closed],
+                "session_last": [pd.Timestamp(e * 1000) for _, e, _, _ in closed],
+                "n_events": [n_ for _, _, n_, _ in closed],
+                "total_value": [tf / 10_000.0 for _, _, _, tf in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming form: custom stateful processor over a watermarked stream.
+
+    Emits one row per closed session (sessions close via the event-time
+    timeout — KS punctuation). Needs update-mode-capable sink."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_processor,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _batch_sessionizer(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch twin of session_processor over a complete per-user group."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out = []
+    start = last = None
+    n = total_fp = 0
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for ts, value in zip(pdf["ts"], pdf["value"]):
+        t = _us(ts)
+        fp = int(value * 10_000 + 0.5)
+        if start is None:
+            start, last, n, total_fp = t, t, 1, fp
+        elif t - last > gap_us:
+            out.append((start, last, n, total_fp))
+            start, last, n, total_fp = t, t, 1, fp
+        else:
+            last, n, total_fp = t, n + 1, total_fp + fp
+    if start is not None:
+        out.append((start, last, n, total_fp))
+    uid = pdf["user_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "user_id": [uid] * len(out),
+            "session_start": [pd.Timestamp(s * 1000) for s, _, _, _ in out],
+            "session_last": [pd.Timestamp(e * 1000) for _, e, _, _ in out],
+            "n_events": [n_ for _, _, n_, _ in out],
+            "total_value": [tf / 10_000.0 for _, _, _, tf in out],
+        }
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch replay of the same session state machine (applyInPandas)."""
+    return events.groupBy("user_id").applyInPandas(
+        _batch_sessionizer, schema=OUTPUT_SCHEMA
+    )

@@ -1,0 +1,330 @@
+"""Kafka-Streams-shaped DSL over Spark DataFrames (batch AND streaming).
+
+This is the migration surface: a user of the reference's Kafka Streams
+app writes the same topology here —
+
+    b = StreamsBuilder(spark)
+    (b.stream(events)
+       .with_watermark("ts", "10 minutes")
+       .filter(F.col("event_type") == "purchase")
+       .group_by("user_id")
+       .windowed_by(TimeWindows.of_size("1 hour"))
+       .count()
+       .to_memory("purchases_hourly"))
+
+— and it compiles to a declarative DataFrame plan, so Catalyst/AQE (or
+IncrementalExecution in streaming mode) owns the physical strategy.
+The same topology object works on a batch DataFrame (replay/backfill)
+and a streaming one (``spark.readStream``): Structured Streaming's
+declarative incrementalization (PAPERS.md:8) is exactly what makes the
+KS topology → Spark translation total.
+
+Operator mapping is 1:1 with the KS DSL (SURVEY.md §2); each method
+cites the KS API element it implements.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# window specs (KS: TimeWindows / SlidingWindows / SessionWindows / JoinWindows)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TimeWindows:
+    """KS TimeWindows.ofSize(size)[.advanceBy(slide)]."""
+
+    size: str
+    slide: str | None = None
+
+    @classmethod
+    def of_size(cls, size: str) -> "TimeWindows":
+        return cls(size)
+
+    def advance_by(self, slide: str) -> "TimeWindows":
+        return TimeWindows(self.size, slide)
+
+
+@dataclass(frozen=True)
+class SessionWindows:
+    """KS SessionWindows.ofInactivityGap(gap)."""
+
+    gap: str
+
+    @classmethod
+    def of_inactivity_gap(cls, gap: str) -> "SessionWindows":
+        return cls(gap)
+
+
+@dataclass(frozen=True)
+class JoinWindows:
+    """KS JoinWindows.ofTimeDifference(Δ): |ts_a - ts_b| ≤ Δ (seconds)."""
+
+    before_seconds: int
+    after_seconds: int
+
+    @classmethod
+    def of_time_difference(cls, seconds: int) -> "JoinWindows":
+        return cls(seconds, seconds)
+
+
+# ---------------------------------------------------------------------------
+# streams
+# ---------------------------------------------------------------------------
+
+class KStream:
+    """KS ``KStream`` — an (optionally streaming) record stream with an
+    event-time column and optional logical key columns."""
+
+    def __init__(self, df: DataFrame, ts_col: str = "ts", key_cols: tuple[str, ...] = ()):
+        self.df = df
+        self.ts_col = ts_col
+        self.key_cols = key_cols
+
+    # -- stateless (KS KStream#filter/filterNot/mapValues/flatMapValues/...)
+
+    def filter(self, pred: Column) -> "KStream":
+        return KStream(self.df.filter(pred), self.ts_col, self.key_cols)
+
+    def filter_not(self, pred: Column) -> "KStream":
+        return KStream(self.df.filter(~pred), self.ts_col, self.key_cols)
+
+    def map_values(self, **cols: Column) -> "KStream":
+        return KStream(self.df.withColumns(dict(cols)), self.ts_col, self.key_cols)
+
+    def select(self, *cols) -> "KStream":
+        return KStream(self.df.select(*cols), self.ts_col, self.key_cols)
+
+    def flat_map_values(self, array_col: Column, out: str) -> "KStream":
+        return KStream(
+            self.df.withColumn(out, F.explode(array_col)), self.ts_col, self.key_cols
+        )
+
+    def select_key(self, key: Column, name: str = "key") -> "KStream":
+        """KS KStream#selectKey — marks the stream re-keyed; the shuffle
+        happens at the next stateful operator, like KS's repartition topic."""
+        return KStream(self.df.withColumn(name, key), self.ts_col, (name,))
+
+    def merge(self, other: "KStream") -> "KStream":
+        return KStream(self.df.unionByName(other.df), self.ts_col, self.key_cols)
+
+    def branch(self, **preds: Column) -> dict[str, "KStream"]:
+        out, taken = {}, None
+        for name, p in preds.items():
+            eff = p if taken is None else (p & ~taken)
+            out[name] = KStream(self.df.filter(eff), self.ts_col, self.key_cols)
+            taken = p if taken is None else (taken | p)
+        return out
+
+    def peek(self, fn) -> "KStream":
+        """KS KStream#peek — observation without transformation. In
+        streaming mode attach via foreachBatch at sink time; in batch we
+        call fn(df) eagerly."""
+        fn(self.df)
+        return self
+
+    # -- time
+
+    def with_watermark(self, ts_col: str, delay: str) -> "KStream":
+        """KS grace period — bound lateness; no-op on batch frames."""
+        df = self.df
+        if df.isStreaming:
+            df = df.withWatermark(ts_col, delay)
+        return KStream(df, ts_col, self.key_cols)
+
+    # -- joins (KS KStream#join family)
+
+    def join_windowed(
+        self,
+        other: "KStream",
+        on: Column,
+        windows: JoinWindows,
+        how: str = "inner",
+    ) -> "KStream":
+        """KS KStream#join(KStream, JoinWindows) — equi-key + time-range."""
+        a, b = self.df.alias("l"), other.df.alias("r")
+        lts, rts = F.col(f"l.{self.ts_col}"), F.col(f"r.{other.ts_col}")
+        cond = (
+            on
+            & (rts >= lts - F.expr(f"INTERVAL {windows.before_seconds} SECONDS"))
+            & (rts <= lts + F.expr(f"INTERVAL {windows.after_seconds} SECONDS"))
+        )
+        return KStream(a.join(b, cond, how), self.ts_col, self.key_cols)
+
+    def join_table(self, table: "KTable", on, how: str = "inner") -> "KStream":
+        """KS KStream#join(KTable) — enrichment against the current state."""
+        return KStream(self.df.join(table.df, on, how), self.ts_col, self.key_cols)
+
+    def join_global(self, gt: "GlobalKTable", on: Column, how: str = "inner") -> "KStream":
+        """KS KStream#join(GlobalKTable, keySelector) — broadcast lookup,
+        arbitrary join expression (non-key lookups allowed)."""
+        return KStream(
+            self.df.join(F.broadcast(gt.df), on, how), self.ts_col, self.key_cols
+        )
+
+    # -- grouping
+
+    def group_by(self, *cols: str) -> "KGroupedStream":
+        """KS KStream#groupBy/groupByKey."""
+        return KGroupedStream(self, cols)
+
+    # -- sinks (KS KStream#to)
+
+    def to_memory(self, name: str, output_mode: str = "append"):
+        """Streaming: memory sink query (returns StreamingQuery).
+        Batch: registers a temp view and returns None."""
+        if self.df.isStreaming:
+            return (
+                self.df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        self.df.createOrReplaceTempView(name)
+        return None
+
+    def to_parquet(self, path: str, checkpoint: str | None = None, output_mode: str = "append"):
+        if self.df.isStreaming:
+            return (
+                self.df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint or f"{path}/_checkpoints")
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        self.df.write.mode("overwrite").parquet(path)
+        return None
+
+
+class KTable:
+    """KS ``KTable`` — latest value per key (changelog view).
+
+    Batch: a compacted snapshot. Streaming: the aggregation result in
+    update mode (Structured Streaming maintains the state store)."""
+
+    def __init__(self, df: DataFrame, key_cols: tuple[str, ...]):
+        self.df = df
+        self.key_cols = key_cols
+
+    @classmethod
+    def from_stream(
+        cls, stream: KStream, key_cols: tuple[str, ...], tiebreak: str
+    ) -> "KTable":
+        if stream.df.isStreaming:
+            raise ValueError(
+                "streaming KTable derives from group_by().reduce/aggregate "
+                "in update mode; latest-per-key snapshots are a batch shape"
+            )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(stream.ts_col).desc(), F.col(tiebreak).desc()
+        )
+        df = (
+            stream.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return cls(df, key_cols)
+
+    def join(self, other: "KTable", on, how: str = "inner") -> "KTable":
+        """KS KTable#join/leftJoin/outerJoin(KTable) — including the
+        foreign-key form (pass any equi expression as ``on``)."""
+        return KTable(self.df.join(other.df, on, how), self.key_cols)
+
+    def to_stream(self, ts_col: str = "ts") -> KStream:
+        """KS KTable#toStream."""
+        return KStream(self.df, ts_col, self.key_cols)
+
+
+class GlobalKTable:
+    """KS ``GlobalKTable`` — broadcast-replicated lookup table."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+class KGroupedStream:
+    """KS ``KGroupedStream`` — grouped, pre-window."""
+
+    def __init__(self, stream: KStream, cols: tuple[str, ...]):
+        self.stream = stream
+        self.cols = cols
+
+    def _grouped(self):
+        return self.stream.df.groupBy(*self.cols)
+
+    def count(self, alias: str = "n") -> KTable:
+        """KS KGroupedStream#count."""
+        return KTable(
+            self._grouped().agg(F.count("*").alias(alias)), self.cols
+        )
+
+    def reduce(self, *aggs: Column) -> KTable:
+        """KS KGroupedStream#reduce / #aggregate — pass any agg columns."""
+        return KTable(self._grouped().agg(*aggs), self.cols)
+
+    aggregate = reduce
+
+    def windowed_by(
+        self, windows: TimeWindows | SessionWindows
+    ) -> "WindowedKGroupedStream":
+        """KS KGroupedStream#windowedBy."""
+        return WindowedKGroupedStream(self.stream, self.cols, windows)
+
+
+class WindowedKGroupedStream:
+    def __init__(self, stream, cols, windows):
+        self.stream = stream
+        self.cols = cols
+        self.windows = windows
+
+    def _window_col(self):
+        ts = self.stream.ts_col
+        if isinstance(self.windows, SessionWindows):
+            return F.session_window(ts, self.windows.gap)
+        if self.windows.slide:
+            return F.window(ts, self.windows.size, self.windows.slide)
+        return F.window(ts, self.windows.size)
+
+    def count(self, alias: str = "n") -> KTable:
+        return self.aggregate(F.count("*").alias(alias))
+
+    def aggregate(self, *aggs: Column) -> KTable:
+        wcol = self._window_col().alias("window")
+        df = self.stream.df.groupBy(wcol, *self.cols).agg(*aggs)
+        flat = df.select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            *self.cols,
+            *[c for c in df.columns if c not in ("window", *self.cols)],
+        )
+        return KTable(flat, ("w_start", "w_end", *self.cols))
+
+    reduce = aggregate
+
+
+class StreamsBuilder:
+    """KS ``StreamsBuilder`` — topology entry point."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def stream(self, df: DataFrame, ts_col: str = "ts") -> KStream:
+        """KS StreamsBuilder#stream — accepts a batch or streaming frame."""
+        return KStream(df, ts_col)
+
+    def table(
+        self, df: DataFrame, key_cols: tuple[str, ...], ts_col: str, tiebreak: str
+    ) -> KTable:
+        """KS StreamsBuilder#table — compacted latest-per-key view."""
+        return KTable.from_stream(KStream(df, ts_col), key_cols, tiebreak)
+
+    def global_table(self, df: DataFrame) -> GlobalKTable:
+        """KS StreamsBuilder#globalTable."""
+        return GlobalKTable(df)

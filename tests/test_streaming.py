@@ -1,0 +1,169 @@
+"""Streaming semantics tests (SURVEY.md §5): run each streaming operator
+through real IncrementalExecution (file source → availableNow trigger →
+memory sink) and assert agreement with the batch replay of the same
+topology — the TopologyTestDriver-equivalent harness.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
+from highload_kafka_streams_spark.streaming.topology import (
+    SessionWindows,
+    StreamsBuilder,
+    TimeWindows,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_source(spark, sf_smoke):
+    """Re-materialize events (ts normalized to µs) as a streaming source dir."""
+    ev = load_table(spark, sf_smoke, "events")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev.write.mode("overwrite").parquet(d)
+    schema = ev.schema
+    return lambda: spark.readStream.schema(schema).parquet(d)
+
+
+def _run_to_memory(ktable_df, name, spark, mode="append"):
+    q = (
+        ktable_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, *order):
+    if order:
+        df = df.orderBy(*order)
+    return [tuple(r) for r in df.collect()]
+
+
+def test_tumbling_window_stream_equals_batch(spark, sf_smoke, events_stream_source):
+    b = StreamsBuilder(spark)
+
+    def topo(df):
+        return (
+            b.stream(df)
+            .with_watermark("ts", "10 minutes")
+            .filter(F.col("event_type") == "purchase")
+            .group_by("event_type")
+            .windowed_by(TimeWindows.of_size("1 hour"))
+            .count()
+        )
+
+    batch = topo(load_table(spark, sf_smoke, "events")).df
+    stream = topo(events_stream_source()).df
+    out = _run_to_memory(stream, "t_tumbling", spark)
+
+    got = _rows(out, "w_start", "event_type")
+    want = _rows(batch, "w_start", "event_type")
+    # append mode withholds windows the final watermark hasn't passed
+    assert got == want[: len(got)]
+    assert len(got) >= len(want) - 2  # at most the tail windows in flight
+    assert len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark, sf_smoke, events_stream_source):
+    b = StreamsBuilder(spark)
+
+    def topo(df):
+        return (
+            b.stream(df)
+            .with_watermark("ts", "10 minutes")
+            .group_by("user_id")
+            .windowed_by(SessionWindows.of_inactivity_gap("30 minutes"))
+            .count()
+        )
+
+    batch = topo(load_table(spark, sf_smoke, "events")).df
+    stream = topo(events_stream_source()).df
+    out = _run_to_memory(stream, "t_session", spark)
+
+    got = set(_rows(out))
+    want = set(_rows(batch))
+    assert got <= want
+    assert len(got) >= len(want) - 20  # only tail sessions may be open
+    assert len(got) > 0
+
+
+def test_stateful_processor_stream_equals_batch(spark, sf_smoke, events_stream_source):
+    """applyInPandasWithState sessionizer ≡ applyInPandas batch twin for
+    every session the event-time timeout closed."""
+    ev = load_table(spark, sf_smoke, "events")
+    batch = sessionize_batch(ev)
+    stream = sessionize_stream(events_stream_source())
+    out = _run_to_memory(stream, "t_stateful", spark, mode="update")
+
+    got = set(_rows(out))
+    want = set(_rows(batch))
+    assert got <= want, f"streaming emitted sessions absent from batch: {list(got - want)[:3]}"
+    # all but the final (never-timed-out) session per active user must appear
+    assert len(got) >= len(want) * 0.5
+    assert len(got) > 0
+
+
+def test_windowed_join_dsl_batch(spark, sf_smoke):
+    """DSL windowed stream-stream join ≡ the registered oracle query."""
+    from highload_kafka_streams_spark.registry import get_queries
+    from highload_kafka_streams_spark.streaming.topology import JoinWindows
+
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = b.stream(ev).filter(F.col("event_type") == "click")
+    purchases = b.stream(ev).filter(F.col("event_type") == "purchase")
+    joined = clicks.join_windowed(
+        purchases,
+        F.col("l.user_id") == F.col("r.user_id"),
+        JoinWindows(0, 1800),
+    ).df.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    want = (
+        get_queries()["q_join_stream_stream_windowed"](spark, sf_smoke)
+        .select("click_id", "purchase_id")
+    )
+    assert _rows(joined, "click_id", "purchase_id") == _rows(
+        want, "click_id", "purchase_id"
+    )
+
+
+def test_branch_merge_dsl(spark, sf_smoke):
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    s = b.stream(ev)
+    br = s.branch(
+        err=F.col("event_type") == "error",
+        rest=F.lit(True),
+    )
+    n_err = br["err"].df.count()
+    n_rest = br["rest"].df.count()
+    assert n_err + n_rest == ev.count()
+    merged = br["err"].merge(br["rest"])
+    assert merged.df.count() == ev.count()
+
+
+def test_ktable_join_and_global_lookup_dsl(spark, sf_smoke):
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    latest = b.table(ev, ("user_id",), "ts", "event_id")
+    assert latest.df.count() == ev.select("user_id").distinct().count()
+
+    nation = load_table(spark, sf_smoke, "nation")
+    region = b.global_table(load_table(spark, sf_smoke, "region"))
+    enriched = (
+        b.stream(nation, ts_col="n_nationkey")
+        .join_global(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    assert enriched.df.count() == nation.count()
