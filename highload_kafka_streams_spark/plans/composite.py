@@ -1,0 +1,323 @@
+"""Composite analytics queries — multi-operator pipelines in the shape a
+user of the reference engine would actually run (TPC-H-style star joins,
+pivot, percentiles, deterministic moment statistics, subqueries).
+
+Each query chains several SURVEY.md §2 operators through one Catalyst
+plan, so the oracle gate checks operator *composition*, not just isolated
+operators. Scale posture: dims (`region`, `nation`, `supplier`,
+filtered `customer`) broadcast; the only shuffles left are the fact-table
+aggregations themselves. Double aggregates go through the fixed-point
+``compat`` helpers so the DuckDB hash-compare is bit-exact (SURVEY.md §5
+hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.compat import dsum, dsum_sql
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q_tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql(_REVENUE, "revenue")},
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per open order, top 10. The filtered customer side broadcasts;
+    the orders⋈lineitem join shuffles on the order key — at 100 TB both
+    facts would be bucketed by orderkey making this join co-located."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.expr(_REVENUE), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5_local_supplier",
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql(_REVENUE, "revenue")}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join, revenue of lineitems whose
+    supplier and customer share a nation inside one region. All four dims
+    broadcast; lineitem⋈orders is the single shuffled join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.expr(_REVENUE), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q_tpch_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {dsum_sql(_REVENUE, "revenue")},
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    items in a quarter. Customer is too big to broadcast unfiltered at
+    real scale — it joins shuffled on custkey; nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.expr(_REVENUE), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts per priority × status. The
+    pivot value list is DECLARED, not discovered — an undeclared pivot
+    needs an extra distinct-collect job over the corpus before planning,
+    which is a driver-side scan at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile`, the exact
+    form — `approx_percentile`/t-digest is the 100 TB path but its sketch
+    merges are engine-specific, so the oracle-checked query is the exact
+    one; both engines interpolate linearly, rounded to absorb the last-ulp
+    difference in interpolation order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# moment statistics from exact integer power sums (scale 10 → x*10 is
+# exact to the fixture's precision; Σ(10x)² at sf0.1 ≈ 6e17 < int64 max)
+_SS = "CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_agg_stats_moments",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(
+         sqrt((CAST(SUM({_SS} * {_SS}) AS DOUBLE)
+               - CAST(SUM({_SS}) AS DOUBLE) * CAST(SUM({_SS}) AS DOUBLE)
+                 / count(*))
+              / (count(*) - 1)) / 10,
+         2) AS stddev_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation per group, computed from exact integer
+    power sums (Σx, Σx² over fixed-point values) instead of the engine's
+    native `stddev`: both engines' streaming-moment implementations are
+    summation-order-sensitive, integer power sums are not — the classic
+    two-pass-free determinism trick for distributed moment statistics."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long")
+    n = F.count("*")
+    # integer power sums are exact; the variance combine happens in double
+    # with a FIXED op order (sum-of-squares minus squared-sum/n) so both
+    # engines compute bit-identical values — n·Σx² in int64 would overflow
+    var = (
+        F.sum(s * s).cast("double")
+        - F.sum(s).cast("double") * F.sum(s).cast("double") / n
+    ) / (n - 1)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            F.round(F.sqrt(var) / 10, 2).alias("stddev_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+ORDER BY c_custkey
+""",
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a left
+    semi join (same plan a hand-written `left_semi` would give)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q_subquery_scalar_correlated",
+    oracle="""
+WITH avg_per_cust AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+           / COUNT(o_totalprice) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN avg_per_cust a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > 2 * a.cust_avg
+ORDER BY o.o_orderkey
+""",
+)
+def q_subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than 2× their customer's
+    average order value. Written as the subquery form — Catalyst rewrites
+    it to the aggregate+join the oracle SQL spells out explicitly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT SUM(CAST(FLOOR(i.o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   / COUNT(i.o_totalprice)
+          FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )

@@ -33,12 +33,14 @@ ORACLE: dict[str, str] = {}
 # modules that register queries on import (order = SURVEY.md §2 order)
 _QUERY_MODULES = (
     "highload_kafka_streams_spark.sources.tables",
+    "highload_kafka_streams_spark.sources.formats",
     "highload_kafka_streams_spark.operators.stateless",
     "highload_kafka_streams_spark.operators.joins",
     "highload_kafka_streams_spark.operators.aggregates",
     "highload_kafka_streams_spark.operators.time_windows",
     "highload_kafka_streams_spark.operators.analytic",
     "highload_kafka_streams_spark.operators.setops",
+    "highload_kafka_streams_spark.plans.composite",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",

@@ -1,0 +1,100 @@
+"""File-format sources/sinks beyond parquet (SURVEY.md §2.1): CSV, JSON,
+ORC — each proved by a write→read round-trip whose result is
+oracle-compared against the original parquet data, so the check covers
+both the sink (serialization) and the source (schema-declared parse).
+
+Schemas are DECLARED on read, never inferred (inference is an extra full
+scan of the dataset before the real job — a non-starter at 100 TB, and
+nondeterministic under sampling). Round-trip files land in a
+git-ignored ``.scratch/`` dir inside the repo.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from highload_kafka_streams_spark.compat import dsum, dsum_sql
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+_RT_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+    ]
+)
+
+_RT_ORACLE = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {dsum_sql("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write an orders slice as ``fmt``, read it back with a declared
+    schema, aggregate — matching the oracle run on the source parquet."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = os.path.join(
+        _SCRATCH, f"{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    writer = src.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+    reader = spark.read.format(fmt).schema(_RT_SCHEMA)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    back = reader.load(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q_source_csv_roundtrip", oracle=_RT_ORACLE)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: text serialization must round-trip doubles
+    exactly (Spark writes shortest-round-trip decimal forms)."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("q_source_json_roundtrip", oracle=_RT_ORACLE)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with declared schema on read."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("q_source_orc_roundtrip", oracle=_RT_ORACLE)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source — the second columnar format, binary-exact."""
+    return _roundtrip(spark, sf_dir, "orc")
