@@ -237,6 +237,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # both self-join sides read this; without persist Spark plans the
+    # whole shingle→signature pipeline TWICE (no exchange reuse across
+    # the alias). The banded table is 3 ints × N_BANDS per doc — at
+    # 100 TB it's the thing you'd materialize, never the corpus.
+    banded = banded.persist()
+    banded.count()  # materialize BEFORE the self-join so neither side recomputes
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

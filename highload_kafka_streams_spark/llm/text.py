@@ -37,9 +37,13 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
+    # two-level agg: per-(doc, token) partials first, so the token-level
+    # shuffle carries one row per doc×term instead of one per occurrence,
+    # and df is a plain count (no countDistinct state) over the partials
+    per_doc = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     return (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        per_doc.groupBy("token")
+        .agg(F.sum("c").alias("tf"), F.count("*").alias("df"))
         .filter(F.col("tf") >= 10)
         .orderBy("token")
     )
@@ -73,7 +77,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency from the tf table (one row per doc×token), not a
+    # second explode over raw tokens: count(*) here IS count(distinct doc)
+    # and the expensive token-level shuffle happens once instead of twice
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar dimension of the corpus, not data
     return (
         tf.join(df, "token")

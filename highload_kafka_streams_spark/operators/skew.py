@@ -1,0 +1,145 @@
+"""Skew-mitigation operators (SURVEY.md §4 "100 TB posture").
+
+AQE's ``OptimizeSkewedJoin`` handles sort-merge-join skew at runtime,
+but two patterns still need explicit engineering at 100 TB, and both are
+semantically transparent — so, unusually for infrastructure, they are
+oracle-checkable:
+
+- **salted two-phase aggregation**: a groupBy whose key distribution is
+  dominated by a few hot keys puts whole hot keys on single reducers.
+  Salting splits each key into ``n_salt`` sub-keys (partial agg), then
+  re-aggregates the partials — the hot key's work spreads over
+  ``n_salt`` reducers and the second phase touches only
+  |keys|×n_salt rows. (Spark's map-side partial agg already does
+  per-TASK combining; salting additionally splits a hot key's REDUCER,
+  which partial agg cannot.)
+- **salted join**: replicate the small side ``n_salt``× (explode over
+  the salt domain), deterministically salt the fact side from a stable
+  column hash, join on (key, salt). The hot key's fact rows land on
+  ``n_salt`` different reducers instead of one.
+
+Salts derive from ``xxhash64`` of stable columns — never ``rand()`` —
+so retries/speculative tasks see identical data (a correctness
+requirement under Spark's recompute-on-failure model, not a style
+preference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.compat import dsum, dsum_sql
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    out: str,
+    salt_from: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Two-phase salted sum: groupBy(key, salt) partials → groupBy(key).
+
+    ``value`` must be a fixed-point long (see ``compat.fixed``) so the
+    two-phase re-sum is exact; the caller divides at the end.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_part"), F.count("*").alias("_n"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_part").alias(out), F.sum("_n").alias("n_rows")
+    )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       {dsum_sql("value", "total_value")},
+       count(*) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation over `events.event_type` — a 5-value key domain
+    is exactly the shape where every reducer-split helps. Result is
+    IDENTICAL to the plain groupBy (the oracle runs the plain form)."""
+    ev = load_table(spark, sf_dir, "events")
+    fixed_val = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    agg = salted_agg_sum(
+        ev, "event_type", fixed_val, "_fsum", salt_from="event_id", n_salt=8
+    )
+    return (
+        agg.select(
+            "event_type",
+            (F.col("_fsum") / 10000.0).alias("total_value"),
+            "n_rows",
+        )
+        .orderBy("event_type")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the dim side replicated n_salt× and the fact side
+    deterministically salted — spreads each hot join key over n_salt
+    reducers. Inner-join semantics are unchanged."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)])),
+    )
+    return salted_fact.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key))
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+    ).drop("_salt")
+
+
+@query(
+    "q_skew_salted_join",
+    oracle=f"""
+SELECT n_name,
+       count(*) AS n_customers,
+       {dsum_sql("c_acctbal", "total_acctbal")}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted customer⋈nation join (25-value key = classic hot-key shape
+    when one nation dominates), then aggregate — identical rows to the
+    plain join the oracle runs. At 100 TB you'd salt only the keys AQE
+    reports as skewed; here every key is salted to prove semantics."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = salted_join(
+        cust, nation, "c_nationkey", "n_nationkey",
+        salt_from="c_custkey", n_salt=8,
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

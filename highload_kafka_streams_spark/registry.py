@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.operators.time_windows",
     "highload_kafka_streams_spark.operators.analytic",
     "highload_kafka_streams_spark.operators.setops",
+    "highload_kafka_streams_spark.operators.skew",
     "highload_kafka_streams_spark.plans.composite",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",

@@ -1,0 +1,130 @@
+"""Physical-plan assertions — lock in the scale properties the engine
+depends on (SURVEY.md §4). These fail if a refactor silently turns a
+broadcast join into a shuffle, loses parquet pushdown, or re-inlines a
+higher-order-function pathology, long before a 100 TB run would reveal
+it.
+"""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import get_queries
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_smoke):
+    """Filter must reach the parquet scan; scan must not read all 16 cols."""
+    plan = plan_of(get_queries()["q_pricing_summary"](spark, sf_smoke))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the 7 needed columns, not the full lineitem schema
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_smoke):
+    """TPC-H Q5 shape: all four dims broadcast; only the fact join shuffles."""
+    plan = plan_of(get_queries()["q_tpch_q5_local_supplier"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the single remaining non-broadcast join is lineitem⋈orders
+    n_other_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_other_joins <= 1, plan
+
+
+def test_global_table_join_is_broadcast(spark, sf_smoke):
+    plan = plan_of(get_queries()["q_join_global_table"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_smoke):
+    """orderBy().limit() must plan TakeOrderedAndProject (per-task k-heap),
+    never a global sort."""
+    plan = plan_of(get_queries()["q_sort_limit_topk"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_metadata_scan_prunes_blob(spark, sf_smoke):
+    """Multimodal metadata query must not materialize the blob column."""
+    plan = plan_of(get_queries()["q_multimodal_metadata"](spark, sf_smoke))
+    scan_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "blob" not in scan_schema
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-bucketed tables joined on the bucket key need NO exchange on
+    either side — the 100 TB co-located-join strategy, proved on the
+    actual plan."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.enabled", "true"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the co-located path is what gets planned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark, sf_smoke):
+    """Salting must be semantically invisible."""
+    q = get_queries()
+    got = q["q_skew_salted_agg"](spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events")
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")) / 10000.0).alias("total_value"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_salted_join_matches_plain(spark, sf_smoke):
+    q = get_queries()
+    got = q["q_skew_salted_join"](spark, sf_smoke)
+    cust = load_table(spark, sf_smoke, "customer")
+    nation = load_table(spark, sf_smoke, "nation")
+    want = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("long")) / 10000.0).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
