@@ -1,0 +1,136 @@
+"""Event-stream analytics composites over ``events`` — the product-
+analytics query shapes a stream processor's consumers actually run
+(funnel conversion, cohort retention). Batch-replay forms of streaming
+topologies (SURVEY.md §3.4): every query is keyed on event time and
+deterministic, so both the DuckDB oracle and a streaming re-execution
+agree.
+
+ts parity: ``io.load_table`` reads the ns fixture as µs; the oracle's
+``CAST(ts AS TIMESTAMP)`` truncates identically (SURVEY.md §5 hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       (c.t_click IS NOT NULL AND p.t_purchase IS NOT NULL
+        AND p.t_purchase <= v.t_view + INTERVAL 1 HOUR) AS converted_1h
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user (ordered stages, first
+    qualifying event per stage, 1-hour conversion flag).
+
+    Each stage is a min-aggregate over a stage-filtered slice joined to
+    the previous stage — three narrow shuffles keyed by user_id, which a
+    real deployment would co-partition once. The sequential-stage shape
+    is the batch twin of a per-key state machine (streaming form:
+    ``applyInPandasWithState`` tracking stage per user)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (
+                    F.col("t_purchase")
+                    <= F.col("t_view") + F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("converted_1h"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day,
+                 date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+""",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted on
+    each later activity day. The firsts table is |users| rows — tiny
+    relative to events, so it broadcasts; the only big shuffle is the
+    final (cohort_day, day_offset) count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            ).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

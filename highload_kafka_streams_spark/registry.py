@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.operators.setops",
     "highload_kafka_streams_spark.operators.skew",
     "highload_kafka_streams_spark.plans.composite",
+    "highload_kafka_streams_spark.plans.events_analytics",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",

@@ -167,3 +167,33 @@ def test_ktable_join_and_global_lookup_dsl(spark, sf_smoke):
         .join_global(region, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     assert enriched.df.count() == nation.count()
+
+
+def test_exactly_once_sink_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """Re-running from the same checkpoint must not change sink contents —
+    the observable definition of exactly-once delivery."""
+    from highload_kafka_streams_spark.streaming.sinks import write_exactly_once
+
+    ev = load_table(spark, sf_smoke, "events")
+    src_dir = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    agg = stream.withWatermark("ts", "10 minutes").groupBy("event_type").count()
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_exactly_once(agg, sink, ckpt, "t_eo_1")
+    q.awaitTermination(120)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    assert len(first) > 0
+
+    # replay: same checkpoint, no new source data -> no new batches,
+    # and a re-executed batch would overwrite (not append) its output
+    q2 = write_exactly_once(agg, sink, ckpt, "t_eo_2")
+    q2.awaitTermination(120)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    assert second == first
