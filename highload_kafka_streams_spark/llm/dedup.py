@@ -107,9 +107,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    sh = d.select(
+    # gram strings never materialize: hash each 3-gram straight off the
+    # token array (same trick as minhash_signatures); set sizes and the
+    # inverted index both come from the distinct-hash array, and the
+    # equi-join keys on 8-byte longs instead of gram strings. Collisions
+    # (~|grams|²/2⁶⁴) are negligible against the distinct-string oracle.
+    tok_df = d.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
-    ).select("doc_id", "lang", shingles(F.col("toks")).alias("grams"))
+    )
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    sh = tok_df.select("doc_id", "lang", gram_h.alias("grams"))
+    # four consumers (both self-join sides + both size lookups) would
+    # each recompute the shingle pipeline — persist the small hash table
+    sh = sh.persist()
+    sh.count()
     sizes = sh.select("doc_id", F.size("grams").alias("sz"))
     inv = sh.select(
         "doc_id", "lang", F.explode("grams").alias("g")

@@ -114,71 +114,121 @@ ORDER BY vec_a, vec_b
 """,
 )
 def q_similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (cos ≥ 0.35; fixture embeddings are weakly clustered — real corpora would use ~0.95), blocked by the coarse
-    cluster label — the embedding-dedup pattern: per-bucket self-join."""
+    """Embedding-cosine near-duplicates (cos ≥ 0.35; fixture embeddings
+    are weakly clustered — real corpora would use ~0.95), blocked by the
+    coarse cluster label — the embedding-dedup pattern: per-bucket
+    self-join, never corpus².
+
+    The within-bucket pair scoring runs as ``applyInPandas`` per label:
+    one Arrow batch per bucket, the full pair matrix vectorized in numpy
+    with EXACTLY the fdot fixed-point arithmetic (per-element floor →
+    int64 sum → one double division), so results stay bit-identical to
+    the JVM expression form while scoring ~100× faster than
+    per-pair interpreted higher-order functions. Buckets are the
+    partition unit — the batch shape a 1000-executor run would see.
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+
+    def pair_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].iloc[0]
+        # fixed-point pairwise dots: floor per element, exact int64 sums
+        prods = arr[:, None, :] * arr[None, :, :]
+        dots = np.floor(prods * SCALE + 0.5).astype(np.int64).sum(-1) / float(SCALE)
+        norms = np.sqrt(np.diagonal(dots))
+        cos = dots / (norms[:, None] * norms[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= 0.35
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": label,
+                "cos_sim": cos[ia, ib][keep],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        emb.groupBy("label")
+        .applyInPandas(
+            pair_scores,
+            schema="vec_a long, vec_b long, label int, cos_sim double",
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
-    )
-
-
-N_PLANES = 16
-
-
-def _hyperplane(plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d from a hash of
-    (plane, d) mapped into [-1, 1). No RNG state, reproducible anywhere."""
-    return F.array(
-        *[
-            (
-                (F.xxhash64(F.lit(plane * 1024 + d)) % 100000) / 50000.0
-            ).cast("double")
-            for d in range(64)
-        ]
     )
 
 
 N_BANDS = 4
 BITS_PER_BAND = 4  # OR-amplified: candidate iff ANY band bucket matches
+N_PLANES = N_BANDS * BITS_PER_BAND
 
 
-@query("q_similarity_ann_lsh")  # hyperplanes from engine hash → rows-only
+def _hyperplane_weights(spark: SparkSession) -> DataFrame:
+    """(plane, dim, w) hyperplane-component table: deterministic LCG →
+    [-1, 1), 16×64 rows — broadcast-joined against exploded dimensions
+    so signature computation is flat codegen, not per-row HOF lambdas."""
+    rows = []
+    x = 0x9E3779B9
+    for plane in range(N_PLANES):
+        for dim in range(64):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+            rows.append((plane, dim, (x % 100000) / 50000.0 - 1.0))
+    return spark.createDataFrame(rows, "plane int, dim int, w double")
+
+
+@query("q_similarity_ann_lsh")  # engine-seeded hyperplanes → rows-only
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH, banded (4 bands × 4 sign
     bits, OR-amplification): a vector is a candidate iff it shares at
     least one band bucket with the query; exact cosine re-rank inside the
     candidate set. At 100 TB the (band, bucket) pair is the partition
     key — a query probes N_BANDS partitions instead of scanning the
-    corpus, trading recall for a 2^bits-fold scan reduction per band."""
+    corpus, trading recall for a 2^bits-fold scan reduction per band.
+
+    Signatures are computed FLAT: posexplode dims × broadcast hyperplane
+    weights → per-(vec, plane) dot sums → sign bits folded into band
+    buckets — every stage whole-stage codegen with map-side combine."""
     emb = load_table(spark, sf_dir, "embeddings")
 
-    bands = []
-    for band in range(N_BANDS):
-        sig = None
-        for p in range(BITS_PER_BAND):
-            plane = band * BITS_PER_BAND + p
-            bit = F.when(
-                fdot(F.col("embedding"), _hyperplane(plane)) >= 0, 1
-            ).otherwise(0)
-            term = F.shiftleft(bit.cast("long"), p)
-            sig = term if sig is None else sig.bitwiseXOR(term)
-        bands.append(F.struct(F.lit(band).alias("band"), sig.alias("bucket")))
-    banded = emb.select(
-        "vec_id", "label", "embedding", F.explode(F.array(*bands)).alias("bb")
-    ).select("vec_id", "label", "embedding", "bb.band", "bb.bucket")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    planes = (
+        dims.join(F.broadcast(_hyperplane_weights(spark)), "dim")
+        .groupBy("vec_id", "plane")
+        # fixed-point sum: a plain double sum is order-dependent and could
+        # flip a sign bit near zero between runs/partitionings
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * F.col("w") * SCALE + 0.5
+                ).cast("long")
+            ).alias("dot")
+        )
+    )
+    buckets = (
+        planes.selectExpr(
+            "vec_id",
+            f"CAST(plane / {BITS_PER_BAND} AS INT) AS band",
+            # column-valued shift counts need the SQL form of shiftleft
+            f"shiftleft(CAST(CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS LONG),"
+            f" CAST(plane % {BITS_PER_BAND} AS INT)) AS bit",
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    banded = emb.join(buckets, "vec_id").select(
+        "vec_id", "label", "embedding", "band", "bucket"
+    )
+    # dual-consumed by the query row and the candidate scan — persist so
+    # the signature pipeline runs once (cf. dedup.q_dedup_minhash_lsh)
+    banded = banded.persist()
+    banded.count()
 
     qrow = F.broadcast(
         banded.filter(F.col("vec_id") == 0).select(

@@ -128,6 +128,17 @@ class KStream:
         fn(self.df)
         return self
 
+    def repartition(self, num_partitions: int, *cols: str) -> "KStream":
+        """KS KStream#repartition (#through pre-2.6) — explicit re-key +
+        shuffle via an internal topic; here an explicit Exchange. Rarely
+        needed: stateful operators repartition on their keys anyway."""
+        df = (
+            self.df.repartition(num_partitions, *cols)
+            if cols
+            else self.df.repartition(num_partitions)
+        )
+        return KStream(df, self.ts_col, tuple(cols) or self.key_cols)
+
     # -- time
 
     def with_watermark(self, ts_col: str, delay: str) -> "KStream":
@@ -276,6 +287,68 @@ class KGroupedStream:
     ) -> "WindowedKGroupedStream":
         """KS KGroupedStream#windowedBy."""
         return WindowedKGroupedStream(self.stream, self.cols, windows)
+
+    def cogroup(self, *others: "KGroupedStream") -> "CogroupedKStream":
+        """KS KGroupedStream#cogroup — aggregate several co-keyed streams
+        into one store."""
+        return CogroupedKStream((self, *others))
+
+    def process(
+        self,
+        fn,
+        output_schema,
+        state_schema=None,
+        output_mode: str = "update",
+        timeout=None,
+    ):
+        """KS KStream#process — arbitrary per-key stateful logic.
+
+        Streaming frames run ``applyInPandasWithState`` (fn signature:
+        ``(key, pdf_iter, GroupState)``; ``timeout`` defaults to
+        event-time — KS punctuation). Batch frames run ``applyInPandas``
+        over complete groups (fn signature: ``(pdf) -> pdf``)."""
+        df = self.stream.df
+        if df.isStreaming:
+            from pyspark.sql.streaming.state import GroupStateTimeout
+
+            return KStream(
+                df.groupBy(*self.cols).applyInPandasWithState(
+                    fn,
+                    outputStructType=output_schema,
+                    stateStructType=state_schema,
+                    outputMode=output_mode,
+                    timeoutConf=timeout or GroupStateTimeout.EventTimeTimeout,
+                ),
+                self.stream.ts_col,
+                self.cols,
+            )
+        return KStream(
+            df.groupBy(*self.cols).applyInPandas(fn, schema=output_schema),
+            self.stream.ts_col,
+            self.cols,
+        )
+
+
+class CogroupedKStream:
+    """KS ``CogroupedKStream`` — multi-stream aggregation into one table:
+    per-source partial aggs union'd and re-aggregated (two narrow aggs
+    instead of caching one wide union — map-side combine on both)."""
+
+    def __init__(self, groups: tuple["KGroupedStream", ...]):
+        self.groups = groups
+
+    def aggregate(self, *aggs: Column) -> KTable:
+        key_cols = self.groups[0].cols
+        parts = [g.stream.df.groupBy(*g.cols).agg(*aggs) for g in self.groups]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        re_aggs = [
+            F.sum(c).alias(c)
+            for c in merged.columns
+            if c not in key_cols
+        ]
+        return KTable(merged.groupBy(*key_cols).agg(*re_aggs), key_cols)
 
 
 class WindowedKGroupedStream:

@@ -197,3 +197,58 @@ def test_exactly_once_sink_replay_is_idempotent(spark, sf_smoke, tmp_path):
         tuple(r) for r in spark.read.parquet(sink).collect()
     )
     assert second == first
+
+
+def test_cogroup_dsl(spark, sf_smoke):
+    """cogroup of two stream slices == one aggregate over their union."""
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = b.stream(ev).filter(F.col("event_type") == "click")
+    views = b.stream(ev).filter(F.col("event_type") == "view")
+    co = clicks.group_by("user_id").cogroup(views.group_by("user_id"))
+    got = co.aggregate(F.count("*").alias("n")).df
+    want = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_process_dsl_batch_and_stream(spark, sf_smoke, events_stream_source):
+    """KStream#process wires the same fn through applyInPandas (batch)
+    and applyInPandasWithState (streaming)."""
+    from highload_kafka_streams_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _batch_sessionizer,
+        session_processor,
+    )
+
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    batch = (
+        b.stream(ev).group_by("user_id").process(_batch_sessionizer, OUTPUT_SCHEMA)
+    )
+    stream = (
+        b.stream(events_stream_source())
+        .with_watermark("ts", "10 minutes")
+        .group_by("user_id")
+        .process(session_processor, OUTPUT_SCHEMA, STATE_SCHEMA)
+    )
+    out = _run_to_memory(stream.df, "t_process_dsl", spark, mode="update")
+    got = set(_rows(out))
+    want = set(_rows(batch.df))
+    assert got <= want
+    assert len(got) > 0
+
+
+def test_repartition_dsl(spark, sf_smoke):
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    s = b.stream(ev).repartition(4, "user_id")
+    assert s.df.rdd.getNumPartitions() == 4
+    assert s.df.count() == ev.count()
