@@ -282,3 +282,90 @@ def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("text").alias("text_murmur3"),
         F.abs(F.xxhash64("text") % 1024).alias("bucket"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_string_similarity",
+    oracle="""
+SELECT n_nationkey,
+       levenshtein(n_name, 'GERMANY') AS lev_germany,
+       lpad(n_name, 14, '.') AS padded,
+       reverse(n_name) AS rev,
+       repeat(substring(n_name, 1, 2), 2) AS rep2,
+       translate(n_name, 'AEIOU', 'aeiou') AS lowvowel,
+       left(n_name, 3) AS l3,
+       right(n_name, 3) AS r3,
+       strpos(n_name, 'AN') AS an_pos
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def q_fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: edit distance + case/slice/search helpers
+    (levenshtein is the scalar workhorse of fuzzy entity matching)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.levenshtein(F.col("n_name"), F.lit("GERMANY")).alias("lev_germany"),
+        F.lpad("n_name", 14, ".").alias("padded"),
+        F.reverse("n_name").alias("rev"),
+        F.repeat(F.substring("n_name", 1, 2), 2).alias("rep2"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("lowvowel"),
+        F.substring("n_name", 1, 3).alias("l3"),
+        F.col("n_name").substr(F.length("n_name") - 2, F.lit(3)).alias("r3"),
+        F.locate("AN", "n_name").alias("an_pos"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+WITH src AS (
+  SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n
+FROM src UNPIVOT (n FOR status IN (F, O, P))
+ORDER BY o_orderpriority, status
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide status-count columns back to long form —
+    the inverse of q_pivot_status_by_priority, zero-shuffle (a
+    Generate over the already-aggregated rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+@query("q_agg_approx_percentile")  # t-digest sketch — engine-specific, rows-only
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based percentile used at 100 TB
+    where the exact form's per-group sort is prohibitive; mergeable
+    across partitions (rows-only: sketch internals differ per engine,
+    the exact twin q_agg_percentiles is the value-checked one)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
+            ).alias("approx_pcts")
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the determinism invariants the
+oracle gate depends on, checked over generated data rather than the
+fixtures — partition-order independence of fixed-point aggregates,
+semantic transparency of salting, and MinHash signature stability.
+"""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.compat import dsum
+from highload_kafka_streams_spark.llm.dedup import minhash_signatures
+from highload_kafka_streams_spark.operators.skew import salted_agg_sum
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=200))
+def test_dsum_is_partition_order_independent(spark, values):
+    """dsum must give bit-identical results under ANY partitioning —
+    the invariant that makes the cross-engine value-hash possible."""
+    pdf = pd.DataFrame({"x": values})
+    results = set()
+    for n_part in (1, 3, 7):
+        df = spark.createDataFrame(pdf).repartition(n_part)
+        results.add(df.agg(dsum("x", "s")).first()["s"])
+    assert len(results) == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), finite_doubles), min_size=1, max_size=200
+    ),
+    st.integers(2, 16),
+)
+def test_salted_agg_equals_plain(spark, rows, n_salt):
+    """Salting must be semantically invisible for any key skew and any
+    salt fan-out."""
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    fixed_v = F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("long")
+    got = {
+        (r["k"], r["s"], r["n_rows"])
+        for r in salted_agg_sum(
+            df, "k", fixed_v, "s", salt_from="rid", n_salt=n_salt
+        ).collect()
+    }
+    want = {
+        (r["k"], r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum(fixed_v).alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=3, max_size=40
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(words)
+def test_minhash_identical_docs_identical_signatures(spark, toks):
+    """Two byte-identical documents must land in every one of each
+    other's LSH buckets: signature equality is the dedup soundness
+    floor (estimate(J=1) must be exactly 1)."""
+    text = " ".join(toks)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [text, text]})
+    )
+    sigs = [r["sig"] for r in minhash_signatures(df).collect()]
+    assert sigs[0] == sigs[1]
+
+
+@settings(max_examples=6, deadline=None)
+@given(words, st.integers(1, 5))
+def test_minhash_signature_is_stable_across_partitionings(spark, toks, n_part):
+    """Signatures must not depend on how the corpus is partitioned."""
+    text = " ".join(toks)
+    pdf = pd.DataFrame({"doc_id": range(8), "text": [text] * 8})
+    a = minhash_signatures(spark.createDataFrame(pdf)).collect()
+    b = minhash_signatures(
+        spark.createDataFrame(pdf).repartition(n_part)
+    ).collect()
+    assert {(r["doc_id"], tuple(r["sig"])) for r in a} == {
+        (r["doc_id"], tuple(r["sig"])) for r in b
+    }
+
+
+def test_stddev_moments_matches_two_pass(spark):
+    """Integer-power-sum stddev ≡ numpy two-pass (to float tolerance) on
+    a fixed pseudo-random sample — the formula check behind
+    q_agg_stats_moments."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vals = np.round(rng.uniform(10, 1000, size=500), 1)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    s = F.floor(F.col("v") * 10 + 0.5).cast("long")
+    n = F.count("*")
+    var = (
+        F.sum(s * s).cast("double")
+        - F.sum(s).cast("double") * F.sum(s).cast("double") / n
+    ) / (n - 1)
+    got = df.agg((F.sqrt(var) / 10).alias("sd")).first()["sd"]
+    assert math.isclose(got, float(np.std(vals, ddof=1)), rel_tol=1e-9)
