@@ -19,7 +19,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from highload_kafka_streams_spark.compat import dsum
@@ -320,3 +320,103 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_region", "to_region")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+):
+    """As-of join: for each left row, the single latest right row with
+    ``right.ts <= left.ts`` on the same key (NULLs when none) — the
+    canonical market-data/enrichment operator Spark lacks natively.
+
+    Implementation is the MERGE form, not a range join: union both
+    sides tagged, one window pass per key carrying the last-seen right
+    row forward (``last(..., ignorenulls)`` over rows preceding), then
+    keep left rows. One shuffle + one sort on (key, ts) — linear in
+    |left|+|right| and skew-bounded by the key, where the naive
+    range-join candidate set is |left|×|right| per key.
+
+    ``right`` must be unique per (key, right_ts); pre-dedupe ties or
+    the matched row is undefined.
+    """
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(
+            F.col(right_ts).alias(f"r_{right_ts}"),
+            *[F.col(c) for c in rcols],
+        ).alias("__rval"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r_tag.schema["__rval"].dataType).alias("__rval"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r_tag.unionByName(l_tag).withColumn(
+        "__match", F.last("__rval", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            key,
+            *[c for c in left.columns if c != key],
+            "__match.*",
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT c.click_id, c.user_id, c.c_ts,
+       p.purchase_id, p.ts AS r_ts, p.p_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.c_ts >= p.ts
+ORDER BY click_id
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's latest at-or-before purchase
+    (oracle: DuckDB's native ASOF LEFT JOIN). Right side deduped per
+    (user, ts) with max_by so ties are deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.expr("max_by(value, event_id)").alias("p_value"),
+        )
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts"
+    ).orderBy("click_id")

@@ -32,6 +32,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     # cover the fixture dims (region 5, nation 25, supplier 1k, part 20k,
     # customer 15k rows at sf0.1) so star joins broadcast instead of shuffle
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # runtime-settable: driver-provided vanilla sessions otherwise default
+    # to 200 shuffle partitions — needless scheduling overhead at test SFs
+    # (a real cluster sizes this ~2-3× total cores; AQE coalesces down)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
