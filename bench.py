@@ -35,6 +35,7 @@ HEADLINE = [
     "q_pricing_summary",        # scan→filter→agg→sort (TPC-H Q1 shape)
     "q_join_stream_table",      # fact×snapshot equi-join
     "q_join_stream_stream_windowed",  # stream-stream windowed (range) join
+    "q_join_asof",              # as-of join (merge-form window pass)
     "q_agg_cogroup",            # multi-stream co-aggregation
     "q_window_rank_topk",       # analytic window / per-group top-k
     "q_window_tumbling",        # event-time tumbling window agg
