@@ -1,0 +1,32 @@
+"""The migration examples must stay runnable — they are the 'a KS user
+could switch' demonstration surface."""
+
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.streaming.topology import StreamsBuilder
+
+
+def test_wordcount_example(spark, sf_smoke):
+    from examples.wordcount import wordcount
+
+    b = StreamsBuilder(spark)
+    docs = load_table(spark, sf_smoke, "documents")
+    counts = wordcount(b, b.stream(docs, ts_col="doc_id")).df
+    total = counts.agg(F.sum("n")).first()[0]
+    want = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+    ).first()[0]
+    assert total == want  # every token counted exactly once
+
+
+def test_session_enrichment_example(spark, sf_smoke):
+    from examples.session_enrichment import topology
+
+    b = StreamsBuilder(spark)
+    events = load_table(spark, sf_smoke, "events")
+    region = load_table(spark, sf_smoke, "region")
+    out = topology(b, events, events, region).df
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"w_start", "w_end", "r_name", "n_clicks"} <= set(out.columns)

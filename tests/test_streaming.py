@@ -296,3 +296,25 @@ def test_stream_stream_join_real_streaming(spark, sf_smoke, events_stream_source
     assert got <= wanted
     assert len(got) >= len(wanted) * 0.9  # only watermark-tail pairs missing
     assert len(got) > 0
+
+
+def test_hopping_window_stream_equals_batch(spark, sf_smoke, events_stream_source):
+    b = StreamsBuilder(spark)
+
+    def topo(df):
+        return (
+            b.stream(df)
+            .with_watermark("ts", "10 minutes")
+            .group_by("event_type")
+            .windowed_by(TimeWindows.of_size("1 hour").advance_by("15 minutes"))
+            .count()
+        )
+
+    batch = topo(load_table(spark, sf_smoke, "events")).df
+    stream = topo(events_stream_source()).df
+    out = _run_to_memory(stream, "t_hopping", spark)
+    got = set(_rows(out))
+    want = set(_rows(batch))
+    assert got <= want
+    assert len(got) >= len(want) - 8  # ≤ windows-per-event tail in flight
+    assert len(got) > 0
