@@ -220,21 +220,20 @@ def minhash_signatures(
     )
 
 
-@query("q_dedup_minhash_lsh")  # hash-seed-dependent → rows-only
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs — the 100 TB dedup path.
+def minhash_near_duplicates(
+    d: DataFrame, threshold: float = 0.5, n: int = 3, n_perm: int = N_PERM
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs over any (doc_id, text) frame — the
+    100 TB dedup path. Returns (doc_a, doc_b, jaccard) with exact
+    word-n-gram Jaccard ≥ ``threshold`` for every LSH-candidate pair.
 
-    shingle → 32-permutation minhash → 8 bands of 4 → explode bands →
-    groupBy band bucket self-join (only within-bucket candidates) →
-    verify with exact Jaccard ≥ 0.5. Shuffle volume is corpus × 8 band
-    keys; the quadratic blowup only happens inside tiny buckets.
-    Emits the same columns as the exact-Jaccard query for comparison.
+    shingle-hash → n_perm-permutation minhash → N_BANDS bands → explode
+    bands → within-bucket self-join candidates → verify exact Jaccard.
+    Shuffle volume is corpus × N_BANDS narrow keys; the quadratic blowup
+    only happens inside tiny buckets.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    sig = minhash_signatures(d.select("doc_id", "text"))
-    rows_per_band = N_PERM // N_BANDS
+    sig = minhash_signatures(d.select("doc_id", "text"), n=n, n_perm=n_perm)
+    rows_per_band = n_perm // N_BANDS
     # candidate generation over NARROW rows (doc_id, band, bucket) —
     # the shingle arrays never enter the banded explode or its shuffle;
     # at 100 TB the self-join payload is 3 ints/row, not the corpus text
@@ -293,8 +292,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            shingles(F.col("toks_a")).alias("grams_a"),
-            shingles(F.col("toks_b")).alias("grams_b"),
+            shingles(F.col("toks_a"), n).alias("grams_a"),
+            shingles(F.col("toks_b"), n).alias("grams_b"),
         )
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
@@ -302,10 +301,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / union
     return (
         pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("q_dedup_minhash_lsh")  # hash-seed-dependent → rows-only
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over `documents` — emits the same
+    columns as the exact-Jaccard query for direct comparison."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    return minhash_near_duplicates(d, threshold=0.5)
 
 
 @query("q_dedup_simhash")  # engine-native hash bits → rows-only

@@ -70,27 +70,30 @@ LIMIT 10
 """,
 )
 def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for a query vector (vec_id=0).
-
-    The query embedding is a broadcast single-row dim; scoring is one
-    narrow pass; orderBy+limit plans TakeOrderedAndProject (per-task
-    k-heap → driver merge of tasks×k rows) — scales linearly."""
+    """Brute-force cosine top-10 for a query vector (vec_id=0)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(
-            F.col("embedding").alias("qe")
-        )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
     )
+    return cosine_top_k(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def cosine_top_k(emb: DataFrame, query: DataFrame, k: int) -> DataFrame:
+    """Exact brute-force cosine top-k of ``emb`` (vec_id, label,
+    embedding) against a single-row ``query`` frame with column ``qe``.
+
+    The query embedding broadcasts; scoring is one narrow pass;
+    orderBy+limit plans TakeOrderedAndProject (per-task k-heap → driver
+    merge of tasks×k rows) — scales linearly with the corpus."""
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(qvec)
+        emb.crossJoin(F.broadcast(query))
         .select(
             "vec_id",
             "label",
             cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
+        .limit(k)
     )
 
 
