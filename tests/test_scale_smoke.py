@@ -1,0 +1,79 @@
+"""Scale smoke: run the stateful/join-heavy operators against a corpus
+10× the bench fixture (≈1M events), built once per session by unioning
+shifted copies — checks for cliffs (state blowup, skewed stragglers,
+quadratic candidate sets) that sf0.1 alone cannot reveal. Timing is NOT
+asserted (machines vary); completion + row-count sanity is.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.operators.joins import asof_join
+
+N_COPIES = 10
+
+
+@pytest.fixture(scope="module")
+def big_events(spark):
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    # shift each copy by 35 days so event-time windows don't collapse
+    copies = [
+        ev.select(
+            (F.col("event_id") + i * 10_000_000).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 35} DAYS")).alias("ts"),
+            (F.col("user_id") + i * 10_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(N_COPIES)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out = out.persist()
+    assert out.count() == ev.count() * N_COPIES
+    return out
+
+
+def test_tumbling_window_at_10x(spark, big_events):
+    agg = (
+        big_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    # ~720 hourly windows/copy × 10 copies × 5 types
+    n = agg.count()
+    assert n > 10_000
+
+
+def test_asof_join_at_10x(spark, big_events):
+    clicks = big_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = (
+        big_events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts")
+    assert out.count() == clicks.count()  # left join preserves every click
+
+
+def test_sessionization_at_10x(spark, big_events):
+    gap = F.expr("INTERVAL 30 MINUTES")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        big_events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + gap)).cast("long"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    total = sess.agg(F.sum("n_events")).first()[0]
+    assert total == big_events.count()  # every event lands in one session
