@@ -369,3 +369,31 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_fn_regexp",
+    oracle="""
+SELECT doc_id,
+       regexp_extract_all(text, '[a-z]*ing') AS ing_words,
+       len(regexp_extract_all(text, '[a-z]*ing')) AS n_ing,
+       regexp_replace(text, ' [a-z]{1,2} ', ' _ ', 'g') AS short_masked,
+       regexp_matches(text, '(data|spark|stream)') AS mentions_tech
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family beyond extract: extract_all (array result), match
+    counting, global replace, boolean match — the text-wrangling core of
+    any corpus pipeline. NOTE Spark regexp_replace is global by default;
+    DuckDB needs the 'g' flag — an engine-parity hazard worth pinning."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[a-z]*ing")).alias("ing_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing"))).alias("n_ing"),
+        F.regexp_replace("text", " [a-z]{1,2} ", " _ ").alias("short_masked"),
+        F.col("text").rlike("(data|spark|stream)").alias("mentions_tech"),
+    ).orderBy("doc_id")

@@ -1,0 +1,102 @@
+"""Deterministic sampling & dataset splitting.
+
+`df.sample()` is per-partition seeded — its output changes with the
+partitioning, which silently breaks reproducibility at scale (AQE remap,
+repartition, retry). Training pipelines need CONTENT-keyed sampling:
+hash a stable key, bucket by the hash, select buckets. Same row → same
+split on any cluster layout, any engine (md5 is portable, so the split
+itself is oracle-checkable — the property that lets a 100 TB corpus be
+re-split identically by a different system).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+N_BUCKETS = 4096  # 3 hex chars of md5
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable [0, 4096) bucket from the md5 of a key column."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 3), 16, 10
+    ).cast("int")
+
+
+def split_corpus(
+    df: DataFrame, key: str, holdout_fraction: float = 0.05
+) -> DataFrame:
+    """Adds a deterministic `split` column: 'holdout' for the first
+    `holdout_fraction` of hash buckets, 'train' otherwise."""
+    cut = int(N_BUCKETS * holdout_fraction)
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key)) < cut, "holdout").otherwise("train"),
+    )
+
+
+@query(
+    "q_split_train_holdout",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+           AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 204 THEN 'holdout' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
+""",
+)
+def q_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% content-keyed holdout split of the corpus, counted per
+    language — identical assignment under any partitioning/engine
+    (204/4096 ≈ 4.98%)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_corpus(d, "doc_id", holdout_fraction=204 / 4096)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT n_nationkey,
+       n_nationkey & 12 AS b_and,
+       n_nationkey | 5 AS b_or,
+       xor(CAST(n_nationkey AS BIGINT), 21) AS b_xor,
+       n_nationkey << 3 AS b_shl,
+       n_nationkey >> 1 AS b_shr,
+       ~n_nationkey AS b_not,
+       bit_count(CAST(n_nationkey AS BIGINT)) AS b_pop
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — the mask/flag arithmetic KS apps do in
+    mapValues lambdas (and this engine's own LSH banding uses)."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("b_and"),
+        k.bitwiseOR(F.lit(5)).alias("b_or"),
+        k.cast("long").bitwiseXOR(F.lit(21)).alias("b_xor"),
+        F.shiftleft(k, 3).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.expr("~n_nationkey").alias("b_not"),
+        F.bit_count(k.cast("long")).alias("b_pop"),
+    ).orderBy("n_nationkey")

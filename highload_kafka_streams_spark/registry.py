@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.operators.analytic",
     "highload_kafka_streams_spark.operators.setops",
     "highload_kafka_streams_spark.operators.skew",
+    "highload_kafka_streams_spark.operators.sampling",
     "highload_kafka_streams_spark.plans.composite",
     "highload_kafka_streams_spark.plans.events_analytics",
     "highload_kafka_streams_spark.functions.scalar",
