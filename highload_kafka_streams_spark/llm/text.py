@@ -245,3 +245,37 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_bpe_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS bpe_per_word
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation — the pre-merge
+    segmentation a BPE tokenizer starts from). The tokens-per-word ratio
+    is the standard compression proxy used to budget training tokens
+    from raw corpus bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark defaults to capture group 1, DuckDB to 0
+    bpe = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ws = F.split(F.col("text"), " ")
+    return (
+        d.select("doc_id", F.size(ws).alias("n_ws_tokens"), F.size(bpe).alias("n_bpe_tokens"))
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens")).alias("bpe_per_word"),
+        )
+        .orderBy("doc_id")
+    )
