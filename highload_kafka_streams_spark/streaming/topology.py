@@ -62,6 +62,21 @@ class SessionWindows:
 
 
 @dataclass(frozen=True)
+class SlidingWindows:
+    """KS SlidingWindows.ofTimeDifference(Δ) — one window per record
+    covering [ts−Δ, ts]. Batch form is exact (RANGE frame over
+    event-time µs, one shuffle, no self-join); Structured Streaming has
+    no per-record window state, so streaming frames must approximate
+    with a fine-sliced hopping window instead."""
+
+    size_seconds: int
+
+    @classmethod
+    def of_time_difference(cls, seconds: int) -> "SlidingWindows":
+        return cls(seconds)
+
+
+@dataclass(frozen=True)
 class JoinWindows:
     """KS JoinWindows.ofTimeDifference(Δ): |ts_a - ts_b| ≤ Δ (seconds)."""
 
@@ -366,9 +381,22 @@ class WindowedKGroupedStream:
         return F.window(ts, self.windows.size)
 
     def count(self, alias: str = "n") -> KTable:
+        if isinstance(self.windows, SlidingWindows):
+            return self.aggregate(**{alias: F.count("*")})
         return self.aggregate(F.count("*").alias(alias))
 
-    def aggregate(self, *aggs: Column) -> KTable:
+    def aggregate(self, *aggs: Column, **named_aggs: Column) -> KTable:
+        """Pre-aliased columns positionally, or name=expr pairs. Sliding
+        windows accept ONLY the named form (the alias must wrap the
+        window expression, not the aggregate inside it)."""
+        if isinstance(self.windows, SlidingWindows):
+            if aggs:
+                raise ValueError(
+                    "sliding windows need named aggregates, e.g. "
+                    "aggregate(n=F.count('*'))"
+                )
+            return self._sliding_aggregate(list(named_aggs.items()))
+        aggs = list(aggs) + [c.alias(n) for n, c in named_aggs.items()]
         wcol = self._window_col().alias("window")
         df = self.stream.df.groupBy(wcol, *self.cols).agg(*aggs)
         flat = df.select(
@@ -378,6 +406,25 @@ class WindowedKGroupedStream:
             *[c for c in df.columns if c not in ("window", *self.cols)],
         )
         return KTable(flat, ("w_start", "w_end", *self.cols))
+
+    def _sliding_aggregate(self, named: list) -> KTable:
+        """KS SlidingWindows: per-record [ts−Δ, ts] aggregates via a
+        RANGE frame (batch-exact; see SlidingWindows docstring)."""
+        df = self.stream.df
+        if df.isStreaming:
+            raise ValueError(
+                "per-record sliding windows are batch-only; use "
+                "TimeWindows.of_size(...).advance_by(...) for streaming"
+            )
+        ts = self.stream.ts_col
+        w = (
+            Window.partitionBy(*self.cols)
+            .orderBy(F.unix_micros(F.col(ts)))
+            .rangeBetween(-self.windows.size_seconds * 1_000_000, 0)
+        )
+        agg_cols = [c.over(w).alias(name) for name, c in named]
+        out = df.select(*self.cols, F.col(ts).alias("w_end"), *agg_cols)
+        return KTable(out, ("w_end", *self.cols))
 
     reduce = aggregate
 

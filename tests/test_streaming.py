@@ -318,3 +318,23 @@ def test_hopping_window_stream_equals_batch(spark, sf_smoke, events_stream_sourc
     assert got <= want
     assert len(got) >= len(want) - 8  # ≤ windows-per-event tail in flight
     assert len(got) > 0
+
+
+def test_sliding_window_dsl_matches_oracle_query(spark, sf_smoke):
+    """DSL SlidingWindows (per-record RANGE frame) ≡ q_window_sliding."""
+    from highload_kafka_streams_spark.registry import get_queries
+    from highload_kafka_streams_spark.streaming.topology import SlidingWindows
+
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    got = (
+        b.stream(ev)
+        .group_by("user_id")
+        .windowed_by(SlidingWindows.of_time_difference(600))
+        .count(alias="n_last_10m")
+        .df
+    )
+    want = get_queries()["q_window_sliding"](spark, sf_smoke)
+    assert sorted(
+        (r["user_id"], r["n_last_10m"]) for r in got.collect()
+    ) == sorted((r["user_id"], r["n_last_10m"]) for r in want.collect())
