@@ -279,3 +279,106 @@ def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+N_PROFILE = 25   # trigrams per language profile
+PROFILE_CHARS = 60  # chars of each doc used (bounds work per doc)
+
+
+@query(
+    "q_text_langid_ngram",
+    oracle=f"""
+WITH tris AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(greatest(length(substring(text, 1, {PROFILE_CHARS})) - 2, 0)),
+           i -> substring(substring(text, 1, {PROFILE_CHARS}), i + 1, 3)
+         )) AS tri
+  FROM documents
+),
+train AS (
+  SELECT t.* FROM tris t
+  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT) >= 204
+),
+profile AS (
+  SELECT lang AS p_lang, tri FROM (
+    SELECT lang, tri, row_number() OVER (
+      PARTITION BY lang ORDER BY count(*) DESC, tri
+    ) AS rk
+    FROM train GROUP BY lang, tri
+  ) WHERE rk <= {N_PROFILE}
+),
+scored AS (
+  SELECT tr.doc_id, tr.lang, p.p_lang, count(*) AS hits
+  FROM tris tr JOIN profile p ON tr.tri = p.tri
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, p_lang, row_number() OVER (
+    PARTITION BY doc_id ORDER BY hits DESC, p_lang
+  ) AS rk
+  FROM scored
+)
+SELECT doc_id, lang AS label_lang, p_lang AS pred_lang
+FROM best WHERE rk = 1
+ORDER BY doc_id
+""",
+)
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID — the classic n-gram heuristic,
+    as a train/apply pipeline in pure DataFrame ops: build top-25
+    trigram profiles per language from the hash-bucket TRAIN split
+    (no leakage machinery needed — the split is content-keyed, see
+    operators/sampling.py), score every doc by profile hits, argmax
+    with deterministic tiebreak. The profile table is tiny (langs ×
+    25) and broadcasts; the only corpus-sized shuffles are the trigram
+    count and the per-doc argmax."""
+    from highload_kafka_streams_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, PROFILE_CHARS)
+    tri_df = d.select(
+        "doc_id", "lang", head.alias("head")
+    )
+    h = F.col("head")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.length(h) - 2, F.lit(1)) - 1
+    )
+    tris = tri_df.select(
+        "doc_id",
+        "lang",
+        F.explode(F.transform(idx, lambda i: h.substr(i + 1, F.lit(3)))).alias(
+            "tri"
+        ),
+    )
+    train = tris.filter(hash_bucket(F.col("doc_id")) >= 204)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tri")
+    )
+    profile = (
+        train.groupBy("lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= N_PROFILE)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    scored = (
+        tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    best = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "p_lang")
+    )
+    return (
+        scored.withColumn("rk", best)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("label_lang"),
+            F.col("p_lang").alias("pred_lang"),
+        )
+        .orderBy("doc_id")
+    )

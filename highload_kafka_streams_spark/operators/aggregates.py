@@ -312,3 +312,33 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS prios,
+       list_sort(list(o_orderkey))[1:5] AS first_keys
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set — KS Aggregator accumulating a container
+    value. Collection order after a shuffle is nondeterministic, so
+    results are ALWAYS sort_array-wrapped (the only way a collected
+    aggregate can pass a cross-engine value hash — or be reproducible at
+    all under retries)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias(
+                "first_keys"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
