@@ -392,8 +392,8 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[a-z]*ing")).alias("ing_words"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing"))).alias("n_ing"),
+        F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0).alias("ing_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0)).alias("n_ing"),
         F.regexp_replace("text", " [a-z]{1,2} ", " _ ").alias("short_masked"),
         F.col("text").rlike("(data|spark|stream)").alias("mentions_tech"),
     ).orderBy("doc_id")
