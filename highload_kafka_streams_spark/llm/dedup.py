@@ -189,11 +189,14 @@ def minhash_signatures(
     Shingle STRINGS are never materialized: one ``transform`` hashes each
     word n-gram directly from the token array (``xxhash64`` is variadic),
     skipping concat/distinct/sort — duplicates cannot change a min.
-    Permutations are universal hashes (multiply-add mod 2^31-1) computed
-    as plain projected columns over the exploded hashes, then
-    ``groupBy(doc_id).agg(min per permutation)``: flat columns stay in
-    whole-stage codegen, and the min-agg combines map-side so the shuffle
-    carries one partial signature per doc per task, not per shingle.
+    Each permutation minimum is then a pure PROJECTION,
+    ``array_min(transform(ghs, h -> (a*h+b) mod p))`` — the per-doc
+    signature never leaves the row, so signature construction costs ZERO
+    shuffles (the round-1 form exploded corpus×shingles rows into a
+    32-min groupBy; at 100 TB that shuffle was the whole cost). The
+    gram-hash array is materialized as its own projected column first so
+    the 32 permutation lambdas iterate an attribute ref (see shingles()
+    for the re-eval pathology).
     """
     tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     tk = F.col("toks")  # attribute ref, not an inline split (see shingles())
@@ -205,19 +208,18 @@ def minhash_signatures(
             F.lit(_MERSENNE),
         ),
     )
-    g = tok_df.select("doc_id", F.explode(gram_h).alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+    gh = tok_df.select("doc_id", gram_h.alias("ghs"))
+
+    def _perm(a: int, b: int):
+        # closure (not lambda defaults: pyspark reads the arity) binding
+        # one (a, b) universal-hash permutation
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    mins = [
+        F.array_min(F.transform(F.col("ghs"), _perm(a, b))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_consts(n_perm))
     ]
-    return (
-        g.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id",
-            F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"),
-        )
-    )
+    return gh.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_near_duplicates(

@@ -129,7 +129,8 @@ SELECT event_type,
        SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(value)
          AS avg_value,
        count(DISTINCT user_id) AS n_users,
-       list_sort(list_distinct(list(user_id % 5)))   AS user_shards
+       array_to_string(list_sort(list_distinct(list(user_id % 5))), ',')
+         AS user_shards
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -138,15 +139,20 @@ ORDER BY event_type
 def q_agg_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KGroupedStream#aggregate — arbitrary accumulator: mixes counting,
     averaging, distinct cardinality, and a collected set (sorted for
-    cross-engine determinism)."""
+    cross-engine determinism). Container outputs are stringified
+    (array_join ↔ array_to_string) because top-level array columns are
+    not hashable by the driver's canonicalizer."""
     ev = load_table(spark, sf_dir, "events")
+    shards = F.sort_array(F.collect_set(F.col("user_id") % 5))
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             davg("value", "avg_value"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sort_array(F.collect_set(F.col("user_id") % 5)).alias("user_shards"),
+            F.array_join(
+                F.transform(shards, lambda x: x.cast("string")), ","
+            ).alias("user_shards"),
         )
         .orderBy("event_type")
     )
@@ -229,16 +235,40 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_count_distinct")  # HLL sketches are engine-specific → rows-only
+@query(
+    "q_agg_approx_count_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            <= 0.05 * count(DISTINCT user_id) AS BOOLEAN) AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketch estimates differ by
-    engine, so this is a rows-only check; the exact twin above is the
-    hash-checked one. At 100 TB this is the cardinality operator you
-    actually run (fixed memory per group vs unbounded distinct-set)."""
+    engine, so each engine checks ITS OWN estimate against its own exact
+    count and emits the accuracy invariant (``|approx-exact| <= 5%``) as
+    a boolean — deterministic, hence oracle-hashable. At 100 TB this is
+    the cardinality operator you actually run (fixed memory per group vs
+    an unbounded distinct-set)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -318,8 +348,8 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS prios,
-       list_sort(list(o_orderkey))[1:5] AS first_keys
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+       array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_keys
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -330,15 +360,19 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. Collection order after a shuffle is nondeterministic, so
     results are ALWAYS sort_array-wrapped (the only way a collected
     aggregate can pass a cross-engine value hash — or be reproducible at
-    all under retries)."""
+    all under retries); outputs are then stringified because the driver
+    canonicalizer cannot hash top-level array columns."""
     orders = load_table(spark, sf_dir, "orders")
+    first5 = F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5)
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
-            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias(
-                "first_keys"
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "prios"
             ),
+            F.array_join(
+                F.transform(first5, lambda x: x.cast("string")), ","
+            ).alias("first_keys"),
         )
         .orderBy("o_orderstatus")
     )

@@ -65,6 +65,85 @@ def q_join_stream_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q_join_stream_stream_windowed_left",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def q_join_stream_stream_windowed_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KStream#leftJoin(KStream, JoinWindows.ofTimeDifference(30m)) —
+    every click is emitted; purchase columns are NULL when no purchase
+    landed inside the window. Same hash-join + time-range-filter plan as
+    the inner form; the left preservation is free."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        c.join(p, cond, "left")
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("p.value").alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+@query(
+    "q_join_stream_stream_windowed_outer",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def q_join_stream_stream_windowed_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KStream#outerJoin(KStream, JoinWindows) — clicks with no in-window
+    purchase AND purchases with no in-window click both surface with the
+    other side NULL (KS emits these on window close; batch replay emits
+    them directly)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        c.join(p, cond, "full_outer")
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.col("p.value").alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+@query(
     "q_join_stream_table",
     oracle="""
 WITH latest AS (
@@ -341,7 +420,9 @@ def asof_join(
     range-join candidate set is |left|×|right| per key.
 
     ``right`` must be unique per (key, right_ts); pre-dedupe ties or
-    the matched row is undefined.
+    the matched row is undefined. ALL right value columns come back
+    prefixed ``r_<col>`` (not just the timestamp), so collisions with
+    left column names cannot produce duplicate output columns.
     """
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     r_tag = right.select(
@@ -350,7 +431,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.struct(
             F.col(right_ts).alias(f"r_{right_ts}"),
-            *[F.col(c) for c in rcols],
+            *[F.col(c).alias(f"r_{c}") for c in rcols],
         ).alias("__rval"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != key],
@@ -396,7 +477,7 @@ p AS (
   GROUP BY user_id, CAST(ts AS TIMESTAMP)
 )
 SELECT c.click_id, c.user_id, c.c_ts,
-       p.purchase_id, p.ts AS r_ts, p.p_value
+       p.ts AS r_ts, p.purchase_id AS r_purchase_id, p.p_value AS r_p_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.c_ts >= p.ts
 ORDER BY click_id
 """,

@@ -131,7 +131,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_session",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP)
                    - lag(CAST(ts AS TIMESTAMP))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -140,7 +140,7 @@ WITH flagged AS (
   FROM events
 ),
 sessions AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -8,7 +8,12 @@ an IDEMPOTENT sink. Two standard shapes:
 - partitioned-overwrite-by-batchId (this module): each micro-batch
   writes to ``batch_id=<n>/`` with ``overwrite`` mode — a re-executed
   batch replaces its own previous (possibly partial) output instead of
-  appending duplicates. Readers see the union of batch partitions.
+  appending duplicates. In ``update`` mode a key revised in several
+  micro-batches lands in several batch partitions, so a PLAIN read of
+  the directory returns every historical version of that key; readers
+  must take the max-``batch_id`` row per key, which is what
+  ``read_latest_per_key`` does. Append-mode pipelines (each key emitted
+  exactly once, e.g. suppressed final window results) may read plainly.
 - transactional two-phase (Kafka txn producer / Delta) — not available
   in this container; the seam is the same ``foreachBatch`` hook.
 
@@ -21,7 +26,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 def idempotent_parquet_sink(base_path: str):
@@ -48,4 +54,20 @@ def write_exactly_once(
         .queryName(query_name)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_latest_per_key(
+    spark: SparkSession, base_path: str, key_cols: list[str]
+) -> DataFrame:
+    """Read an update-mode exactly-once sink: one row per key, the
+    version from the highest ``batch_id`` partition (later micro-batch
+    revisions shadow earlier ones). Partition pruning still applies to
+    any batch_id/key filters pushed on top."""
+    df = spark.read.option("basePath", base_path).parquet(base_path)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
     )

@@ -349,20 +349,53 @@ class CogroupedKStream:
     per-source partial aggs union'd and re-aggregated (two narrow aggs
     instead of caching one wide union — map-side combine on both)."""
 
+    # per-stream partials are re-aggregated across streams; the merge
+    # function differs from the partial's own function (count of counts
+    # is wrong — partial counts re-merge with SUM)
+    _MERGE_BY_ROOT = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
     def __init__(self, groups: tuple["KGroupedStream", ...]):
         self.groups = groups
 
-    def aggregate(self, *aggs: Column) -> KTable:
+    def aggregate(self, *aggs: Column, merge=None) -> KTable:
+        """Aggregate every cogrouped stream with the same aggs and merge
+        the per-stream partials per key.
+
+        Only distributive aggregates whose cross-stream merge is
+        derivable are accepted as-is: ``sum``/``count`` (merge with sum),
+        ``min``/``max`` (merge with themselves). Anything else (avg,
+        countDistinct, ...) is NOT decomposable this way and must either
+        be rewritten in decomposable terms by the caller (avg = sum+count
+        merged then divided) or given an explicit ``merge={alias:
+        F.<fn>}`` entry; otherwise this raises ValueError rather than
+        silently summing per-stream maxes.
+        """
+        merge = dict(merge or {})
         key_cols = self.groups[0].cols
         parts = [g.stream.df.groupBy(*g.cols).agg(*aggs) for g in self.groups]
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
-        re_aggs = [
-            F.sum(c).alias(c)
-            for c in merged.columns
-            if c not in key_cols
-        ]
+        value_cols = [c for c in merged.columns if c not in key_cols]
+        re_aggs = []
+        for col_name, agg in zip(value_cols, aggs):
+            if col_name in merge:
+                re_aggs.append(merge[col_name](col_name).alias(col_name))
+                continue
+            # str(Column) renders the expression, e.g.
+            # Column<'sum(value) AS total'> — the root function name is
+            # everything before the first '('
+            expr = str(agg)
+            root = expr[expr.find("'") + 1:].split("(", 1)[0].strip().lower()
+            fn = self._MERGE_BY_ROOT.get(root)
+            if fn is None:
+                raise ValueError(
+                    f"cogroup aggregate {col_name!r} uses {root!r}, which "
+                    "has no derivable cross-stream merge; pass "
+                    f"merge={{{col_name!r}: F.<fn>}} or rewrite it in "
+                    "sum/count/min/max-decomposable terms"
+                )
+            re_aggs.append(fn(col_name).alias(col_name))
         return KTable(merged.groupBy(*key_cols).agg(*re_aggs), key_cols)
 
 

@@ -24,3 +24,25 @@ def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
     for name, fn in qs.items():
         df = fn(spark, sf_smoke)
         assert df.count() >= 0, name
+
+
+def test_registry_window_ordering():
+    """The driver verifies a prefix of queries() (50 in round 1), so the
+    ordering contract matters: every _WINDOW_PRIORITY name must exist
+    (typos would silently waste window slots), the first 50 queries must
+    all be oracle-backed, and every rows-only query must sort behind
+    every oracle-backed one."""
+    from highload_kafka_streams_spark import registry
+
+    qs = ent.queries()
+    osql = ent.oracle_sql()
+    names = list(qs)
+    unknown = [n for n in registry._WINDOW_PRIORITY if n not in qs]
+    assert not unknown, f"_WINDOW_PRIORITY names not registered: {unknown}"
+    window = names[:50]
+    no_oracle_in_window = [n for n in window if n not in osql]
+    assert not no_oracle_in_window, no_oracle_in_window
+    tail_flags = [n in osql for n in names]
+    # once the first rows-only query appears, no oracle-backed may follow
+    first_plain = tail_flags.index(False)
+    assert not any(tail_flags[first_plain:]), "oracle-backed after rows-only"

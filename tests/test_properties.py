@@ -155,7 +155,7 @@ def test_asof_join_matches_naive_definition(spark, lrows, rrows):
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)
     got = {
-        (r["lid"], r["r_rts"], r["v"])
+        (r["lid"], r["r_rts"], r["r_v"])
         for r in asof_join(
             left, right, key="k", left_ts="lts", right_ts="rts"
         ).collect()

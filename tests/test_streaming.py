@@ -218,6 +218,48 @@ def test_cogroup_dsl(spark, sf_smoke):
     )
 
 
+def test_cogroup_merge_semantics(spark, sf_smoke):
+    """Cross-stream merge is per-aggregate: min/max merge with
+    themselves (NOT sum-of-partials), and non-decomposable aggregates
+    raise instead of silently producing garbage."""
+    import pytest
+
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = b.stream(ev).filter(F.col("event_type") == "click")
+    views = b.stream(ev).filter(F.col("event_type") == "view")
+    co = clicks.group_by("user_id").cogroup(views.group_by("user_id"))
+    got = co.aggregate(
+        F.max("value").alias("max_v"), F.min("value").alias("min_v")
+    ).df
+    want = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(F.max("value").alias("max_v"), F.min("value").alias("min_v"))
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    with pytest.raises(ValueError, match="no derivable cross-stream merge"):
+        co.aggregate(F.avg("value").alias("avg_v"))
+
+
+def test_exactly_once_reader_latest_per_key(spark, tmp_path):
+    """read_latest_per_key resolves a key updated in several micro-batches
+    to its max-batch_id version only."""
+    from highload_kafka_streams_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        read_latest_per_key,
+    )
+
+    base = str(tmp_path / "sink")
+    write = idempotent_parquet_sink(base)
+    write(spark.createDataFrame([("u1", 1), ("u2", 1)], "k string, n int"), 0)
+    write(spark.createDataFrame([("u1", 5)], "k string, n int"), 1)
+    got = {(r["k"], r["n"]) for r in read_latest_per_key(spark, base, ["k"]).collect()}
+    assert got == {("u1", 5), ("u2", 1)}
+
+
 def test_process_dsl_batch_and_stream(spark, sf_smoke, events_stream_source):
     """KStream#process wires the same fn through applyInPandas (batch)
     and applyInPandasWithState (streaming)."""
