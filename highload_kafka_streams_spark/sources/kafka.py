@@ -15,6 +15,17 @@ Scale notes: one Spark input partition per Kafka topic-partition;
 ``minPartitions`` can oversplit hot partitions; offsets + state live in
 the checkpoint, giving exactly-once into transactional/idempotent sinks
 (KS processing.guarantee=exactly_once_v2 equivalent).
+
+Avro serde status (probed 2026-08-13 in this container): the core Avro
+jars (avro-1.12.1, avro-ipc, avro-mapred) ARE in the Spark 4.1.2
+distribution, but the ``spark-avro`` CONNECTOR module
+(org.apache.spark:spark-avro_2.13, the thing that registers the Avro
+data source and backs ``pyspark.sql.avro.functions``) is an external
+package; calling ``to_avro`` raises
+``[AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE]`` and no network exists to
+``--packages`` it in. ``read_avro_stream``/``write_avro_stream`` below
+are therefore availability-gated: fully wired when the connector loads,
+raising the probe result otherwise.
 """
 
 from __future__ import annotations
@@ -100,3 +111,88 @@ def kafka_package_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def avro_functions_available() -> bool:
+    """True if the spark-avro connector module is loaded (see module
+    docstring for the probe result in this container: it is NOT)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro  # noqa: F401
+    except ImportError:
+        return False
+    # import succeeds even without the connector; the call is the probe
+    return True
+
+
+def _require_avro(spark: SparkSession) -> None:
+    try:
+        # py4j attribute access is lazy (missing classes come back as
+        # JavaPackage, no error) — Class.forName is the real probe. The
+        # probed class must be one that only ships in the CONNECTOR jar:
+        # spark-sql itself carries stubs like AvroFileFormat /
+        # SchemaConverters for its error messages, so those load even
+        # when the data source doesn't.
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "spark-avro connector (org.apache.spark:spark-avro_2.13) is "
+            "not on the classpath — Avro serdes need it; probe recorded "
+            "in sources/kafka.py module docstring"
+        ) from exc
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    avro_schema_json: str,
+    starting_offsets: str = DEFAULT_STARTING_OFFSETS,
+) -> DataFrame:
+    """KS Avro-Serde edge: Kafka binary values decoded with a DECLARED
+    Avro schema (Confluent-style wire format minus the 5-byte registry
+    header, which Spark's from_avro does not strip — strip it with
+    ``F.expr("substring(value, 6)")`` when reading registry-framed
+    topics)."""
+    _require_avro(spark)
+    from pyspark.sql.avro.functions import from_avro
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("record_key"),
+        from_avro(F.col("value"), avro_schema_json).alias("v"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("record_key", "v.*", "kafka_ts")
+
+
+def write_avro_stream(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """KS KStream#to with Avro value serde (to_avro over the value
+    struct)."""
+    _require_avro(df.sparkSession)
+    from pyspark.sql.avro.functions import to_avro
+
+    cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        to_avro(F.struct(*cols)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

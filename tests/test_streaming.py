@@ -260,6 +260,19 @@ def test_exactly_once_reader_latest_per_key(spark, tmp_path):
     assert got == {("u1", 5), ("u2", 1)}
 
 
+def test_avro_serde_gated(spark):
+    """The spark-avro connector is absent in this container (probe in
+    sources/kafka.py); the Avro edge must fail loudly, not wire a broken
+    stream."""
+    import pytest
+
+    from highload_kafka_streams_spark.sources import kafka as k
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    with pytest.raises(RuntimeError, match="spark-avro connector"):
+        k.write_avro_stream(df, "b:9092", "t", "/tmp/ck-avro")
+
+
 def test_process_dsl_batch_and_stream(spark, sf_smoke, events_stream_source):
     """KStream#process wires the same fn through applyInPandas (batch)
     and applyInPandasWithState (streaming)."""
