@@ -168,31 +168,35 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        list_contains(toks, 'data') AS has_data,
-       toks[1:5] AS head5,
-       list_sort(list_distinct(toks))[1:3] AS first3_distinct,
+       COALESCE(array_to_string(toks[1:5], ','), '') AS head5,
+       COALESCE(array_to_string(list_sort(list_distinct(toks))[1:3], ','), '') AS first3_distinct,
        len(list_filter(toks, x -> length(x) > 5)) AS n_long,
-       list_transform(toks[1:3], x -> upper(x)) AS head3_upper
+       COALESCE(array_to_string(list_transform(toks[1:3], x -> upper(x)), ','), '') AS head3_upper
 FROM t
 ORDER BY doc_id
 """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order functions (slice/sort/distinct/filter/transform).
-    list_distinct order is unspecified in DuckDB → always sort after."""
+    list_distinct order is unspecified in DuckDB → always sort after.
+    Array results are array_join-stringified (↔ DuckDB array_to_string)
+    because the driver canonicalizer cannot hash top-level array columns —
+    same encoding rule proven on q_agg_collect; the higher-order
+    expressions themselves are unchanged."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.slice(toks, 1, 5).alias("head5"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias(
-            "first3_distinct"
-        ),
+        F.array_join(F.slice(toks, 1, 5), ",").alias("head5"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_distinct"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
-            "head3_upper"
-        ),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), ","
+        ).alias("head3_upper"),
     ).orderBy("doc_id")
 
 
@@ -200,7 +204,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
 SELECT doc_id,
-       map_keys(map {'lang': lang, 'source': source}) AS meta_keys,
+       COALESCE(array_to_string(map_keys(map {'lang': lang, 'source': source}), ','), '') AS meta_keys,
        (map {'lang': lang, 'source': source}['lang'])[1] AS lang_val,
        cardinality(map {'lang': lang, 'source': source}) AS n_keys
 FROM documents
@@ -209,14 +213,15 @@ ORDER BY doc_id
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + key/value extraction (KS record headers live in
-    exactly this shape)."""
+    exactly this shape). meta_keys is array_join-stringified (↔ DuckDB
+    array_to_string) — driver canon cannot hash top-level arrays."""
     d = load_table(spark, sf_dir, "documents")
     meta = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
     )
     return d.select(
         "doc_id",
-        F.map_keys(meta).alias("meta_keys"),
+        F.array_join(F.map_keys(meta), ",").alias("meta_keys"),
         F.element_at(meta, "lang").alias("lang_val"),
         F.size(meta).alias("n_keys"),
     ).orderBy("doc_id")
@@ -375,7 +380,8 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_regexp",
     oracle="""
 SELECT doc_id,
-       regexp_extract_all(text, '[a-z]*ing') AS ing_words,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*ing'), ','), '') AS ing_words,
        len(regexp_extract_all(text, '[a-z]*ing')) AS n_ing,
        regexp_replace(text, ' [a-z]{1,2} ', ' _ ', 'g') AS short_masked,
        regexp_matches(text, '(data|spark|stream)') AS mentions_tech
@@ -385,14 +391,17 @@ ORDER BY doc_id
 """,
 )
 def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp family beyond extract: extract_all (array result), match
-    counting, global replace, boolean match — the text-wrangling core of
-    any corpus pipeline. NOTE Spark regexp_replace is global by default;
-    DuckDB needs the 'g' flag — an engine-parity hazard worth pinning."""
+    """Regexp family beyond extract: extract_all (array result, stringified
+    for the driver canon — see q_agg_collect), match counting, global
+    replace, boolean match — the text-wrangling core of any corpus
+    pipeline. NOTE Spark regexp_replace is global by default; DuckDB needs
+    the 'g' flag — an engine-parity hazard worth pinning."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0).alias("ing_words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0), ","
+        ).alias("ing_words"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0)).alias("n_ing"),
         F.regexp_replace("text", " [a-z]{1,2} ", " _ ").alias("short_masked"),
         F.col("text").rlike("(data|spark|stream)").alias("mentions_tech"),

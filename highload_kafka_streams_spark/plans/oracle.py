@@ -57,6 +57,37 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
+class ContainerOutputError(TypeError):
+    """An oracle-backed query emitted a top-level array/map column.
+
+    The DRIVER's canonicalizer cannot hash these (``TypeError: unhashable
+    type: 'numpy.ndarray'`` — the exact failure that shipped in rounds 1
+    AND 2 for q_agg_collect / q_fn_array / q_fn_map / q_fn_regexp), so the
+    local gate must reject them loudly instead of passing where the driver
+    errs. Fix the query: ``F.array_join(col, ',')`` ↔ DuckDB
+    ``array_to_string(col, ',')`` (or ``to_json``), keeping the container
+    expression inside the query and stringifying only the output.
+    """
+
+
+def _reject_container_cols(name: str, sdf) -> None:
+    """Raise if a Spark result schema has top-level array/map columns."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    if bad:
+        raise ContainerOutputError(
+            f"{name}: oracle-backed query returns top-level container "
+            f"column(s) {bad} — the driver canonicalizer cannot hash these; "
+            f"stringify with array_join/to_json (↔ array_to_string in the "
+            f"oracle SQL)"
+        )
+
+
 def _canon(df: pd.DataFrame) -> tuple[list[str], list[str]]:
     """(sorted column names, sorted canonical row strings)."""
     cols = sorted(df.columns)
@@ -82,6 +113,9 @@ def compare_one(spark, con, sf_dir: str, name: str) -> CompareResult:
     oracle = registry.get_oracle_sql()
     fn = queries[name]
     sdf = fn(spark, sf_dir)
+    if name in oracle:
+        # driver-compat gate: hashed outputs must be container-free
+        _reject_container_cols(name, sdf)
     spd = sdf.toPandas()
     if name not in oracle:
         ok = len(spd) >= 0  # rows-only check: it ran and returned a frame

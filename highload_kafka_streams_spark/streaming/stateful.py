@@ -134,39 +134,109 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+class _ReplayGroupState:
+    """Minimal GroupState stand-in for deterministic batch replay.
+
+    Lets ``applyInPandas`` drive the REAL ``session_processor`` over a
+    complete group: one data call (accumulate + emit closed sessions),
+    then one ``hasTimedOut`` call (the punctuation firing after all input
+    is exhausted — in batch, event-time has trivially passed every
+    timeout). The driver-checked batch query therefore exercises the
+    same state-machine code the streaming path runs, not a twin."""
+
+    def __init__(self) -> None:
+        self._value: tuple | None = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self) -> tuple:
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, value: tuple) -> None:
+        self._value = tuple(value)
+
+    def remove(self) -> None:
+        self._value = None
+
+    def setTimeoutTimestamp(self, _ms: int) -> None:
+        pass  # batch replay: timeout always fires after the data pass
+
+
 def _batch_sessionizer(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Batch twin of session_processor over a complete per-user group."""
-    pdf = pdf.sort_values(["ts", "event_id"])
-    out = []
-    start = last = None
-    n = total_fp = 0
-    gap_us = SESSION_GAP_SECONDS * 1_000_000
-    for ts, value in zip(pdf["ts"], pdf["value"]):
-        t = _us(ts)
-        fp = int(value * 10_000 + 0.5)
-        if start is None:
-            start, last, n, total_fp = t, t, 1, fp
-        elif t - last > gap_us:
-            out.append((start, last, n, total_fp))
-            start, last, n, total_fp = t, t, 1, fp
-        else:
-            last, n, total_fp = t, n + 1, total_fp + fp
-    if start is not None:
-        out.append((start, last, n, total_fp))
-    uid = pdf["user_id"].iloc[0]
-    return pd.DataFrame(
-        {
-            "user_id": [uid] * len(out),
-            "session_start": [pd.Timestamp(s * 1000) for s, _, _, _ in out],
-            "session_last": [pd.Timestamp(e * 1000) for _, e, _, _ in out],
-            "n_events": [n_ for _, _, n_, _ in out],
-            "total_value": [tf / 10_000.0 for _, _, _, tf in out],
-        }
-    )
+    """Replay session_processor over a complete per-user group: one data
+    call, then the timeout (punctuation) call to flush the open session."""
+    uid = int(pdf["user_id"].iloc[0])
+    state = _ReplayGroupState()
+    parts = list(session_processor((uid,), iter([pdf]), state))
+    if state.exists:
+        state.hasTimedOut = True
+        parts.extend(session_processor((uid,), iter([]), state))
+    if not parts:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in OUTPUT_SCHEMA.fields}
+        )
+    return pd.concat(parts, ignore_index=True)
 
 
 def sessionize_batch(events: DataFrame) -> DataFrame:
-    """Batch replay of the same session state machine (applyInPandas)."""
+    """Batch replay of the streaming session state machine (applyInPandas
+    driving the real ``session_processor`` via ``_ReplayGroupState``)."""
     return events.groupBy("user_id").applyInPandas(
         _batch_sessionizer, schema=OUTPUT_SCHEMA
     )
+
+
+def q_stateful_session_processor(spark, sf_dir: str) -> DataFrame:
+    """§2.6 Processor-API evidence: the applyInPandasWithState session
+    processor, batch-replayed over complete per-user groups (data call +
+    punctuation flush), checked against the same lag/cumsum sessionization
+    oracle that q_window_session proved (operators/time_windows.py).
+    session_last here is the last EVENT time (the processor's view),
+    where the session-window variant reports last + gap."""
+    from highload_kafka_streams_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return sessionize_batch(ev).orderBy("user_id", "session_start")
+
+
+def _register() -> None:
+    from highload_kafka_streams_spark.registry import query
+
+    query(
+        "q_stateful_session_processor",
+        oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       count(*) AS n_events,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    )(q_stateful_session_processor)
+
+
+_register()
