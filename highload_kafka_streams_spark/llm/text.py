@@ -81,15 +81,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second explode over raw tokens: count(*) here IS count(distinct doc)
     # and the expensive token-level shuffle happens once instead of twice
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # scalar dimension of the corpus, not data
+    # corpus size as an in-plan broadcast 1-row aggregate (no driver-side
+    # scalar action — the whole query stays one job)
+    n = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(df, "token")
         .filter((F.col("doc_id") < 20) & (F.col("df") >= 2))
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
             ).alias("tfidf"),
         )
         .orderBy("doc_id", "token")

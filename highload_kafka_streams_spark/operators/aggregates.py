@@ -241,7 +241,7 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,
        CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-            <= 0.05 * count(DISTINCT user_id) AS BOOLEAN) AS approx_within_5pct
+            <= 0.10 * count(DISTINCT user_id) AS BOOLEAN) AS approx_within_10pct
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -251,7 +251,10 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketch estimates differ by
     engine, so each engine checks ITS OWN estimate against its own exact
     count and emits the accuracy invariant (``|approx-exact| <= 5%``) as
-    a boolean — deterministic, hence oracle-hashable. At 100 TB this is
+    a boolean — deterministic, hence oracle-hashable. The tolerance is
+    10% for an rsd=0.02 sketch (~5 sigma — 5% was only ~2.5 sigma, close
+    enough for a regenerated fixture to flip one group on either engine).
+    At 100 TB this is
     the cardinality operator you actually run (fixed memory per group vs
     an unbounded distinct-set)."""
     ev = load_table(spark, sf_dir, "events")
@@ -266,8 +269,8 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("approx_within_5pct"),
+                <= 0.10 * F.col("exact_users")
+            ).alias("approx_within_10pct"),
         )
         .orderBy("event_type")
     )

@@ -113,15 +113,18 @@ def kafka_package_available(spark: SparkSession) -> bool:
         return False
 
 
-def avro_functions_available() -> bool:
-    """True if the spark-avro connector module is loaded (see module
-    docstring for the probe result in this container: it is NOT)."""
+def avro_functions_available(spark: SparkSession) -> bool:
+    """True if the spark-avro CONNECTOR is on the classpath (see module
+    docstring for the probe result in this container: it is NOT).
+
+    Reuses _require_avro's ``Class.forName`` probe — a bare
+    ``from pyspark.sql.avro.functions import to_avro`` succeeds even
+    without the connector jar and must never be used as the gate."""
     try:
-        from pyspark.sql.avro.functions import to_avro  # noqa: F401
-    except ImportError:
+        _require_avro(spark)
+        return True
+    except RuntimeError:
         return False
-    # import succeeds even without the connector; the call is the probe
-    return True
 
 
 def _require_avro(spark: SparkSession) -> None:

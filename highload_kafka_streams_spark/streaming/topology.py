@@ -357,6 +357,28 @@ class CogroupedKStream:
     def __init__(self, groups: tuple["KGroupedStream", ...]):
         self.groups = groups
 
+    @staticmethod
+    def _agg_root(agg: Column) -> tuple[str, bool]:
+        """(function name, is_distinct) read from the column's expression
+        tree. NEVER derived from ``str(Column)``: PySpark renders distinct
+        aggregates without the DISTINCT keyword (``F.countDistinct('u')``
+        prints as ``count(u)``), so a string parse would silently route
+        countDistinct/sum_distinct to the sum-merge path and double-count
+        keys present in multiple streams."""
+        try:
+            node = agg._jc.node()
+            while node.getClass().getSimpleName() == "Alias":
+                node = node.child()
+            if node.getClass().getSimpleName() == "UnresolvedFunction":
+                return node.functionName().lower(), bool(node.isDistinct())
+        except Exception:
+            pass
+        # fallback (non-JVM column impls): parse the rendering, and treat
+        # any 'distinct' hint as distinct so we fail closed, not open
+        expr = str(agg)
+        root = expr[expr.find("'") + 1 :].split("(", 1)[0].strip().lower()
+        return root, "distinct" in expr.lower()
+
     def aggregate(self, *aggs: Column, merge=None) -> KTable:
         """Aggregate every cogrouped stream with the same aggs and merge
         the per-stream partials per key.
@@ -382,16 +404,14 @@ class CogroupedKStream:
             if col_name in merge:
                 re_aggs.append(merge[col_name](col_name).alias(col_name))
                 continue
-            # str(Column) renders the expression, e.g.
-            # Column<'sum(value) AS total'> — the root function name is
-            # everything before the first '('
-            expr = str(agg)
-            root = expr[expr.find("'") + 1:].split("(", 1)[0].strip().lower()
-            fn = self._MERGE_BY_ROOT.get(root)
+            root, is_distinct = self._agg_root(agg)
+            fn = None if is_distinct else self._MERGE_BY_ROOT.get(root)
             if fn is None:
+                shown = f"{root} DISTINCT" if is_distinct else root
                 raise ValueError(
-                    f"cogroup aggregate {col_name!r} uses {root!r}, which "
-                    "has no derivable cross-stream merge; pass "
+                    f"cogroup aggregate {col_name!r} uses {shown!r}, which "
+                    "has no derivable cross-stream merge (per-stream "
+                    "DISTINCT partials cannot be re-merged); pass "
                     f"merge={{{col_name!r}: F.<fn>}} or rewrite it in "
                     "sum/count/min/max-decomposable terms"
                 )

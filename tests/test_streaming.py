@@ -242,6 +242,21 @@ def test_cogroup_merge_semantics(spark, sf_smoke):
     )
     with pytest.raises(ValueError, match="no derivable cross-stream merge"):
         co.aggregate(F.avg("value").alias("avg_v"))
+    # distinct aggregates render WITHOUT the DISTINCT keyword
+    # (str(F.countDistinct('u')) == "Column<'count(u)'>"), so these two
+    # must be caught by expression-tree inspection, not string parsing —
+    # a sum-merge of per-stream distinct partials double-counts keys
+    # present in both streams
+    with pytest.raises(ValueError, match="DISTINCT"):
+        co.aggregate(F.countDistinct("event_id").alias("n_ev"))
+    with pytest.raises(ValueError, match="DISTINCT"):
+        co.aggregate(F.sum_distinct(F.col("value")).alias("sv"))
+    # an explicit merge override still lets a caller take responsibility
+    got_override = co.aggregate(
+        F.countDistinct("event_id").alias("n_ev"),
+        merge={"n_ev": F.sum},
+    ).df
+    assert "n_ev" in got_override.columns
 
 
 def test_exactly_once_reader_latest_per_key(spark, tmp_path):
@@ -271,6 +286,9 @@ def test_avro_serde_gated(spark):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     with pytest.raises(RuntimeError, match="spark-avro connector"):
         k.write_avro_stream(df, "b:9092", "t", "/tmp/ck-avro")
+    # the boolean gate must agree with the hard gate (the bare python
+    # import succeeds even without the connector jar — insufficient probe)
+    assert k.avro_functions_available(spark) is False
 
 
 def test_process_dsl_batch_and_stream(spark, sf_smoke, events_stream_source):
