@@ -349,3 +349,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block16", F.shiftrightunsigned(F.col("simhash"), 48))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dedup_events_window",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) * 600
+           AS bucket_s,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, event_type, bucket_s
+           ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_id, user_id, event_type, bucket_s
+FROM r WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def q_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup: keep the FIRST event per (user, type) per
+    10-minute bucket — the batch twin of Structured Streaming's
+    ``dropDuplicatesWithinWatermark``, and the standard telemetry
+    de-noising pass. One shuffle on the dedup key; the bucket is epoch
+    arithmetic (codegen'd, and emitted as BIGINT seconds so the checked
+    output is timezone-free). Deterministic tie-break (ts, event_id) —
+    a bare ``dropDuplicates`` keeps an arbitrary row per key and would
+    be irreproducible under retries at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    bucket = (F.unix_timestamp("ts") / 600).cast("long") * 600
+    w = Window.partitionBy("user_id", "event_type", "bucket_s").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("bucket_s", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket_s")
+        .orderBy("event_id")
+    )

@@ -387,3 +387,101 @@ def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "q_text_pii_mask",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+         len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_longnums,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g'),
+           '{_LONGNUM_RE}', '<NUM>', 'g') AS masked
+  FROM documents
+)
+SELECT doc_id, n_emails, n_urls, n_longnums,
+       md5(masked) AS masked_md5, length(masked) AS masked_len
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / identifier masking — the redaction pass every training-data
+    pipeline runs before tokenization: emails, URLs, and long digit runs
+    replaced with sentinel tokens. Pure JVM regexp chain (whole-stage
+    codegen; one corpus scan, no shuffle — embarrassingly parallel at
+    100 TB). Masked text is md5-fingerprinted in the checked output so
+    the hash proves byte-identical masking without shipping the corpus
+    through the comparator. NOTE Spark regexp_replace is global by
+    default; DuckDB needs the 'g' flag."""
+    d = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE), 0)).alias(
+            "n_longnums"
+        ),
+        F.md5(masked).alias("masked_md5"),
+        F.length(masked).alias("masked_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS norm_len
+FROM n
+ORDER BY doc_id
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, punctuation → space,
+    whitespace collapse, trim) — the cleaning pass that precedes exact
+    dedup so near-identical bytes hash together. Single scan, zero
+    shuffle, all codegen'd built-ins; output is the md5 fingerprint of
+    the normalized text (the exact-dedup key a 100 TB pipeline would
+    group on, cf. llm/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    ).orderBy("doc_id")

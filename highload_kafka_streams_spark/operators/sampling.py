@@ -100,3 +100,45 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("~n_nationkey").alias("b_not"),
         F.bit_count(k.cast("long")).alias("b_pop"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+           AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM b
+  WHERE bucket < CASE WHEN lang = 'en' THEN 410 ELSE 2048 END
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM kept
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-class rates (en ≈10%, everything
+    else ≈50% — the rebalance a skewed multilingual corpus needs before
+    training). Content-keyed md5 buckets, NOT ``sampleBy``: Spark's
+    sampler is per-partition seeded, so its output changes under AQE
+    re-planning / retries; hash-bucket selection is identical on any
+    cluster layout and any engine (410/4096 ≈ 10.0%, 2048/4096 = 50%)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_cut = F.when(F.col("lang") == "en", 410).otherwise(2048)
+    return (
+        d.withColumn("bucket", hash_bucket(F.col("doc_id")))
+        .filter(F.col("bucket") < keep_cut)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

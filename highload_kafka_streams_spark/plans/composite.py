@@ -321,3 +321,47 @@ def q_subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "q_outlier_p99_filter",
+    oracle="""
+WITH th AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 4) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE e.value > th.p99) AS n_outliers,
+       th.p99 AS p99
+FROM events e JOIN th ON e.event_type = th.event_type
+GROUP BY e.event_type, th.p99
+ORDER BY e.event_type
+""",
+)
+def q_outlier_p99_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier screening: per-type exact p99 threshold,
+    then a conditional count of rows above it — the numeric-quality
+    filter a feature pipeline runs before training. The per-group
+    threshold table is tiny (one row per event_type) and broadcast back
+    onto the fact table, so the big side shuffles once for the
+    aggregation and never for the join. round(,4) on the interpolated
+    quantile absorbs last-ulp interpolation differences between engines
+    (same trick as q_agg_percentiles); at 100 TB swap `percentile` for
+    `approx_percentile` and keep the identical plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "p99")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .select("event_type", "n_total", "n_outliers", "p99")
+        .orderBy("event_type")
+    )

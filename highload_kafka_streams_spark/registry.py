@@ -89,6 +89,12 @@ _WINDOW_PRIORITY = (
     "q_fn_regexp",
     # new: batch-replayed applyInPandasWithState session processor (§2.6)
     "q_stateful_session_processor",
+    # new round-3 pipeline operators (never driver-checked)
+    "q_text_pii_mask",
+    "q_text_normalize",
+    "q_dedup_events_window",
+    "q_sample_stratified",
+    "q_outlier_p99_filter",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
