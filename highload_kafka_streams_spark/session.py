@@ -36,6 +36,16 @@ _RUNTIME_CONFS: dict[str, str] = {
     # to 200 shuffle partitions — needless scheduling overhead at test SFs
     # (a real cluster sizes this ~2-3× total cores; AQE coalesces down)
     "spark.sql.shuffle.partitions": "32",
+    # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    # totalBytes/minPartitionNum)). Test-SF tables are single-digit MB, so
+    # the default 4 MB open cost pins EVERY scan to one split — one core
+    # does all the per-row work (measured: the minhash signature stage ran
+    # 1/32 cores). 16 KB keeps openCost below bytesPerCore for every
+    # test table, so each scan splits to exactly minPartitionNum
+    # (= defaultParallelism) tasks; at real scale
+    # totalBytes/minPartitionNum >> openCost, maxPartitionBytes (128 MB)
+    # governs, and this setting is inert.
+    "spark.sql.files.openCostInBytes": "16384",
 }
 
 
