@@ -128,3 +128,25 @@ def test_salted_join_matches_plain(spark, sf_smoke):
         .orderBy("n_name")
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_scan_splits_to_session_parallelism(spark, sf_smoke):
+    """Small files must not pin a scan to one split: with the engine's
+    openCostInBytes conf, every fixture scan gets defaultParallelism
+    partitions (measured round 3: the default 4 MB open cost ran the
+    whole minhash signature stage — the bench's heaviest — on 1 of 32
+    cores). The conf must survive on driver-provided vanilla sessions
+    via configure_session, which the session fixture applies."""
+    import os
+
+    open_cost = 16384  # session.py _RUNTIME_CONFS
+    for table in ("documents", "events", "lineitem"):
+        size = os.path.getsize(f"{sf_smoke}/{table}.parquet")
+        # openCost floors the split size, so tiny files can't fan wider
+        want = min(
+            spark.sparkContext.defaultParallelism, 8, size // open_cost
+        )
+        n = load_table(spark, sf_smoke, table).rdd.getNumPartitions()
+        assert n >= max(want, 1), (
+            f"{table} ({size}B) scan has {n} splits, want >= {want}"
+        )
