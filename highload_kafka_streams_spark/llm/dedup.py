@@ -312,10 +312,23 @@ def minhash_near_duplicates(
 @query("q_dedup_minhash_lsh")  # hash-seed-dependent → rows-only
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over `documents` — emits the same
-    columns as the exact-Jaccard query for direct comparison."""
+    columns as the exact-Jaccard query for direct comparison.
+
+    Small inputs are fanned out across the session's cores before the
+    CPU-dominant signature projection: the fixture parquet is a SINGLE
+    row group, so Spark's byte-range splits cannot parallelize the scan
+    (one task reads the lone row group, the rest are empty — measured as
+    a 31-idle/1-busy stage). One narrow (doc_id, text) shuffle fixes
+    that; gated on file size because at production scale inputs carry
+    many row groups and the scan parallelizes by itself — there the
+    extra full-corpus shuffle would be a real cost, so it's skipped."""
+    import os
+
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
+    if os.path.getsize(f"{sf_dir}/documents.parquet") < (1 << 30):
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return minhash_near_duplicates(d, threshold=0.5)
 
 
