@@ -485,3 +485,63 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).alias("norm_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+                        i -> array_to_string(toks[i+1:i+3], ' ')) AS tris
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens, 9)
+         AS tok_rep_ratio,
+       round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 9)
+         AS tri_rep_ratio,
+       (1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)) > 0.5
+         AS is_repetitive
+FROM g
+ORDER BY doc_id
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher-style duplicate-n-gram signal): the
+    fraction of duplicate tokens and duplicate word-trigrams per doc,
+    plus a keep/drop flag — the quality gate that catches boilerplate
+    and degenerate loops before training. All JVM higher-order
+    expressions, single scan, zero shuffle. The token and trigram
+    arrays are materialized as projection stages BEFORE any lambda
+    touches them (HOF lambdas re-evaluate outer expressions per
+    element — see shingles() in llm/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    staged = d.select("doc_id", toks.alias("toks"))
+    tk = F.col("toks")
+    tris = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 3)),
+    )
+    staged = staged.select(
+        "doc_id", "toks", F.size(tk).alias("n_tokens"), tris.alias("tris")
+    )
+    tri_rep = 1.0 - F.size(F.array_distinct("tris")).cast("double") / F.size(
+        "tris"
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.col("n_tokens"),
+            9,
+        ).alias("tok_rep_ratio"),
+        F.round(tri_rep, 9).alias("tri_rep_ratio"),
+        (tri_rep > 0.5).alias("is_repetitive"),
+    ).orderBy("doc_id")

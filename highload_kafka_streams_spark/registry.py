@@ -95,6 +95,7 @@ _WINDOW_PRIORITY = (
     "q_dedup_events_window",
     "q_sample_stratified",
     "q_outlier_p99_filter",
+    "q_text_repetition",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
