@@ -150,3 +150,29 @@ def test_scan_splits_to_session_parallelism(spark, sf_smoke):
         assert n >= max(want, 1), (
             f"{table} ({size}B) scan has {n} splits, want >= {want}"
         )
+
+
+def test_outlier_filter_broadcasts_threshold(spark, sf_smoke):
+    """The per-group p99 threshold table (one row per event_type) must
+    come back as a broadcast join, never a shuffle of the fact table."""
+    plan = plan_of(get_queries()["q_outlier_p99_filter"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_scans_shuffle_only_for_output_sort(spark, sf_smoke):
+    """Single-scan text ops (PII mask, normalize, repetition) must be
+    pure projections: no join, no aggregation exchange — the only
+    exchange allowed is the final output-sort range partitioning."""
+    for name in ("q_text_pii_mask", "q_text_normalize", "q_text_repetition"):
+        plan = plan_of(get_queries()[name](spark, sf_smoke))
+        assert "Join" not in plan, name
+        assert plan.count("Exchange") <= 2, name  # rangepartition + AQE read
+
+
+def test_windowed_dedup_single_data_shuffle(spark, sf_smoke):
+    """Windowed event dedup = one hash shuffle on the dedup key (the
+    Window) + the output sort; a second data shuffle would mean the
+    bucket column broke partitioning reuse."""
+    plan = plan_of(get_queries()["q_dedup_events_window"](spark, sf_smoke))
+    assert "Window" in plan
+    assert plan.count("hashpartitioning") <= 2  # window shuffle (+AQE read)
