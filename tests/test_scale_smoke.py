@@ -77,3 +77,35 @@ def test_sessionization_at_10x(spark, big_events):
     )
     total = sess.agg(F.sum("n_events")).first()[0]
     assert total == big_events.count()  # every event lands in one session
+
+
+def test_minhash_lsh_at_dup_heavy_5x_documents(spark):
+    """LSH dedup under a duplication-heavy corpus: 5 shifted copies of
+    every document (the worst realistic shape — every bucket holds all
+    copies of its member docs, so the within-bucket pair expansion runs
+    at its densest). Checks the candidate path doesn't go quadratic in
+    the corpus and that every cross-copy exact-dup pair is found
+    (identical text ⇒ identical signature ⇒ same bucket in every band,
+    jaccard 1.0)."""
+    from highload_kafka_streams_spark.llm.dedup import minhash_near_duplicates
+
+    n_copies = 5
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n_docs = d.count()
+    copies = [
+        d.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"), "text"
+        )
+        for i in range(n_copies)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.filter(F.size(F.split(F.col("text"), " ")) >= 3).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = minhash_near_duplicates(big, threshold=0.5)
+    exact = pairs.filter(F.col("jaccard") >= 1.0).count()
+    # every doc pairs with its other copies: n_docs * C(n_copies, 2)
+    min_cross = n_docs * (n_copies * (n_copies - 1) // 2)
+    assert exact >= min_cross * 0.99  # allow boundary docs dropped by filter
