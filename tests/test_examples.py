@@ -30,3 +30,18 @@ def test_session_enrichment_example(spark, sf_smoke):
     rows = out.collect()
     assert len(rows) > 0
     assert {"w_start", "w_end", "r_name", "n_clicks"} <= set(out.columns)
+
+
+def test_corpus_pipeline_example(spark, sf_smoke):
+    from examples.corpus_pipeline import clean_corpus
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = clean_corpus(docs)
+    rows = out.collect()
+    assert 0 < len(rows) <= docs.count()
+    assert {"doc_id", "lang", "text", "n_tokens", "split"} <= set(out.columns)
+    # dedup really deduped: cleaned text is unique
+    assert len({r["text"] for r in rows}) == len(rows)
+    # split is deterministic content-keyed: recompute matches
+    again = {(r["doc_id"], r["split"]) for r in clean_corpus(docs).collect()}
+    assert {(r["doc_id"], r["split"]) for r in rows} == again
