@@ -169,3 +169,73 @@ def test_asof_join_matches_naive_definition(spark, lrows, rrows):
         else:
             want.add((lrow.lid, None, None))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 1),          # type
+            st.integers(0, 3600 * 3),   # seconds offset
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_windowed_dedup_keeps_exactly_first_per_bucket(spark, rows):
+    """For ANY event set: one survivor per (user, type, 10-min bucket),
+    and it is the (ts, event_id)-minimal row of that bucket."""
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "off"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["off"], unit="s")
+    df = spark.createDataFrame(pdf.drop(columns=["off"]))
+
+    from pyspark.sql.window import Window
+
+    bucket = (F.unix_timestamp("ts") / 600).cast("long") * 600
+    w = Window.partitionBy("user_id", "event_type", "bucket_s").orderBy(
+        "ts", "event_id"
+    )
+    got = {
+        (r["event_id"], r["user_id"], r["event_type"], r["bucket_s"])
+        for r in df.withColumn("bucket_s", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket_s")
+        .collect()
+    }
+    # naive pandas twin
+    pdf["bucket_s"] = (pdf["ts"].astype("int64") // 10**9 // 600) * 600
+    first = (
+        pdf.sort_values(["ts", "event_id"])
+        .groupby(["user_id", "event_type", "bucket_s"], as_index=False)
+        .first()
+    )
+    want = {
+        (r.event_id, r.user_id, r.event_type, r.bucket_s)
+        for r in first.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300, unique=True))
+def test_hash_bucket_split_is_partition_independent(spark, keys):
+    """Content-keyed bucketing must assign identical buckets under any
+    partitioning — the invariant stratified sampling and train/holdout
+    splits rely on (sampleBy would fail this)."""
+    from highload_kafka_streams_spark.operators.sampling import hash_bucket
+
+    pdf = pd.DataFrame({"k": keys})
+    assignments = set()
+    for n_part in (1, 5, 11):
+        df = spark.createDataFrame(pdf).repartition(n_part)
+        rows = frozenset(
+            (r["k"], r["b"])
+            for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+        )
+        assignments.add(rows)
+    assert len(assignments) == 1
+    # every bucket in range
+    assert all(0 <= b < 4096 for _, b in next(iter(assignments)))
