@@ -318,3 +318,73 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS max_abs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, max_abs,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) / max_abs * 127 + 0.5)
+                     AS BIGINT)) AS qv,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 + 0.5)
+                     AS BIGINT)) AS sq
+  FROM m
+)
+SELECT vec_id, label,
+       round(max_abs, 6) AS max_abs,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(qv, 'min') AS q_min,
+       list_aggregate(qv, 'max') AS q_max,
+       round(sqrt(CAST(list_aggregate(sq, 'sum') AS BIGINT) / 1e12), 6) AS l2_norm
+FROM q
+ORDER BY vec_id
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before an ANN index ships to serving. Per vector:
+    scale = 127/max|x|, elementwise FLOOR(x*scale + 0.5) (half-up in
+    BOTH engines — bare round() is half-even in DuckDB and would drift),
+    checked via integer aggregates of the quantized vector (order-free,
+    engine-exact) plus the fixed-point L2 norm. Pure per-row higher-order
+    projections — zero shuffle, embarrassingly parallel at any scale.
+    The embedding array is materialized as a projection stage before the
+    lambdas (HOF re-eval pathology, see llm/dedup.py::shingles)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = e.select("vec_id", "label", F.col("embedding").alias("emb"))
+    xd = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.greatest(
+        F.array_max(F.transform("emb", lambda x: F.abs(xd(x)))), F.lit(1e-12)
+    )
+    staged = staged.select("vec_id", "label", "emb", max_abs.alias("max_abs"))
+    qv = F.transform(
+        "emb",
+        lambda x: F.floor(xd(x) / F.col("max_abs") * 127 + 0.5).cast("long"),
+    )
+    sq = F.transform(
+        "emb", lambda x: F.floor(xd(x) * xd(x) * 1e12 + 0.5).cast("long")
+    )
+    staged = staged.select(
+        "vec_id", "label", "max_abs", qv.alias("qv"), sq.alias("sq")
+    )
+    zero = F.lit(0).cast("long")
+    return staged.select(
+        "vec_id",
+        "label",
+        F.round("max_abs", 6).alias("max_abs"),
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(
+            F.sqrt(F.aggregate("sq", zero, lambda a, x: a + x) / 1e12), 6
+        ).alias("l2_norm"),
+    ).orderBy("vec_id")

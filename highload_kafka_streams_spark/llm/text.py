@@ -545,3 +545,75 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tri_rep, 9).alias("tri_rep_ratio"),
         (tri_rep > 0.5).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_decontaminate",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(toks) - 5, 0)),
+           i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS gkeys
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT unnest(gkeys) AS gkey FROM g WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(gkeys) AS gkey FROM g WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (WHERE b.gkey IS NOT NULL) AS n_contaminated
+  FROM corpus c LEFT JOIN bench b ON c.gkey = b.gkey
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / n_grams, 9) AS contamination,
+       n_contaminated > 0 AS is_contaminated
+FROM hits
+ORDER BY doc_id
+""",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screening: flag training docs sharing
+    word-5-grams with a held-out benchmark set (here the deterministic
+    doc_id % 97 == 0 slice stands in for the benchmark corpus). The
+    join key is the md5 gram digest — portable across engines AND the
+    16-byte key you'd actually shuffle at 100 TB instead of raw gram
+    text; the benchmark key set is tiny by construction and broadcasts.
+    Standard n-gram-overlap decontamination (GPT-3/C4-style)."""
+    from highload_kafka_streams_spark.llm.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    gkeys = F.transform(shingles(F.col("toks"), 5), lambda g: F.md5(g))
+    grams = staged.select("doc_id", F.explode(gkeys).alias("gkey"))
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gkey").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "gkey", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams"), 9
+        ).alias("contamination"),
+        (F.col("n_contaminated") > 0).alias("is_contaminated"),
+    ).orderBy("doc_id")

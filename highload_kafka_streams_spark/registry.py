@@ -96,6 +96,8 @@ _WINDOW_PRIORITY = (
     "q_sample_stratified",
     "q_outlier_p99_filter",
     "q_text_repetition",
+    "q_text_decontaminate",
+    "q_embed_quantize",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
