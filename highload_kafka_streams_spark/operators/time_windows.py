@@ -172,3 +172,47 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_time_rollup_hierarchy",
+    oracle="""
+SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS bucket_month,
+       date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_day,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_hour,
+       count(*) AS n_events,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+         AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('month', CAST(ts AS TIMESTAMP)),
+                 date_trunc('day', CAST(ts AS TIMESTAMP)),
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)))
+ORDER BY bucket_month NULLS FIRST, bucket_day NULLS FIRST,
+         bucket_hour NULLS FIRST
+""",
+)
+def q_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour → day → month →
+    grand total in ONE pass via ROLLUP over derived time buckets — the
+    continuous-aggregate shape a time-series store maintains. Spark
+    computes all levels with a single shuffle (partial aggregation
+    map-side); at 100 TB this replaces N separate per-granularity scans,
+    and the coarse levels come almost free because they aggregate the
+    fine level's partials. date_trunc is identical in both engines;
+    the measure uses the fixed-point sum (compat.dsum idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("month", "ts").alias("bucket_month"),
+            F.date_trunc("day", "ts").alias("bucket_day"),
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "value",
+        )
+        .rollup("bucket_month", "bucket_day", "bucket_hour")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .orderBy(
+            F.col("bucket_month").asc_nulls_first(),
+            F.col("bucket_day").asc_nulls_first(),
+            F.col("bucket_hour").asc_nulls_first(),
+        )
+    )
