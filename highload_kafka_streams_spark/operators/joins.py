@@ -501,3 +501,128 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts"
     ).orderBy("click_id")
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle="""
+WITH iv AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR AS w_start,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 9 HOUR AS w_end
+  FROM events GROUP BY 1, 2
+)
+SELECT iv.w_start, iv.w_end,
+       count(e.event_id) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM iv LEFT JOIN events e
+  ON CAST(e.ts AS TIMESTAMP) >= iv.w_start
+ AND CAST(e.ts AS TIMESTAMP) < iv.w_end
+GROUP BY iv.w_start, iv.w_end
+ORDER BY iv.w_start
+""",
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join, bucket-accelerated: count the
+    events falling inside each daily 06:00-09:00 window (intervals
+    derived from the data so the query is self-contained).
+
+    A naive range join is |intervals|x|events| — Spark would plan
+    BroadcastNestedLoopJoin. Instead both sides are bucketed by HOUR:
+    each interval explodes into the hours it covers (bounded fan-out),
+    events map to their hour, the join is a plain equi-join on the
+    bucket, and exact containment refines the candidates. At 100 TB the
+    shuffle is linear in events + interval-hours — the standard
+    bucketed range-join strategy (same trick DuckDB/Trino apply
+    internally as an IEJoin/bucketing rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+            (F.col("d") + F.expr("INTERVAL 9 HOURS")).alias("w_end"),
+        )
+    )
+    # explode each interval into covered hour buckets (here 3/interval)
+    iv_b = iv.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                (F.col("w_start").cast("long") / 3600).cast("long"),
+                ((F.col("w_end").cast("long") - 1) / 3600).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    ev_b = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("hb"),
+    )
+    hits = (
+        iv_b.join(ev_b, "hb")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("w_start", "w_end", "event_id", "user_id")
+    )
+    # LEFT semantics: keep intervals with zero events
+    return (
+        iv.join(hits, ["w_start", "w_end"], "left")
+        .groupBy("w_start", "w_end")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT c.click_id, c.user_id, c.c_ts,
+       CASE WHEN c.c_ts - p.ts <= INTERVAL 2 HOUR THEN p.ts END AS r_ts,
+       CASE WHEN c.c_ts - p.ts <= INTERVAL 2 HOUR THEN p.purchase_id END
+         AS r_purchase_id
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.c_ts >= p.ts
+ORDER BY click_id
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    ``tolerance=`` semantics): the latest at-or-before purchase counts
+    only if it happened within the last 2 hours — stale matches null
+    out. Same merge-form linear plan as q_join_asof; the tolerance is a
+    post-pass projection, so the scale story is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts"
+    )
+    fresh = F.col("c_ts").cast("long") - F.col("r_ts").cast("long") <= 7200
+    return joined.select(
+        "click_id",
+        "user_id",
+        "c_ts",
+        F.when(fresh, F.col("r_ts")).alias("r_ts"),
+        F.when(fresh, F.col("r_purchase_id")).alias("r_purchase_id"),
+    ).orderBy("click_id")

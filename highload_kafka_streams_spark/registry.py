@@ -99,6 +99,8 @@ _WINDOW_PRIORITY = (
     "q_text_decontaminate",
     "q_embed_quantize",
     "q_time_rollup_hierarchy",
+    "q_join_range_bucketed",
+    "q_join_asof_tolerance",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
