@@ -39,6 +39,15 @@ def test_registry_window_ordering():
     names = list(qs)
     unknown = [n for n in registry._WINDOW_PRIORITY if n not in qs]
     assert not unknown, f"_WINDOW_PRIORITY names not registered: {unknown}"
+    # a rows-only name in the priority head would waste a verified-window
+    # slot on a `no_oracle` row; an oracle-backed name in the tail would
+    # bury verifiable evidence behind rows-only queries
+    plain_in_pri = [n for n in registry._WINDOW_PRIORITY if n not in osql]
+    assert not plain_in_pri, f"rows-only in _WINDOW_PRIORITY: {plain_in_pri}"
+    oracle_in_tail = [n for n in registry._WINDOW_TAIL if n in osql]
+    assert not oracle_in_tail, f"oracle-backed in _WINDOW_TAIL: {oracle_in_tail}"
+    unknown_tail = [n for n in registry._WINDOW_TAIL if n not in qs]
+    assert not unknown_tail, f"_WINDOW_TAIL names not registered: {unknown_tail}"
     window = names[:50]
     no_oracle_in_window = [n for n in window if n not in osql]
     assert not no_oracle_in_window, no_oracle_in_window
