@@ -411,3 +411,58 @@ def test_sliding_window_dsl_matches_oracle_query(spark, sf_smoke):
     assert sorted(
         (r["user_id"], r["n_last_10m"]) for r in got.collect()
     ) == sorted((r["user_id"], r["n_last_10m"]) for r in want.collect())
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_smoke, tmp_path):
+    """Kill-and-restart recovery: a checkpointed streaming aggregation
+    stopped after batch 1, given MORE input, and restarted with the SAME
+    checkpoint must resume from the offset log and produce totals equal
+    to one batch pass over everything — no double counting of the first
+    half (KS processing.guarantee=exactly_once_v2 ≙ Spark checkpoint +
+    idempotent sink)."""
+    from highload_kafka_streams_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        read_latest_per_key,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    half1.write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        write = idempotent_parquet_sink(sink)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: write(df, bid)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()  # first run: half1 only
+    # "crash": the query object is gone; append the second half
+    half2.write.mode("append").parquet(src)
+    run_pass()  # restart with the same checkpoint — resumes offsets
+
+    got = {
+        (r["event_type"], r["n"])
+        for r in read_latest_per_key(spark, sink, ["event_type"]).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
