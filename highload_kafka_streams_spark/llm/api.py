@@ -28,6 +28,11 @@ from highload_kafka_streams_spark.llm.similarity import (  # noqa: F401
     cosine,
     cosine_top_k,
     fdot,
+    quantize_embeddings,
+)
+from highload_kafka_streams_spark.llm.text import (  # noqa: F401
+    normalized,
+    pii_masked,
 )
 from highload_kafka_streams_spark.operators.joins import asof_join  # noqa: F401
 from highload_kafka_streams_spark.operators.skew import (  # noqa: F401
@@ -68,3 +73,98 @@ def token_stats(corpus: DataFrame, min_tf: int = 1) -> DataFrame:
         .agg(F.sum("c").alias("tf"), F.count("*").alias("df"))
         .filter(F.col("tf") >= min_tf)
     )
+
+
+def mask_pii(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus with ``text`` replaced by its PII-masked form (emails,
+    URLs, long digit runs → sentinel tokens). One codegen'd scan."""
+    return corpus.withColumn(text_col, pii_masked(text_col))
+
+
+def normalize_corpus(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus with ``text`` replaced by its canonical normalized form
+    (lowercase, punctuation stripped, whitespace collapsed)."""
+    return corpus.withColumn(text_col, normalized(F.col(text_col)))
+
+
+def dedup_within_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    window_seconds: int = 600,
+) -> DataFrame:
+    """First row per (keys, time bucket) with a deterministic
+    (ts, tiebreak) order — reproducible under retries, unlike a bare
+    dropDuplicates. Batch twin of dropDuplicatesWithinWatermark."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        (F.unix_timestamp(ts_col) / window_seconds).cast("long")
+        * window_seconds
+    )
+    w = Window.partitionBy(*key_cols, "bucket_s").orderBy(ts_col, tiebreak_col)
+    return (
+        df.withColumn("bucket_s", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    corpus: DataFrame,
+    key_col: str,
+    class_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-class content-keyed downsample: each row kept iff its md5
+    bucket falls under its class's cut. Identical output on any cluster
+    layout / engine — never ``sampleBy`` (per-partition seeded)."""
+    from highload_kafka_streams_spark.operators.sampling import (
+        N_BUCKETS,
+        hash_bucket,
+    )
+
+    cut = F.lit(int(N_BUCKETS * default_fraction))
+    for cls, frac in fractions.items():
+        cut = F.when(F.col(class_col) == cls, int(N_BUCKETS * frac)).otherwise(
+            cut
+        )
+    return corpus.filter(hash_bucket(F.col(key_col)) < cut)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Drop corpus docs sharing more than ``max_overlap`` word-n-grams
+    with the benchmark frame (GPT-3/C4-style decontamination). Join keys
+    are md5 gram digests; the benchmark key set broadcasts."""
+    from highload_kafka_streams_spark.llm.dedup import shingles
+
+    def gram_keys(df):
+        staged = df.select(
+            "doc_id", F.split(F.col(text_col), " ").alias("toks")
+        )
+        return staged.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("toks"), n), lambda g: F.md5(g))
+            ).alias("gkey"),
+        )
+
+    bench_keys = gram_keys(benchmark).select("gkey").distinct()
+    overlaps = (
+        gram_keys(corpus)
+        .join(F.broadcast(bench_keys), "gkey", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__n_overlap"))
+        .filter(F.col("__n_overlap") > max_overlap)
+        .select("doc_id")
+    )
+    return corpus.join(overlaps, "doc_id", "left_anti")

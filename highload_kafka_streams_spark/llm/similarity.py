@@ -360,22 +360,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The embedding array is materialized as a projection stage before the
     lambdas (HOF re-eval pathology, see llm/dedup.py::shingles)."""
     e = load_table(spark, sf_dir, "embeddings")
-    staged = e.select("vec_id", "label", F.col("embedding").alias("emb"))
-    xd = lambda x: x.cast("double")  # noqa: E731
-    max_abs = F.greatest(
-        F.array_max(F.transform("emb", lambda x: F.abs(xd(x)))), F.lit(1e-12)
-    )
-    staged = staged.select("vec_id", "label", "emb", max_abs.alias("max_abs"))
-    qv = F.transform(
-        "emb",
-        lambda x: F.floor(xd(x) / F.col("max_abs") * 127 + 0.5).cast("long"),
-    )
-    sq = F.transform(
-        "emb", lambda x: F.floor(xd(x) * xd(x) * 1e12 + 0.5).cast("long")
-    )
-    staged = staged.select(
-        "vec_id", "label", "max_abs", qv.alias("qv"), sq.alias("sq")
-    )
+    staged = quantize_embeddings(e, "embedding")
     zero = F.lit(0).cast("long")
     return staged.select(
         "vec_id",
@@ -388,3 +373,29 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate("sq", zero, lambda a, x: a + x) / 1e12), 6
         ).alias("l2_norm"),
     ).orderBy("vec_id")
+
+
+def quantize_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Public API: adds ``max_abs`` (double scale), ``qv`` (array<long>
+    in [-127, 127]) and ``sq`` (fixed-point squares, Σ/1e12 = ‖x‖²) to
+    any embedding frame — the int8 compression a served ANN index uses.
+    The quantized VECTORS live here; the registered query projects only
+    hashable aggregates of them (driver canon takes no array columns).
+    Each stage materializes its array before lambdas touch it."""
+    other = [c for c in df.columns if c != emb_col]
+    staged = df.select(*other, F.col(emb_col).alias("emb"))
+    xd = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.greatest(
+        F.array_max(F.transform("emb", lambda x: F.abs(xd(x)))), F.lit(1e-12)
+    )
+    staged = staged.select(*other, "emb", max_abs.alias("max_abs"))
+    qv = F.transform(
+        "emb",
+        lambda x: F.floor(xd(x) / F.col("max_abs") * 127 + 0.5).cast("long"),
+    )
+    sq = F.transform(
+        "emb", lambda x: F.floor(xd(x) * xd(x) * 1e12 + 0.5).cast("long")
+    )
+    return staged.select(
+        *other, "max_abs", qv.alias("qv"), sq.alias("sq")
+    )

@@ -394,6 +394,33 @@ _URL_RE = "https?://[^ ]+"
 _LONGNUM_RE = "[0-9]{6,}"
 
 
+def pii_masked(text_col) -> "F.Column":
+    """Expression: emails/URLs/long digit runs → sentinel tokens.
+    Public API building block (llm.api.mask_pii); Spark regexp_replace
+    is global by default — the DuckDB twin needs the 'g' flag."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+
+
+def normalized(text_col) -> "F.Column":
+    """Expression: lowercase, punctuation → space, whitespace collapse,
+    trim — the canonical form exact dedup should key on."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+
+
 @query(
     "q_text_pii_mask",
     oracle=f"""
@@ -425,15 +452,7 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the comparator. NOTE Spark regexp_replace is global by
     default; DuckDB needs the 'g' flag."""
     d = load_table(spark, sf_dir, "documents")
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
-            _URL_RE,
-            "<URL>",
-        ),
-        _LONGNUM_RE,
-        "<NUM>",
-    )
+    masked = pii_masked("text")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
@@ -473,13 +492,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized text (the exact-dedup key a 100 TB pipeline would
     group on, cf. llm/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = normalized(F.col("text"))
     return d.select(
         "doc_id",
         F.md5(norm).alias("norm_md5"),

@@ -64,3 +64,86 @@ def test_token_stats_api(spark):
     assert stats["the"] == (6, 3)
     assert stats["fox"] == (3, 3)
     assert stats["spark"] == (1, 1)
+
+
+def test_mask_normalize_dedup_window_api(spark):
+    from highload_kafka_streams_spark.llm.api import (
+        dedup_within_window,
+        mask_pii,
+        normalize_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "contact Me at bob@example.com NOW!!"),
+            (2, "visit https://x.test/page or call 1234567"),
+        ],
+        "doc_id long, text string",
+    )
+    masked = {r["doc_id"]: r["text"] for r in mask_pii(corpus).collect()}
+    assert "<EMAIL>" in masked[1] and "bob@" not in masked[1]
+    assert "<URL>" in masked[2] and "<NUM>" in masked[2]
+    norm = {r["doc_id"]: r["text"] for r in normalize_corpus(corpus).collect()}
+    assert norm[1] == "contact me at bob example com now"
+
+    import pandas as pd
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [7, 7, 7],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:01", "2024-01-01 00:05", "2024-01-01 00:20"]
+                ),
+            }
+        )
+    )
+    kept = dedup_within_window(ev, ["user_id"], "ts", "event_id")
+    assert {r["event_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_stratified_and_decontaminate_api(spark):
+    from highload_kafka_streams_spark.llm.api import (
+        decontaminate,
+        stratified_sample,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"doc text number {i} alpha beta gamma delta")
+         for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    kept = stratified_sample(corpus, "doc_id", "lang", {"en": 0.1, "de": 0.9})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] > by_lang.get("en", 0)  # rates actually differ
+    # determinism under partitioning
+    kept2 = stratified_sample(
+        corpus.repartition(7), "doc_id", "lang", {"en": 0.1, "de": 0.9}
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in kept2.collect()
+    }
+
+    bench = corpus.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    # doc 0's text shares no 5-gram with others (unique number token in
+    # the middle), so only doc 0 itself is contaminated
+    clean = decontaminate(corpus, bench, n=5)
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert 0 not in ids and len(ids) == 199
+
+
+def test_quantize_embeddings_api(spark):
+    from highload_kafka_streams_spark.llm.api import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qv"] == [64, -127, 32]  # 0.5/1*127+0.5 floor = 64
+    assert rows[2]["qv"] == [0, 0, 0]  # zero vector: guarded scale
+    assert all(-127 <= q <= 127 for q in rows[1]["qv"])
