@@ -30,12 +30,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.llm.api import pii_masked
 from highload_kafka_streams_spark.operators.sampling import split_corpus
 from highload_kafka_streams_spark.session import get_spark
-
-EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-URL_RE = "https?://[^ ]+"
-LONGNUM_RE = "[0-9]{6,}"
 
 
 def clean_corpus(docs: DataFrame) -> DataFrame:
@@ -43,13 +40,9 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, lang, text, n_tokens, split) — one row per kept doc.
     """
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-        ),
-        LONGNUM_RE,
-        "<NUM>",
-    )
+    masked = pii_masked("text")
+    # normalize AFTER masking, keeping the <EMAIL>/<URL>/<NUM> sentinels
+    # (llm.api.normalized strips <>, so the example inlines its variant)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(masked), "[^a-z0-9<> ]", " "), " +", " "

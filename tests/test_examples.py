@@ -45,3 +45,22 @@ def test_corpus_pipeline_example(spark, sf_smoke):
     # split is deterministic content-keyed: recompute matches
     again = {(r["doc_id"], r["split"]) for r in clean_corpus(docs).collect()}
     assert {(r["doc_id"], r["split"]) for r in rows} == again
+
+
+def test_embedding_pipeline_example(spark, sf_smoke):
+    from highload_kafka_streams_spark.llm.api import (
+        cosine_top_k,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    rows = q.select("vec_id", "qv").collect()
+    assert len(rows) == emb.count()
+    assert all(-127 <= v <= 127 for r in rows for v in r["qv"])
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    top = cosine_top_k(emb.filter(F.col("vec_id") != 0), query, k=3).collect()
+    assert len(top) == 3
+    assert top[0]["cos_sim"] >= top[-1]["cos_sim"]
