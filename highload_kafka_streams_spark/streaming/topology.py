@@ -163,6 +163,32 @@ class KStream:
             df = df.withWatermark(ts_col, delay)
         return KStream(df, ts_col, self.key_cols)
 
+    def dedup(self, *key_cols: str, tiebreak: str | None = None) -> "KStream":
+        """Keep one record per key (the KS transformer-with-state dedup
+        idiom). Streaming: ``dropDuplicatesWithinWatermark`` — state is
+        bounded by the watermark set via ``with_watermark`` (REQUIRED
+        first, or Spark raises). Batch replay: deterministic first-by-
+        (ts, tiebreak) via row_number, NOT ``dropDuplicates`` — the bare
+        form keeps an arbitrary row per key, which is irreproducible
+        under retries and would break oracle hashing."""
+        keys = list(key_cols) or list(self.key_cols)
+        if not keys:
+            raise ValueError("dedup needs key columns (or a keyed stream)")
+        if self.df.isStreaming:
+            return KStream(
+                self.df.dropDuplicatesWithinWatermark(keys),
+                self.ts_col,
+                self.key_cols,
+            )
+        order = [self.ts_col] + ([tiebreak] if tiebreak else [])
+        w = Window.partitionBy(*keys).orderBy(*order)
+        df = (
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return KStream(df, self.ts_col, self.key_cols)
+
     # -- joins (KS KStream#join family)
 
     def join_windowed(

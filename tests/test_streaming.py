@@ -466,3 +466,45 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_smoke, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_dedup_dsl_stream_and_batch(spark, sf_smoke, events_stream_source):
+    """KStream.dedup: batch replay keeps the deterministic first row per
+    key; streaming dropDuplicatesWithinWatermark keeps ONE row per key
+    (selection inside the watermark is arrival-order-dependent, so the
+    streaming assertion is on keys, not rows)."""
+    b = StreamsBuilder(spark)
+    ev = load_table(spark, sf_smoke, "events")
+
+    batch = b.stream(ev).dedup("user_id", "event_type", tiebreak="event_id").df
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    got = batch.collect()
+    assert {(r["user_id"], r["event_type"]) for r in got} == want_keys
+    assert len(got) == len(want_keys)  # exactly one survivor per key
+    # deterministic winner: min (ts, event_id) per key, derived
+    # independently via groupBy min-struct (NOT dropDuplicates-after-sort,
+    # which is not guaranteed deterministic)
+    want_first = {
+        (r["user_id"], r["event_type"]): r["eid"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("eid"))
+        .collect()
+    }
+    assert {
+        (r["user_id"], r["event_type"]): r["event_id"] for r in got
+    } == want_first
+
+    stream = (
+        b.stream(events_stream_source())
+        .with_watermark("ts", "10 minutes")
+        .dedup("user_id", "event_type")
+        .df
+    )
+    out = _run_to_memory(stream, "t_dedup_dsl", spark)
+    srows = out.collect()
+    assert {(r["user_id"], r["event_type"]) for r in srows} == want_keys
+    assert len(srows) == len(want_keys)
