@@ -49,6 +49,39 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make the engine package importable inside Python WORKER processes.
+
+    cloudpickle serializes module-level functions (our applyInPandas /
+    pandas_udf kernels) by reference, so workers must import
+    ``highload_kafka_streams_spark`` themselves. On a driver-provided
+    session launched from an arbitrary cwd, the repo root is on the
+    DRIVER's sys.path only (``__spark_entry__`` inserts it) — workers
+    would die with ModuleNotFoundError (reproduced by running the entry
+    contract from /tmp). ``addPyFile`` of a package zip fixes this for
+    any session, local or cluster — the same mechanism you'd use to ship
+    the engine to a 1000-executor cluster."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_hks_pkg_shipped", False):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "highload_kafka_streams_spark")
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="hks_pkg_"), "highload_kafka_streams_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._hks_pkg_shipped = True
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (idempotent)."""
     for k, v in _RUNTIME_CONFS.items():
@@ -58,6 +91,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # a conf may be non-settable on some builds; engine code paths
             # that depend on one (io.load_table) re-check and fail loudly.
             pass
+    try:
+        _ship_package_to_workers(spark)
+    except Exception:
+        # best-effort: on Connect-style sessions without a sparkContext
+        # the normal PYTHONPATH path still applies
+        pass
     return spark
 
 
