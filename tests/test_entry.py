@@ -59,3 +59,42 @@ def test_registry_window_ordering():
         assert not any(
             tail_flags[first_plain:]
         ), "oracle-backed after rows-only"
+
+
+def test_pandas_udf_queries_work_from_foreign_cwd(tmp_path):
+    """Driver-env regression: module-level applyInPandas kernels pickle
+    BY REFERENCE, so Python workers must import the package themselves.
+    Run the entry contract in a subprocess whose cwd is NOT the repo
+    root — without configure_session's addPyFile shipping, the worker
+    dies with ModuleNotFoundError (reproduced round 3 from /tmp)."""
+    import subprocess
+    import sys
+
+    script = """
+import importlib.util
+from pyspark.sql import SparkSession
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py")
+ent = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ent)
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# a query whose kernel is a module-level applyInPandas function
+df = ent.queries()["q_stateful_session_processor"](
+    spark, "/root/testdata/sf0.001")
+print("ROWS", df.count())
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),  # decisively NOT the repo root
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k not in ("PYTHONPATH",)
+        },
+    )
+    assert "ROWS" in out.stdout, out.stderr[-2000:]
