@@ -148,3 +148,37 @@ def q_window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_window_distribution_fns",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WHERE o_orderkey < 1000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def q_window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytic functions (percent_rank / cume_dist /
+    ntile) — the §2.8 family beyond ranking. The window orders on
+    (price, key) so ties can't make ntile/cume_dist assignment
+    engine-dependent; the rational outputs are rounded to absorb
+    last-ulp division differences."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1000
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderkey")

@@ -101,6 +101,8 @@ _WINDOW_PRIORITY = (
     "q_time_rollup_hierarchy",
     "q_join_range_bucketed",
     "q_join_asof_tolerance",
+    "q_agg_mode",
+    "q_window_distribution_fns",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
