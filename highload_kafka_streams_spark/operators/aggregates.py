@@ -423,3 +423,70 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_agg_corr_cov",
+    oracle="""
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM f GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             9) AS corr_qty_price,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1),
+             4) AS covar_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def q_agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bivariate statistics: corr/covar from EXACT int64
+    power sums (quantity is integral; price rounded to whole units so
+    Σy² stays inside int64 at any group size the fixtures reach), then
+    ONE fixed-order double expression — never the engine-native
+    ``corr``/``covar_samp``, whose one-pass float accumulation is
+    partition-order-dependent and can't hash-match across engines. The
+    same trick q_agg_stats_moments uses, extended to cross terms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") + 0.5).cast("long").alias("y"),
+    )
+    s = f.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - sy_d * F.col("sy"))
+    )
+    cov = (F.col("sxy").cast("double") - sx_d * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 9).alias("corr_qty_price"),
+        F.round(cov, 4).alias("covar_qty_price"),
+    ).orderBy("l_returnflag")

@@ -74,14 +74,15 @@ _loaded = False
 # so ordering decides which queries get driver evidence each round.
 # Round-3 policy: (a) the three round-2 err rows — now fixed by
 # stringifying their array outputs — lead the window so CORRECTNESS_r03
-# closes the last red §2 rows; (b) the new stateful-session-processor
-# query (first driver-checkable §2.6 evidence) follows; (c) the window is
-# backfilled with the 46 queries whose only green row is from round 1,
-# ordered re-verification-value-first (joins / aggregates / time-windows
-# were touched by the round-2 tie-break & prefix-collision fixes, commit
-# 69c4d88 — re-proving churned code beats re-proving untouched basics);
-# (d) rows-only queries are pinned at the very end via _WINDOW_TAIL so
-# the full ordering is deterministic under any window size.
+# closes the last red §2 rows; (b) every query ADDED this round follows
+# (never driver-checked beats re-checking); (c) the rest of the window
+# backfills with queries whose only green row is from round 1, ordered
+# re-verification-value-first (joins / aggregates / time-windows were
+# touched by the round-2 tie-break & prefix-collision fixes, commit
+# 69c4d88) — later round-3 additions displace the tail of this backfill,
+# which keeps its r1 evidence; (d) rows-only queries are pinned at the
+# very end via _WINDOW_TAIL so the full ordering is deterministic under
+# any window size.
 _WINDOW_PRIORITY = (
     # round-2 driver errs, fixed: array outputs stringified in both engines
     "q_fn_array",
@@ -103,6 +104,7 @@ _WINDOW_PRIORITY = (
     "q_join_asof_tolerance",
     "q_agg_mode",
     "q_window_distribution_fns",
+    "q_agg_corr_cov",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
