@@ -490,3 +490,42 @@ def q_agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 9).alias("corr_qty_price"),
         F.round(cov, 4).alias("covar_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_hll_mergeable",
+    oracle="""
+SELECT event_type, TRUE AS merge_equals_direct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability — THE property that makes approximate
+    distinct-counting re-aggregable at 100 TB: per-day partial HLL
+    sketches unioned per event_type must estimate exactly what one
+    direct per-type sketch estimates (same sketch algebra, so equality
+    is exact, not approximate). The oracle pins the invariant (TRUE per
+    group present in the data); Spark computes both sides for real via
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate. This is the
+    continuous-aggregate pattern: store tiny daily sketches, answer
+    any-time-range distinct queries by union — never rescan raw data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d_est")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_est")
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            (F.col("d_est") == F.col("m_est")).alias("merge_equals_direct"),
+        )
+        .orderBy("event_type")
+    )

@@ -105,6 +105,7 @@ _WINDOW_PRIORITY = (
     "q_agg_mode",
     "q_window_distribution_fns",
     "q_agg_corr_cov",
+    "q_agg_hll_mergeable",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
