@@ -383,6 +383,10 @@ def quantize_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     hashable aggregates of them (driver canon takes no array columns).
     Each stage materializes its array before lambdas touch it."""
     other = [c for c in df.columns if c != emb_col]
+    if "emb" in other:  # staging alias must not shadow a real column
+        raise ValueError(
+            "quantize_embeddings: rename the existing 'emb' column first"
+        )
     staged = df.select(*other, F.col(emb_col).alias("emb"))
     xd = lambda x: x.cast("double")  # noqa: E731
     max_abs = F.greatest(
