@@ -147,3 +147,61 @@ def test_quantize_embeddings_api(spark):
     assert rows[1]["qv"] == [64, -127, 32]  # 0.5/1*127+0.5 floor = 64
     assert rows[2]["qv"] == [0, 0, 0]  # zero vector: guarded scale
     assert all(-127 <= q <= 127 for q in rows[1]["qv"])
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_smoke):
+    """ANN quality gate: the LSH candidate set's top-10 must recover a
+    meaningful share of the exact top-10 (random-hyperplane LSH on
+    random 64-dim data is approximate — assert a floor, not equality;
+    the floor is far above chance: 10 random picks of ~N would overlap
+    the true top-10 by < 1 with high probability). Also: every ANN hit
+    must carry the EXACT cosine (re-rank is exact inside candidates)."""
+    from highload_kafka_streams_spark.registry import get_queries
+
+    qs = get_queries()
+    exact = qs["q_similarity_topk_cosine"](spark, sf_smoke).collect()
+    ann = qs["q_similarity_ann_lsh"](spark, sf_smoke).collect()
+    assert len(ann) > 0
+    exact_by_id = {r["vec_id"]: r["cos_sim"] for r in exact}
+    overlap = [r for r in ann if r["vec_id"] in exact_by_id]
+    assert len(overlap) >= 3, (
+        f"LSH top-{len(ann)} recovered only {len(overlap)} of exact top-10"
+    )
+    for r in overlap:  # exact re-rank: scores must match to the bit
+        assert abs(r["cos_sim"] - exact_by_id[r["vec_id"]]) < 1e-12
+
+
+def test_ivf_probe_is_exact_within_list(spark, sf_smoke):
+    """IVF probes ONE inverted list: its results must equal the exact
+    brute-force top-k restricted to that probed label — the approximation
+    is the list choice, never the scoring."""
+    import pyspark.sql.functions as F2
+
+    from highload_kafka_streams_spark.io import load_table as lt
+    from highload_kafka_streams_spark.llm.similarity import cosine
+    from highload_kafka_streams_spark.registry import get_queries
+
+    got = get_queries()["q_similarity_ivf"](spark, sf_smoke).collect()
+    assert len(got) > 0
+    probe_label = got[0]["label"]
+    assert all(r["label"] == probe_label for r in got)
+    emb = lt(spark, sf_smoke, "embeddings")
+    qvec = F2.broadcast(
+        emb.filter(F2.col("vec_id") == 0).select(
+            F2.col("embedding").alias("qe")
+        )
+    )
+    want = (
+        emb.filter(
+            (F2.col("label") == probe_label) & (F2.col("vec_id") != 0)
+        )
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            cosine(F2.col("embedding"), F2.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F2.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
