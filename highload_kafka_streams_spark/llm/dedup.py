@@ -408,3 +408,112 @@ def q_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "bucket_s")
         .orderBy("event_id")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation. Returns
+    (doc_id, cluster_root) for every doc that appears in a pair; the
+    root (cluster minimum doc_id) is the canonical survivor — dedup
+    keeps one root per cluster instead of dropping one side of each
+    pair (pairwise dropping over-deletes on transitive chains A~B~C).
+
+    Iterative-algorithm shape: the DRIVER controls the loop (bounded by
+    the component diameter, ≤ max_iter) but every step is a distributed
+    join + aggregate; no data ever reaches the driver — the per-round
+    scalar is a metadata count for convergence. Label propagation
+    halves the longest path each round on typical graphs; dedup
+    clusters are near-cliques, so 2-3 rounds converge. At 100 TB this
+    is the standard large-scale CC recipe (the alternating-algorithm
+    family); checkpoint every few rounds to cut lineage."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("u").alias("root"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("root").alias("nb_root"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc_id == nb.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("root"), F.coalesce("nb_root", "root")
+                ).alias("root"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("root").alias("cluster_root"))
+
+
+_NGRAM_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(
+           list_transform(
+             range(len(string_split(text,' ')) - 2),
+             i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+           ))) AS grams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+),
+base AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= 0.5
+)
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_NGRAM_PAIRS_SQL
+    + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_root
+FROM (
+  WITH RECURSIVE reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  ) SELECT u, v FROM reach
+) t
+GROUP BY u
+ORDER BY doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from the exact n-gram-Jaccard pairs: iterative
+    distributed connected components (min-label propagation) checked
+    against DuckDB's RECURSIVE transitive closure — the one genuinely
+    iterative algorithm in the surface, driver-checkable because both
+    engines agree on the fixpoint."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return duplicate_clusters(pairs).orderBy("doc_id")

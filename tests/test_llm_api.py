@@ -205,3 +205,38 @@ def test_ivf_probe_is_exact_within_list(spark, sf_smoke):
         .collect()
     )
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Distributed min-label CC must equal a reference union-find on an
+    adversarial graph: a chain (transitive closure depth), a triangle,
+    an isolated pair — pairwise-dropping logic would over- or
+    under-delete on the chain."""
+    from highload_kafka_streams_spark.llm.dedup import duplicate_clusters
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain -> root 1
+        (10, 11), (11, 12), (10, 12),        # triangle -> root 10
+        (20, 21),                            # pair -> root 20
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["cluster_root"])
+        for r in duplicate_clusters(df).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
