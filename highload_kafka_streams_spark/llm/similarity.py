@@ -403,3 +403,70 @@ def quantize_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     return staged.select(
         *other, "max_abs", qv.alias("qv"), sq.alias("sq")
     )
+
+
+def cosine_top_k_batch(
+    emb: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass — the
+    offline serving shape (score Q queries against the corpus at once).
+    ``queries`` is (query_id, qe). The whole query set broadcasts (Q
+    vectors are index-metadata-sized); the corpus is scanned ONCE for
+    all queries; the per-query top-k is a window rank over rows
+    partitioned by query_id — the single shuffle carries corpus×Q
+    scored rows pruned to (ids, score). Rank ties break on vec_id so
+    the result is deterministic."""
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cos_sim")
+    )
+
+
+@query(
+    "q_similarity_topk_batch",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE e.vec_id >= 3
+  GROUP BY q.query_id, e.vec_id, e.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, label, cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-5 for three query vectors in one corpus pass (fixed-
+    point dot product keeps the scores bit-identical across engines,
+    same as q_similarity_topk_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return cosine_top_k_batch(
+        emb.filter(F.col("vec_id") >= 3), queries, k=5
+    ).orderBy("query_id", "rank")

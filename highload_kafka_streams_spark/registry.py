@@ -107,6 +107,7 @@ _WINDOW_PRIORITY = (
     "q_agg_corr_cov",
     "q_agg_hll_mergeable",
     "q_dedup_clusters",
+    "q_similarity_topk_batch",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
