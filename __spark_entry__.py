@@ -3,7 +3,7 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
 / ``oracle_sql()`` expose the full registry (one entry per implemented
 SURVEY.md §2 operator plus the LLM-pipeline extensions; round 3:
-120 queries, 112 oracle-backed) for the DuckDB-oracle correctness gate.
+122 queries, 114 oracle-backed) for the DuckDB-oracle correctness gate.
 Ordering is driver-facing (registry._WINDOW_PRIORITY / _WINDOW_TAIL):
 never-verified and this-round-changed queries lead the checked prefix;
 rows-only queries sort last.
