@@ -407,6 +407,7 @@ def asof_join(
     key: str,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    right_tiebreak: str | None = None,
 ):
     """As-of join: for each left row, the single latest right row with
     ``right.ts <= left.ts`` on the same key (NULLs when none) — the
@@ -419,16 +420,23 @@ def asof_join(
     |left|+|right| and skew-bounded by the key, where the naive
     range-join candidate set is |left|×|right| per key.
 
-    ``right`` must be unique per (key, right_ts); pre-dedupe ties or
-    the matched row is undefined. ALL right value columns come back
-    prefixed ``r_<col>`` (not just the timestamp), so collisions with
-    left column names cannot produce duplicate output columns.
+    Right-side ties at the same (key, ts): pass ``right_tiebreak`` (a
+    right column name) and the MAX-tiebreak row wins deterministically
+    — resolved INSIDE the merge sort, so the right side needs no
+    dedup pre-aggregation (one whole shuffle saved). Without it,
+    ``right`` must be unique per (key, right_ts) or the matched row is
+    undefined. ALL right value columns come back prefixed ``r_<col>``
+    (not just the timestamp), so collisions with left column names
+    cannot produce duplicate output columns.
     """
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
+        (
+            F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+        ).alias("__tb"),
         F.struct(
             F.col(right_ts).alias(f"r_{right_ts}"),
             *[F.col(c).alias(f"r_{c}") for c in rcols],
@@ -440,13 +448,16 @@ def asof_join(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
+        F.lit(0).cast(r_tag.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r_tag.schema["__rval"].dataType).alias("__rval"),
         *[F.col(c) for c in left.columns if c != key],
     )
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → "<=" semantics;
+    # ascending tiebreak among equal-ts right rows → last() carries the
+    # MAX-tiebreak row (left rows' __tb is inert: their __rval is null)
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", "__tb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_tag.unionByName(l_tag).withColumn(
@@ -484,22 +495,27 @@ ORDER BY click_id
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click enriched with the user's latest at-or-before purchase
-    (oracle: DuckDB's native ASOF LEFT JOIN). Right side deduped per
-    (user, ts) with max_by so ties are deterministic in both engines."""
+    (oracle: DuckDB's native ASOF LEFT JOIN over the max_by-deduped
+    right side). Ties at (user, ts) resolve to the max purchase_id
+    INSIDE the merge window (right_tiebreak) — no dedup pre-aggregation,
+    so the purchases side contributes zero extra shuffles."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("purchase_id"),
-            F.expr("max_by(value, event_id)").alias("p_value"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
     )
     return asof_join(
-        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts"
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="c_ts",
+        right_ts="ts",
+        right_tiebreak="purchase_id",
     ).orderBy("click_id")
 
 
@@ -610,13 +626,16 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("c_ts"),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("purchase_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
     joined = asof_join(
-        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="ts"
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="c_ts",
+        right_ts="ts",
+        right_tiebreak="purchase_id",
     )
     fresh = F.col("c_ts").cast("long") - F.col("r_ts").cast("long") <= 7200
     return joined.select(
