@@ -77,15 +77,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # document frequency from the tf table (one row per doc×token), not a
-    # second explode over raw tokens: count(*) here IS count(distinct doc)
-    # and the expensive token-level shuffle happens once instead of twice
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # document frequency as a WINDOW count over the tf table (one row per
+    # doc×token, so count(*) per token IS count(distinct doc)): one token
+    # shuffle total, where a separate groupBy + join back would shuffle
+    # the tf table by token twice
+    from pyspark.sql.window import Window
+
+    df_over_token = F.count("*").over(Window.partitionBy("token"))
     # corpus size as an in-plan broadcast 1-row aggregate (no driver-side
     # scalar action — the whole query stays one job)
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(df, "token")
+        tf.withColumn("df", df_over_token)
         .filter((F.col("doc_id") < 20) & (F.col("df") >= 2))
         .crossJoin(F.broadcast(n))
         .select(
