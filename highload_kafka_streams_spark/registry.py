@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.llm.dedup",
     "highload_kafka_streams_spark.llm.similarity",
     "highload_kafka_streams_spark.llm.text",
+    "highload_kafka_streams_spark.llm.packing",
     "highload_kafka_streams_spark.llm.multimodal",
 )
 
@@ -108,6 +109,9 @@ _WINDOW_PRIORITY = (
     "q_agg_hll_mergeable",
     "q_dedup_clusters",
     "q_similarity_topk_batch",
+    "q_shard_packing",
+    "q_dedup_chunks",
+    "q_text_boilerplate",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
