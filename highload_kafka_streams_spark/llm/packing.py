@@ -16,6 +16,10 @@ Three pipeline stages a 100 TB pre-training corpus needs between
 - **Boilerplate fraction** — per-document share of chunks that are
   duplicated elsewhere in the corpus; documents dominated by shared
   passages get flagged for removal.
+- **Corpus shuffle** — a deterministic global permutation (training
+  order) as a distributed row_number over md5(doc_id) order: the hash
+  prefix IS the bucket, so bucket order + within-bucket order compose
+  into the exact global hash order without a single-task window.
 """
 
 from __future__ import annotations
@@ -40,6 +44,15 @@ BUCKET_DOCS = 64
 
 # Token budget per training shard.
 SHARD_TOKENS = 2000
+
+# Hex chars of the md5 prefix used as the shuffle bucket: 2 → 256
+# buckets (plenty at test scale); at 100 TB use 4 (65 536 buckets) so
+# each bucket's window task holds ~corpus/65k rows. Uniform by
+# construction — md5 prefixes don't skew.
+SHUFFLE_PREFIX_HEX = 2
+
+# Documents per output training file in the shuffled order.
+SHUFFLE_FILE_DOCS = 128
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -144,6 +157,89 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+def shuffle_positions(
+    docs: DataFrame, prefix_hex: int = SHUFFLE_PREFIX_HEX
+) -> DataFrame:
+    """(doc_id, pos) — the document's 0-based position in a
+    deterministic global shuffle ordered by ``(md5(doc_id), doc_id)``.
+
+    A naive ``row_number() OVER (ORDER BY md5(...))`` funnels the corpus
+    through one task. Instead the hash's own prefix partitions the sort:
+    md5 strings are fixed-length lowercase hex, so lexicographic order
+    over the full digest equals (numeric prefix order, then full-digest
+    order within a prefix). Per-bucket counts give exact global offsets
+    via a window over the tiny 16^prefix_hex-row bucket table; a
+    within-bucket row_number finishes the permutation. Every stage's
+    per-task work is bounded by bucket size.
+    """
+    keyed = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("skey", 1, int(prefix_hex)), 16, 10).cast("bigint"),
+    )
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn("pos", (F.col("offset") + rn - F.lit(1)).cast("bigint"))
+        .select("doc_id", "pos")
+    )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS BIGINT) AS pos
+  FROM documents
+)
+SELECT doc_id, pos,
+       CAST(pos // {SHUFFLE_FILE_DOCS} AS BIGINT) AS out_file
+FROM p
+ORDER BY doc_id
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle: every document's
+    global position and output-file assignment. The oracle states the
+    semantics as one global window; the engine computes the identical
+    permutation distributed (see :func:`shuffle_positions`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shuffle_positions(d)
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"CAST(pos div {SHUFFLE_FILE_DOCS} AS BIGINT)").alias(
+                "out_file"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

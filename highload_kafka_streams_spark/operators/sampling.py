@@ -142,3 +142,74 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def mixture_balance_cuts(df: DataFrame, class_col: str) -> DataFrame:
+    """(class, n_docs, cut) — per-class hash-bucket cutoffs that
+    downsample every class toward the smallest class's size.
+
+    ``cut = floor(N_BUCKETS * min_n / n_class)`` keeps ~min_n documents
+    of each class (the smallest class keeps everything, cut=N_BUCKETS).
+    Rates are DERIVED from corpus statistics — one cheap single-column
+    aggregation — then broadcast back; the corpus itself is never
+    shuffled and the kept-set is reproducible under any partitioning.
+    This is the scale form of mixture rebalancing: an exact-k variant
+    would need a per-class global rank (a skew-prone shuffle of the
+    whole corpus when classes are few); hash-rate selection is
+    embarrassingly parallel and deterministic, at the cost of keeping
+    ~min_n rather than exactly min_n per class.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("mn"))
+    return (
+        counts.crossJoin(F.broadcast(mn))
+        .withColumn(
+            "cut", F.expr(f"CAST(({N_BUCKETS} * mn) div n_docs AS BIGINT)")
+        )
+        .select(class_col, "n_docs", "cut")
+    )
+
+
+@query(
+    "q_sample_mixture_balance",
+    oracle=f"""
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, n_docs,
+         CAST(({N_BUCKETS} * (SELECT min(n_docs) FROM c)) // n_docs
+              AS BIGINT) AS cut
+  FROM c
+),
+b AS (
+  SELECT d.doc_id, d.source,
+         CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3))
+              AS BIGINT) AS bucket
+  FROM documents d
+)
+SELECT r.source, r.n_docs, r.cut,
+       count(*) FILTER (WHERE b.bucket < r.cut) AS n_kept,
+       min(b.doc_id) FILTER (WHERE b.bucket < r.cut) AS min_kept_doc
+FROM b JOIN r USING (source)
+GROUP BY r.source, r.n_docs, r.cut
+ORDER BY r.source
+""",
+)
+def q_sample_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: derive per-source sampling rates from the
+    corpus's own source distribution (downsample toward the smallest
+    source), apply them content-keyed, report kept counts per source."""
+    d = load_table(spark, sf_dir, "documents")
+    cuts = mixture_balance_cuts(d, "source")
+    kept = F.col("bucket") < F.col("cut")
+    return (
+        d.withColumn("bucket", hash_bucket(F.col("doc_id")).cast("bigint"))
+        .join(F.broadcast(cuts), "source")
+        .groupBy("source", "n_docs", "cut")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("min_kept_doc"),
+        )
+        .orderBy("source")
+    )

@@ -112,6 +112,8 @@ _WINDOW_PRIORITY = (
     "q_shard_packing",
     "q_dedup_chunks",
     "q_text_boilerplate",
+    "q_corpus_shuffle",
+    "q_sample_mixture_balance",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",

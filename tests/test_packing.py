@@ -83,3 +83,41 @@ def test_boilerplate_broadcasts_shared_chunk_set(spark, sf_smoke):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_shuffle_positions_prefix_invariant_permutation(spark, sf_smoke):
+    """The distributed hash-order row_number must (a) be a permutation
+    of 0..N-1 and (b) agree for any bucket-prefix width (1 hex char =
+    16 buckets through 3 = 4096; wider prefixes only shrink buckets,
+    never change the composed global order)."""
+    from highload_kafka_streams_spark.llm.packing import shuffle_positions
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = {
+        (r["doc_id"], r["pos"])
+        for r in shuffle_positions(docs, prefix_hex=2).collect()
+    }
+    n = docs.count()
+    assert sorted(p for _, p in base) == list(range(n))
+    for ph in (1, 3):
+        got = {
+            (r["doc_id"], r["pos"])
+            for r in shuffle_positions(docs, prefix_hex=ph).collect()
+        }
+        assert got == base, ph
+
+
+def test_mixture_balance_keeps_smallest_class_whole(spark, sf_smoke):
+    """The smallest source's cut is the full bucket range (keeps all),
+    and every class's kept count is <= its doc count."""
+    from highload_kafka_streams_spark.operators.sampling import N_BUCKETS
+    from highload_kafka_streams_spark.registry import get_queries
+
+    rows = get_queries()["q_sample_mixture_balance"](
+        spark, sf_smoke
+    ).collect()
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    assert smallest["cut"] == N_BUCKETS
+    assert smallest["n_kept"] == smallest["n_docs"]
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
