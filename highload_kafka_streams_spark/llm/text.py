@@ -633,3 +633,71 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination"),
         (F.col("n_contaminated") > 0).alias("is_contaminated"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_ngram_topk",
+    oracle="""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(toks[i : i + 2], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+c AS (
+  SELECT gram, md5(gram) AS gram_md5,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occ
+  FROM g GROUP BY gram
+)
+SELECT gram, gram_md5, n_docs, n_occ
+FROM c
+ORDER BY n_occ DESC, gram_md5
+LIMIT 20
+""",
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent word trigrams — the LM-analysis
+    frequency table. Scale shape: counting groups on the 16-byte md5
+    digest computed map-side, so the shuffle never carries gram text;
+    only the 20 winning digests join back (broadcast) against a second
+    gram pass to recover their text. Ties at the cut rank break on the
+    digest, which both engines can order identically at selection time
+    (a raw-text tie-break would need the text in the shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    idx = F.sequence(F.lit(0), F.size("toks") - 3)
+    gram_col = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3)))
+    ).alias("gram")
+
+    digests = staged.select("doc_id", gram_col).select(
+        "doc_id", F.md5("gram").alias("gram_md5")
+    )
+    topk = (
+        digests.groupBy("gram_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .orderBy(F.col("n_occ").desc(), "gram_md5")
+        .limit(20)
+    )
+    texts = (
+        staged.select(gram_col)
+        .withColumn("gram_md5", F.md5("gram"))
+        .join(F.broadcast(topk), "gram_md5")
+        .groupBy("gram_md5", "n_docs", "n_occ")
+        .agg(F.min("gram").alias("gram"))
+    )
+    return texts.select("gram", "gram_md5", "n_docs", "n_occ").orderBy(
+        F.col("n_occ").desc(), "gram_md5"
+    )

@@ -1,0 +1,153 @@
+"""Exact distributed selection (k-th order statistic) & histograms.
+
+``ORDER BY value LIMIT 1 OFFSET k`` funnels a 100 TB column through one
+sorting task, and ``percentile(...)`` materializes per-group value
+buffers. Exact selection at scale is a *histogram-selection* algorithm
+instead (the classic distributed quantile approach, same family as
+Spark's own ``approxQuantile`` — but exact):
+
+1. one narrow pass → (count, min, max);
+2. one narrow pass → B equi-width bucket counts (tiny, collected to the
+   driver — the same aggregated-small-data pattern as the langid
+   profiles);
+3. locate the bucket holding rank k from the cumulative counts, then
+   recurse into just that bucket's value range; when the remaining
+   bucket is small (or its range no longer splits, i.e. heavy value
+   duplication), extract the k-th element with a bounded sort-limit.
+
+Every pass is a full-scan *aggregation* (map-side combined); nothing is
+globally sorted and no executor ever holds more than one bucket's worth
+of rows. Multiple ranks (median + p90 below) reuse the same histogram
+passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+N_HIST_BUCKETS = 4096
+
+# Below this many rows the candidate range is extracted with a
+# sort-limit instead of recursing; bounds the final task's work.
+EXTRACT_THRESHOLD = 200_000
+
+_MAX_DEPTH = 8
+
+
+def kth_smallest(
+    df: DataFrame,
+    col: str,
+    k: int,
+    buckets: int = N_HIST_BUCKETS,
+    extract_threshold: int = EXTRACT_THRESHOLD,
+) -> float:
+    """Exact k-th smallest (1-based) value of ``df[col]`` via iterative
+    histogram selection. Values must be non-null."""
+    if k < 1:
+        raise ValueError(f"rank must be >= 1, got {k}")
+    v = F.col(col)
+    lo_hi = df.agg(
+        F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi")
+    ).first()
+    n, lo, hi = lo_hi["n"], lo_hi["lo"], lo_hi["hi"]
+    if k > n:
+        raise ValueError(f"rank {k} > row count {n}")
+
+    scoped, rank = df, k
+    for _ in range(_MAX_DEPTH):
+        if lo == hi or n <= extract_threshold:
+            break
+        width = (hi - lo) / buckets
+        # least() clamps value==hi into the last bucket; the SAME
+        # expression scopes the recursion filter, so boundary rounding
+        # can never lose the target rank between passes.
+        bucket = F.least(
+            F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(buckets - 1)
+        )
+        hist = (
+            scoped.groupBy(bucket.alias("b"))
+            .agg(F.count(v).alias("c"), F.min(v).alias("bmin"),
+                 F.max(v).alias("bmax"))
+            .orderBy("b")
+            .collect()
+        )
+        cum = 0
+        for row in hist:
+            if cum + row["c"] >= rank:
+                scoped = scoped.filter(bucket == row["b"])
+                rank -= cum
+                n, lo, hi = row["c"], row["bmin"], row["bmax"]
+                break
+            cum += row["c"]
+    if lo == hi:
+        return lo
+    # bounded extraction: rank-th of the remaining candidates
+    return (
+        scoped.select(v.alias("x"))
+        .orderBy("x")
+        .limit(rank)
+        .agg(F.max("x"))
+        .first()[0]
+    )
+
+
+@query(
+    "q_select_exact_quantiles",
+    oracle="""
+WITH o AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events
+),
+n AS (SELECT count(*) AS n_rows FROM events)
+SELECT n.n_rows,
+       (SELECT value FROM o WHERE rn = (n.n_rows + 1) // 2) AS median,
+       (SELECT value FROM o
+         WHERE rn = (9 * n.n_rows + 9) // 10) AS p90
+FROM n
+""",
+)
+def q_select_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median and p90 of ``events.value`` by histogram selection —
+    no global sort, no per-group value buffers; the oracle states the
+    semantics as a rank lookup over the totally-ordered column. The
+    outputs are exact data elements (no arithmetic), so they hash-match
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    med = kth_smallest(e, "value", (n + 1) // 2)
+    p90 = kth_smallest(e, "value", (9 * n + 9) // 10)
+    return spark.createDataFrame(
+        [(n, float(med), float(p90))], "n_rows bigint, median double, p90 double"
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 50) — the one-pass,
+    map-side-combined shape of the selection algorithm's inner loop."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.llm.similarity",
     "highload_kafka_streams_spark.llm.text",
     "highload_kafka_streams_spark.llm.packing",
+    "highload_kafka_streams_spark.operators.selection",
     "highload_kafka_streams_spark.llm.multimodal",
 )
 
@@ -114,6 +115,9 @@ _WINDOW_PRIORITY = (
     "q_text_boilerplate",
     "q_corpus_shuffle",
     "q_sample_mixture_balance",
+    "q_select_exact_quantiles",
+    "q_agg_histogram",
+    "q_text_ngram_topk",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
