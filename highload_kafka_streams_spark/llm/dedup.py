@@ -13,6 +13,9 @@ Tiers:
   hash seeds are engine-specific → rows-only check
 - SimHash — 64-bit bit-vote fingerprint, Hamming-adjacent buckets;
   rows-only for the same reason
+- portable md5 twins (``q_dedup_minhash_md5``/``q_dedup_simhash_md5``)
+  — same algorithms drawn from an md5 hash family DuckDB reproduces
+  digest-for-digest, so the sketch pipeline itself is oracle-checked
 """
 
 from __future__ import annotations
@@ -517,3 +520,235 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree on the fixpoint."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
     return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+# Portable hash family for the oracle-backed sketch variants below:
+# h_p(x) = md5(p || ':' || x), compared LEXICOGRAPHICALLY as hex text.
+# Both engines compute the identical digest, so signatures — not just
+# verified outputs — are bit-equal cross-engine, which upgrades the
+# sketch algorithms themselves from rows-only to hash-checked.
+N_PERM_MD5 = 8
+N_BANDS_MD5 = 4  # 2 rows/band; P(candidate) = 1-(1-j^2)^4
+
+
+@query(
+    "q_dedup_minhash_md5",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')))) AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+m AS (
+  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || gram)) AS mh
+  FROM g, unnest(generate_series(0, 7)) AS pp(p)
+  GROUP BY doc_id, p
+),
+sig AS (SELECT doc_id, list(mh ORDER BY p) AS s FROM m GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, md5(s[2*b+1] || s[2*b+2]) AS bucket
+  FROM sig, unnest(generate_series(0, 3)) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+         / (len(sa.grams) + len(sb.grams)
+            - len(list_intersect(sa.grams, sb.grams))) AS jaccard
+FROM cand c
+JOIN sh sa ON c.doc_a = sa.doc_id
+JOIN sh sb ON c.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+        / (len(sa.grams) + len(sb.grams)
+           - len(list_intersect(sa.grams, sb.grams))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a PORTABLE hash family — the
+    driver-checkable twin of ``q_dedup_minhash_lsh``. The performance
+    path keeps seeded xxhash64 (rows-only); this variant draws each
+    permutation from md5(p || ':' || gram) with lexicographic hex-text
+    mins, which DuckDB reproduces digest-for-digest, so the ORACLE
+    covers the full sketch pipeline (signatures -> bands -> candidate
+    self-join -> exact-Jaccard verify), not just the verified output.
+
+    Plan shape is identical to the scale path: signatures are pure
+    per-row projections (zero shuffles before banding — 8 array_min
+    projections over one materialized gram array), the banded table is
+    persisted narrow, and only candidate pairs are re-shingled."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # materialized projection stage: the 8 permutation lambdas must
+    # iterate an attribute ref, not re-run shingling (see shingles())
+    gr = tok_df.select(
+        "doc_id", shingles(F.col("toks"), 3).alias("grams")
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("grams"), (lambda p: lambda g: F.md5(F.concat(F.lit(f"{p}:"), g)))(p)
+            )
+        ).alias(f"m{p}")
+        for p in range(N_PERM_MD5)
+    ]
+    sig = gr.select("doc_id", *mins)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS_MD5)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded.persist()
+    banded.count()  # materialize before the self-join (see minhash_near_duplicates)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verify on candidate pairs only: join back the raw TEXT (narrow) and
+    # shingle just the joined rows — the corpus is never re-shingled
+    txt = d.select("doc_id", "text")
+    ta, tb = txt.alias("ta"), txt.alias("tb")
+    pairs = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.split(F.col("ta.text"), " ").alias("toks_a"),
+            F.split(F.col("tb.text"), " ").alias("toks_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            shingles(F.col("toks_a"), 3).alias("grams_a"),
+            shingles(F.col("toks_b"), 3).alias("grams_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_simhash_md5",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+bits AS (
+  SELECT doc_id, j, k,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(token), j, 1)) - 1) >> k) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok,
+       unnest(generate_series(1, 16)) AS jj(j),
+       unnest(generate_series(0, 3)) AS kk(k)
+  GROUP BY doc_id, j, k
+),
+nib AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN v > 0 THEN 1 << k ELSE 0 END) AS digit
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(digit AS INT) + 1, 1),
+                  '' ORDER BY j) AS simhash_hex,
+       substr(string_agg(substr('0123456789abcdef', CAST(digit AS INT) + 1, 1),
+                         '' ORDER BY j), 1, 4) AS block4
+FROM nib
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with a PORTABLE bit source — the
+    driver-checkable twin of ``q_dedup_simhash``. The 64 fingerprint
+    bits come from the first 16 hex nibbles of md5(token), so DuckDB
+    reproduces the exact fingerprint (the xxhash64 variant stays
+    rows-only). Per-token term-frequency-weighted bit votes, one
+    shuffle on doc_id, fingerprint re-assembled as hex TEXT (the
+    checked output stays container-free and engine-neutral — no int64
+    sign trouble with bit 63). ``block4`` is the 16-bit Hamming
+    blocking prefix the candidate pass would bucket on."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h16", F.substring(F.md5("token"), 1, 16))
+    # materialize the 16 nibble values once per token; the 64 vote
+    # aggregates then reference plain int columns
+    nibs = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h16", j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{j}"), k).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}_{k}")
+        for j in range(16)
+        for k in range(4)
+    ]
+    voted = nibs.groupBy("doc_id").agg(*votes)
+    hexchars = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    digits = [
+        sum(
+            F.when(F.col(f"v{j}_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(4)
+        ).alias(f"digit{j}")
+        for j in range(16)
+    ]
+    withd = voted.select("doc_id", *digits)
+    fp = F.concat(
+        *[F.element_at(hexchars, F.col(f"digit{j}") + 1) for j in range(16)]
+    )
+    return (
+        withd.select("doc_id", fp.alias("simhash_hex"))
+        .withColumn("block4", F.substring("simhash_hex", 1, 4))
+        .orderBy("doc_id")
+    )
