@@ -12,7 +12,9 @@ Three tiers over ``embeddings`` (``array<float>``, 64-dim):
 - LSH-bucketed ANN — random-hyperplane signatures (seeded, engine-
   deterministic) restrict candidates to the query's bucket; the 100 TB
   path where even per-bucket linear scan is too big. Rows-only check
-  (hash-seeded hyperplanes are engine-specific).
+  (hash-seeded hyperplanes are engine-specific); ``q_similarity_ann_md5``
+  is the oracle-backed twin (md5-parity ±1 planes, fixed-point dots —
+  the full signature→probe→re-rank pipeline is hash-checked vs DuckDB).
 
 All arithmetic stays in JVM whole-stage codegen (higher-order array
 functions) — no Python in the scoring loop.
@@ -470,3 +472,124 @@ def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_top_k_batch(
         emb.filter(F.col("vec_id") >= 3), queries, k=5
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q_similarity_ann_md5",
+    oracle=f"""
+WITH fx AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+w AS (
+  SELECT p.p AS plane, d.d AS dim,
+         CASE WHEN ((strpos('0123456789abcdef',
+                substr(md5(CAST(p.p AS VARCHAR) || ':'
+                           || CAST(d.d AS VARCHAR)), 1, 1)) - 1) & 1) = 1
+              THEN 1 ELSE -1 END AS w
+  FROM (SELECT unnest(range(0, 16)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+),
+dots AS (
+  SELECT fx.vec_id, w.plane, sum(fx.q * w.w) AS dot
+  FROM fx JOIN w ON fx.dim - 1 = w.dim
+  GROUP BY fx.vec_id, w.plane
+),
+buckets AS (
+  SELECT vec_id, plane // 4 AS band,
+         sum(CASE WHEN dot >= 0 THEN 1 << (plane % 4) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, plane // 4
+),
+qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q,
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_similarity_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a PORTABLE hyperplane family — the driver-checkable twin
+    of ``q_similarity_ann_lsh``. Hyperplane components are ±1 drawn from
+    the parity of md5's first nibble (Charikar sign-random-projection
+    with Rademacher planes), and every dot product is an int64 sum of
+    fixed-point terms — order-independent, so BOTH the signature bits
+    and the re-ranked cosines are bit-equal cross-engine and the oracle
+    covers the full ANN pipeline (signatures -> banded buckets ->
+    candidate probe -> exact re-rank), not just row counts.
+
+    Same plan shape as the scale path: flat posexplode × broadcast
+    weight join (whole-stage codegen, map-side combine), persisted
+    narrow bucket table, OR-amplified probe of 4 buckets."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wrows = [
+        (
+            p,
+            d,
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1
+            else -1,
+        )
+        for p in range(N_PLANES)
+        for d in range(64)
+    ]
+    weights = spark.createDataFrame(wrows, "plane int, dim int, w long")
+
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    fxq = F.floor(F.col("x").cast("double") * SCALE + 0.5).cast("long")
+    dots = (
+        dims.select("vec_id", "dim", fxq.alias("q"))
+        .join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("dot"))
+    )
+    buckets = (
+        dots.selectExpr(
+            "vec_id",
+            f"CAST(plane / {BITS_PER_BAND} AS INT) AS band",
+            f"shiftleft(CAST(CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS LONG),"
+            f" CAST(plane % {BITS_PER_BAND} AS INT)) AS bit",
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    buckets = buckets.persist()
+    buckets.count()
+
+    qb = F.broadcast(
+        buckets.filter(F.col("vec_id") == 0).select(
+            F.col("band").alias("qband"), F.col("bucket").alias("qbucket")
+        )
+    )
+    cand = (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(
+            qb,
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    return cosine_top_k(emb.join(cand, "vec_id"), qvec, k=10)
