@@ -593,3 +593,113 @@ def q_similarity_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe")
     )
     return cosine_top_k(emb.join(cand, "vec_id"), qvec, k=10)
+
+
+@query(
+    "q_similarity_ivf_fx",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dims AS (
+  SELECT label, i.i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+           AS fx
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+cent AS (
+  SELECT label, dim, SUM(fx) / 1e12 / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+),
+cscore AS (
+  SELECT cent.label,
+         SUM(CAST(FLOOR(cent.c * CAST(q.qe[cent.dim + 1] AS DOUBLE) * 1e12
+                        + 0.5) AS BIGINT)) / 1e12 AS dq,
+         SUM(CAST(FLOOR(cent.c * cent.c * 1e12 + 0.5) AS BIGINT)) / 1e12
+           AS dc
+  FROM cent, q GROUP BY cent.label
+),
+qn AS (
+  SELECT SUM(CAST(FLOOR(CAST(q.qe[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)
+                        * 1e12 + 0.5) AS BIGINT)) / 1e12 AS dqq
+  FROM q, (SELECT unnest(range(1, 65)) AS i) i
+),
+probe AS (
+  SELECT label FROM cscore, qn
+  ORDER BY dq / (sqrt(dc) * sqrt(qn.dqq)) DESC, label LIMIT 1
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e JOIN probe p ON e.label = p.label, q,
+       (SELECT unnest(range(1, 65)) AS i) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_similarity_ivf_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fully fixed-point — the driver-checkable twin of
+    ``q_similarity_ivf``. Centroids stay DOUBLE arrays (no float
+    round-trip): per-(label, dim) means are an exact int64 sum divided
+    in a fixed order (/ SCALE, then / count), and every similarity —
+    query→centroid, centroid norm, and the in-list re-rank — goes
+    through the same fixed-point dot, so the learned quantizer, the
+    probe decision, and the final ranking are all bit-equal
+    cross-engine. Coarse quantizer trains in one narrow
+    explode→groupBy pass; the probe is a broadcast 1-row join; the
+    re-rank scans ONE inverted list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * SCALE + 0.5).cast(
+                        "long"
+                    )
+                )
+                / float(SCALE)
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            "label",
+            F.transform(F.col("dc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    nearest = (
+        cent.crossJoin(qvec)
+        .select(
+            "label",
+            cosine(F.col("centroid"), F.col("qe")).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("probe_label"))
+    )
+    return (
+        emb.join(F.broadcast(nearest), emb.label == F.col("probe_label"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
