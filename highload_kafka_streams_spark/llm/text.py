@@ -701,3 +701,86 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texts.select("gram", "gram_md5", "n_docs", "n_occ").orderBy(
         F.col("n_occ").desc(), "gram_md5"
     )
+
+
+@query(
+    "q_pipeline_curation",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+q AS (
+  SELECT * FROM t
+  WHERE n_tokens >= 5
+    AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12
+),
+dedup AS (
+  SELECT md5(norm) AS norm_md5,
+         min(doc_id) AS keep_doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         count(*) AS n_copies
+  FROM q GROUP BY md5(norm)
+)
+SELECT lang,
+       count(*) AS n_docs_kept,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_dropped,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+FROM dedup
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composite — the pipeline a reference
+    user actually runs, as ONE declarative plan: quality gate (length +
+    avg-token-length heuristics) → canonical normalization →
+    normalized-exact dedup (keep lowest doc_id) → per-language corpus
+    statistics.
+
+    Scale shape: one corpus scan; the only wide exchange groups on the
+    16-byte md5 of the NORMALIZED text (never the text itself); the
+    survivor's (lang, n_tokens) ride along as a struct-min so no
+    join-back to the corpus is needed; the per-language summary
+    aggregates the already-tiny dedup table. Catalyst fuses the
+    filter+normalize into the scan, so adding pipeline stages does not
+    add passes."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(normalized(F.col("text"))).alias("norm_md5"),
+    )
+    quality = staged.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(2, 12)
+    )
+    dedup = quality.groupBy("norm_md5").agg(
+        F.min(F.struct("doc_id", "lang", "n_tokens")).alias("keep"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        dedup.select(
+            F.col("keep.lang").alias("lang"),
+            F.col("keep.n_tokens").alias("n_tokens"),
+            "n_copies",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum(F.col("n_copies") - 1).alias("n_dups_dropped"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -122,6 +122,7 @@ _WINDOW_PRIORITY = (
     "q_dedup_simhash_md5",
     "q_similarity_ann_md5",
     "q_similarity_ivf_fx",
+    "q_pipeline_curation",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
