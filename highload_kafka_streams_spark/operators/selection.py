@@ -151,3 +151,49 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+ACCURACY = 1000  # approx_percentile: rank error <= n / ACCURACY
+
+
+@query(
+    "q_select_approx_invariant",
+    oracle="""
+SELECT count(*) AS n_rows,
+       TRUE AS median_in_bound,
+       TRUE AS p90_in_bound
+FROM events
+""",
+)
+def q_select_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable guarantee for the approximate path: Spark's
+    ``percentile_approx`` (KLL/GK-style sketch — the 100 TB quantile
+    answer when exactness isn't required) must return an element whose
+    RANK INTERVAL [#(<x)+1, #(<=x)] comes within n/ACCURACY of the
+    target rank. The oracle pins the booleans TRUE, so a sketch
+    regression on either engine breaks hash parity (same invariant
+    pattern as the HLL mergeability and 10%-ACD checks). The rank
+    lookup reuses one full-scan aggregation per quantile — no sort."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    row = e.agg(
+        F.count(v).alias("n"),
+        F.percentile_approx(v, 0.5, ACCURACY).alias("amed"),
+        F.percentile_approx(v, 0.9, ACCURACY).alias("ap90"),
+    ).first()
+    n, amed, ap90 = row["n"], row["amed"], row["ap90"]
+    tol = n // ACCURACY + 1
+
+    def rank_in_bound(x: float, k: int) -> bool:
+        r = e.agg(
+            F.sum(F.when(v < x, 1).otherwise(0)).alias("lt"),
+            F.sum(F.when(v <= x, 1).otherwise(0)).alias("le"),
+        ).first()
+        return r["lt"] + 1 <= k + tol and r["le"] >= k - tol
+
+    med_ok = rank_in_bound(amed, (n + 1) // 2)
+    p90_ok = rank_in_bound(ap90, (9 * n + 9) // 10)
+    return spark.createDataFrame(
+        [(n, bool(med_ok), bool(p90_ok))],
+        "n_rows bigint, median_in_bound boolean, p90_in_bound boolean",
+    )

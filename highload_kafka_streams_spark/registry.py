@@ -123,6 +123,7 @@ _WINDOW_PRIORITY = (
     "q_similarity_ann_md5",
     "q_similarity_ivf_fx",
     "q_pipeline_curation",
+    "q_select_approx_invariant",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
