@@ -77,19 +77,23 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # document frequency as a WINDOW count over the tf table (one row per
-    # doc×token, so count(*) per token IS count(distinct doc)): one token
-    # shuffle total, where a separate groupBy + join back would shuffle
-    # the tf table by token twice
-    from pyspark.sql.window import Window
-
-    df_over_token = F.count("*").over(Window.partitionBy("token"))
+    # document frequency by hash-aggregating the tf table (one row per
+    # doc×token, so count(*) per token IS count(distinct doc)). A window
+    # count over token LOOKS like it saves this join's shuffle, but
+    # WindowExec must SORT every partition by token while the hash agg
+    # doesn't, and the doc_id filter can't push below a window — A/B at
+    # sf0.1: window 1.15 s vs groupBy+join 1.01 s warm (7.2 s vs 1.7 s
+    # cold). The filtered tf side is tiny, so AQE broadcasts it into
+    # the join.
+    df = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+    )
     # corpus size as an in-plan broadcast 1-row aggregate (no driver-side
     # scalar action — the whole query stays one job)
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.withColumn("df", df_over_token)
-        .filter((F.col("doc_id") < 20) & (F.col("df") >= 2))
+        tf.filter(F.col("doc_id") < 20)
+        .join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
