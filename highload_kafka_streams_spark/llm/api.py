@@ -168,3 +168,50 @@ def decontaminate(
         .select("doc_id")
     )
     return corpus.join(overlaps, "doc_id", "left_anti")
+
+
+def curate_corpus(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """The standard curation cascade as one declarative plan: quality
+    gate (token count + average token length) → canonical normalization
+    → normalized-exact dedup keeping the lowest doc_id. Returns the
+    surviving corpus rows (original text, all columns). The only wide
+    exchange groups on the 16-byte md5 of the normalized text; see
+    ``q_pipeline_curation`` for the per-language statistics view."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " "))
+    avg_len = F.length(t).cast("double") / n_tokens
+    quality = corpus.filter(
+        (n_tokens >= min_tokens)
+        & avg_len.between(min_avg_token_len, max_avg_token_len)
+    )
+    keep = (
+        quality.groupBy(F.md5(normalized(t)).alias("__norm_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return quality.join(keep, "doc_id", "left_semi")
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, quantiles: list[float]
+) -> list[float]:
+    """EXACT quantiles (type-1, the k-th order statistic at
+    ``ceil(q * n)``) via iterative histogram selection — no global
+    sort, no per-group value buffers; see ``operators/selection.py``
+    for the algorithm and its 100 TB rationale."""
+    import math
+
+    from highload_kafka_streams_spark.operators.selection import (
+        kth_smallest,
+    )
+
+    n = df.count()
+    return [
+        kth_smallest(df, col, max(1, math.ceil(q * n))) for q in quantiles
+    ]

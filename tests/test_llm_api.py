@@ -240,3 +240,41 @@ def test_duplicate_clusters_matches_union_find(spark):
         union(a, b)
     want = {(x, find(x)) for x in parent}
     assert got == want
+
+
+def test_curate_corpus_api(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!!"),  # normalizes to dup of 1
+        (3, "tiny"),                                           # fails min_tokens
+        (4, "a b c d e f g"),                                  # avg token len 1 -> fails
+        (5, "a perfectly reasonable document about spark engines"),
+    ]
+    c = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    kept = sorted(r["doc_id"] for r in api.curate_corpus(c).collect())
+    assert kept == [1, 5]
+
+
+def test_exact_quantiles_api(spark):
+    df = spark.range(1, 1002).select(
+        (F.col("id").cast("double") / 10.0).alias("v")
+    )
+    med, p90, mx = api.exact_quantiles(df, "v", [0.5, 0.9, 1.0])
+    # type-1 quantiles of 0.1..100.1 step 0.1 (n=1001)
+    assert med == 50.1
+    assert p90 == 90.1
+    assert mx == 100.1
+
+
+def test_kth_smallest_heavy_duplication(spark):
+    # a column where the histogram range stops splitting (all mass in
+    # one value) must terminate via the lo==hi short-circuit
+    from highload_kafka_streams_spark.operators.selection import kth_smallest
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 990, 7.0).otherwise(F.col("id").cast("double")).alias("v")
+    )
+    assert kth_smallest(df, "v", 500, extract_threshold=10) == 7.0
+    assert kth_smallest(df, "v", 991, extract_threshold=10) == 990.0
