@@ -176,3 +176,55 @@ def test_windowed_dedup_single_data_shuffle(spark, sf_smoke):
     plan = plan_of(get_queries()["q_dedup_events_window"](spark, sf_smoke))
     assert "Window" in plan
     assert plan.count("hashpartitioning") <= 2  # window shuffle (+AQE read)
+
+
+def test_ngram_topk_broadcasts_winners(spark, sf_smoke):
+    """The 20 winning digests must broadcast back against the gram pass —
+    never a shuffle join keyed on gram text."""
+    plan = plan_of(get_queries()["q_text_ngram_topk"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the top-20 is a k-heap, not a sort
+
+
+def test_curation_single_wide_exchange_on_digest(spark, sf_smoke):
+    """The curation cascade's only corpus-wide exchange groups on the
+    16-byte normalized-text digest; the per-language summary reuses the
+    tiny dedup table (no second corpus shuffle)."""
+    df = get_queries()["q_pipeline_curation"](spark, sf_smoke)
+    plan = plan_of(df)
+    # exchanges: digest groupBy, lang summary (tiny), output sort (tiny)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 3, plan
+    assert "text" not in plan.split("hashpartitioning")[1][:200], (
+        "corpus text must not be a shuffle key"
+    )
+
+
+def test_ann_md5_broadcasts_planes_and_probe(spark, sf_smoke):
+    """Portable ANN: the 1024-row hyperplane table and the 4-row query
+    bucket probe must both broadcast; candidate re-rank is a k-heap."""
+    plan = plan_of(get_queries()["q_similarity_ann_md5"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_md5_signature_is_projection(spark, sf_smoke):
+    """Portable MinHash signatures must stay per-row projections — no
+    exchange may appear below the banding explode (the round-1
+    explode→groupBy signature shuffle must not regress in the twin)."""
+    from highload_kafka_streams_spark.llm.dedup import N_PERM_MD5, shingles
+
+    d = load_table(spark, sf_smoke, "documents").limit(50)
+    tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    gr = tok_df.select("doc_id", shingles(F.col("toks"), 3).alias("grams"))
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                (lambda p: lambda g: F.md5(F.concat(F.lit(f"{p}:"), g)))(p),
+            )
+        ).alias(f"m{p}")
+        for p in range(N_PERM_MD5)
+    ]
+    plan = plan_of(gr.select("doc_id", *mins))
+    assert "Exchange" not in plan, plan
