@@ -365,3 +365,79 @@ def q_outlier_p99_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_total", "n_outliers", "p99")
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")},
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→global-agg — the pushdown
+    showcase. Every predicate reaches the parquet scan (range + interval
+    filters on three columns), the projection reads only the three
+    needed columns, and the single global aggregate is map-side
+    combined into one row per task. At 100 TB this query is I/O-bound
+    by exactly the bytes the pushed filters + pruned schema admit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle=f"""
+WITH qty AS (
+  SELECT l_orderkey, {dsum_sql("l_quantity", "total_qty")}
+  FROM lineitem GROUP BY l_orderkey
+),
+big AS (SELECT * FROM qty WHERE total_qty > 150)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, big.total_qty
+FROM big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: self-contained fact aggregation (quantity per
+    order) feeding a HAVING filter, then joined back to orders +
+    customer for the top large orders. The heavy groupBy happens FIRST
+    and shrinks the fact table to the rare qualifying keys, so the
+    subsequent joins move almost nothing; orderBy+limit is a k-heap.
+    At 100 TB the quantity rollup reuses the orderkey bucketing the
+    Q3 join would also want."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -228,3 +228,14 @@ def test_minhash_md5_signature_is_projection(spark, sf_smoke):
     ]
     plan = plan_of(gr.select("doc_id", *mins))
     assert "Exchange" not in plan, plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_smoke):
+    """TPC-H Q6: all three range predicates must reach the parquet scan
+    and the projection must read only the needed measure columns."""
+    plan = plan_of(get_queries()["q_tpch_q6_forecast_revenue"](spark, sf_smoke))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read, read
