@@ -239,3 +239,24 @@ def test_hash_bucket_split_is_partition_independent(spark, keys):
     assert len(assignments) == 1
     # every bucket in range
     assert all(0 <= b < 4096 for _, b in next(iter(assignments)))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(finite_doubles, min_size=1, max_size=300),
+    st.data(),
+)
+def test_kth_smallest_matches_sorted_order(spark, values, data):
+    """Histogram selection must return EXACTLY the k-th order statistic
+    for any value distribution (duplicates, negatives, constant columns)
+    and any recursion threshold — including thresholds that force the
+    histogram loop to actually recurse."""
+    from highload_kafka_streams_spark.operators.selection import kth_smallest
+
+    k = data.draw(st.integers(1, len(values)))
+    thresh = data.draw(st.sampled_from([1, 5, 10**6]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": values})
+    ).repartition(3)
+    got = kth_smallest(df, "v", k, buckets=16, extract_threshold=thresh)
+    assert got == sorted(values)[k - 1]
