@@ -60,3 +60,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet with size-targeted files — the
+    small-file-management pass every long-lived 100 TB dataset needs
+    (a day of 10k-task jobs otherwise leaves millions of KB-sized
+    files, and the NEXT job's scan planning chokes on file listing
+    before it reads a byte).
+
+    File count = sampled-size estimate / ``target_file_bytes`` (floor 1
+    per partition-by group). ``sort_cols`` applies a per-file sort so
+    parquet min/max zone maps stay selective (the storage-side half of
+    predicate pushdown). Returns the planned file count per output
+    partition.
+
+    Plan shape: one repartition exchange (hash on ``partition_by`` so
+    co-partitioned rows land in the same files, round-robin otherwise),
+    then ``sortWithinPartitions`` — never a global sort."""
+    est = _estimate_bytes(df)
+    n_files = max(1, int(est / target_file_bytes) + (est % target_file_bytes > 0))
+    if partition_by:
+        staged = df.repartition(n_files, *partition_by)
+    else:
+        staged = df.repartition(n_files)
+    if sort_cols:
+        staged = staged.sortWithinPartitions(*sort_cols)
+    writer = staged.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files
+
+
+def _estimate_bytes(df: DataFrame) -> int:
+    """Uncompressed-size estimate from the optimized plan's statistics
+    (parquet footer metadata — no data scan). Falls back to a 1-file
+    answer when stats are absent (e.g. a pure in-memory frame)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0

@@ -239,3 +239,43 @@ def test_q6_pushes_every_predicate(spark, sf_smoke):
         assert frag in pushed, pushed
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" not in read and "l_returnflag" not in read, read
+
+
+def test_write_compacted_targets_file_size(spark, tmp_path, sf_smoke):
+    """Compaction must split output into ~target-sized files (small-file
+    management) and preserve every row; per-file sort keeps parquet
+    min/max zone maps selective."""
+    from highload_kafka_streams_spark.io import write_compacted
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = str(tmp_path / "compacted")
+    n_files = write_compacted(
+        li, out, target_file_bytes=64 * 1024, sort_cols=["l_shipdate"]
+    )
+    assert n_files > 1  # sf0.001 lineitem is ~100KB+ uncompressed
+    import glob
+
+    written = glob.glob(f"{out}/*.parquet")
+    assert len(written) == n_files
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_smoke):
+    """Hive-partitioned output + a partition-key filter must plan
+    PartitionFilters (file-level pruning), the scan-side half of the
+    100 TB story: untouched date partitions are never even listed into
+    the scan."""
+    from highload_kafka_streams_spark.io import write_compacted
+
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "by_day")
+    write_compacted(ev, out, partition_by=["day"])
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    # pruned scan must list strictly fewer partitions than exist
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 1
