@@ -645,3 +645,61 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("r_ts")).alias("r_ts"),
         F.when(fresh, F.col("r_purchase_id")).alias("r_purchase_id"),
     ).orderBy("click_id")
+
+
+@query(
+    "q_join_stream_table_versioned",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(event_id) AS signup_id,
+         arg_max(value, event_id) AS profile_value
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT s.purchase_id, s.user_id, s.p_ts,
+       v.ts AS r_ts, v.signup_id AS r_signup_id,
+       v.profile_value AS r_profile_value
+FROM s ASOF LEFT JOIN v ON s.user_id = v.user_id AND s.p_ts >= v.ts
+ORDER BY purchase_id
+""",
+)
+def q_join_stream_table_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join(KTable) against a VERSIONED table (KS 3.5
+    ``VersionedKeyValueStore``): each stream record joins the table
+    version in effect AT ITS OWN event time, not the latest snapshot —
+    out-of-order stream records therefore enrich against historically
+    correct values, where ``q_join_stream_table``'s latest-per-key
+    semantics would leak the future. Same merge-form as-of machinery
+    (union + one last(ignorenulls) window pass — linear, one shuffle);
+    the signup changelog plays the versioned table."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_id"),
+        F.col("value").alias("profile_value"),
+    )
+    return (
+        asof_join(
+            purchases,
+            versions,
+            key="user_id",
+            left_ts="p_ts",
+            right_ts="ts",
+            right_tiebreak="signup_id",
+        )
+        .drop("amount")
+        .orderBy("purchase_id")
+    )
