@@ -788,3 +788,85 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Deterministic AFINN-style lexicon over the corpus vocabulary
+# (PAPERS.md:6 sentiment grounding; SURVEY.md §2 "lexicon sentiment via
+# join against score table"). Integer scores — the per-doc aggregate
+# stays exact in both engines.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "small": 1,
+    "good": 3,
+    "clean": 2,
+    "cache": 1,
+    "slow": -2,
+    "big": -1,
+    "dup": -2,
+    "error": -3,
+    "skew": -2,
+    "spill": -2,
+    "bad": -3,
+}
+
+_LEX_SQL = ", ".join(
+    f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items())
+)
+
+
+@query(
+    "q_text_sentiment",
+    oracle=f"""
+WITH lex(word, score) AS (VALUES {_LEX_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+scored AS (
+  SELECT t.doc_id,
+         count(l.score) AS n_hits,
+         CAST(coalesce(sum(l.score), 0) AS BIGINT) AS score_sum
+  FROM tok t LEFT JOIN lex l ON t.token = l.word
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_hits, score_sum,
+       CASE WHEN score_sum > 0 THEN 'positive'
+            WHEN score_sum < 0 THEN 'negative'
+            ELSE 'neutral' END AS sentiment
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the classic AFINN shape): tokens
+    LEFT-joined against a broadcast score table, integer score sum per
+    document, three-way label. The lexicon is a constant-sized
+    broadcast — at 100 TB the token stream never shuffles at all; the
+    only exchange is the per-doc aggregation, keyed on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(
+            sorted(SENTIMENT_LEXICON.items()), "word string, score int"
+        )
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    scored = (
+        tok.join(lex, tok.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("score").alias("n_hits"),
+            F.coalesce(F.sum("score"), F.lit(0)).cast("bigint").alias(
+                "score_sum"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_hits",
+        "score_sum",
+        F.when(F.col("score_sum") > 0, "positive")
+        .when(F.col("score_sum") < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    ).orderBy("doc_id")
