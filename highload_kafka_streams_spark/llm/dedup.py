@@ -752,3 +752,63 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block4", F.substring("simhash_hex", 1, 4))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+SELECT (SELECT count(DISTINCT x)
+        FROM (SELECT doc_a AS x FROM base
+              UNION ALL SELECT doc_b FROM base)) AS n_nodes,
+       (SELECT count(*) FROM base) AS n_edges,
+       (SELECT count(*)
+        FROM base e1
+        JOIN base e2 ON e1.doc_b = e2.doc_a
+        JOIN base e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         AS n_triangles,
+       (SELECT max(d) FROM (
+          SELECT x, count(*) AS d
+          FROM (SELECT doc_a AS x FROM base
+                UNION ALL SELECT doc_b AS x FROM base)
+          GROUP BY x)) AS max_degree
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure statistics of the near-duplicate graph: node/edge
+    counts, triangle count, max degree — the shape checks a dedup run
+    reports (dense triangle clusters = template families; high max
+    degree = a boilerplate hub). Triangles via the edge-iterator join
+    on canonically ordered edges (a<b<c counts each triangle once);
+    cost is bounded by Σ deg(v)² of the PAIR graph — already
+    similarity-pruned, so this never touches the corpus. At 100 TB
+    you'd pre-order edges by degree (the standard compact-forward
+    optimization); the joins themselves are the same."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.persist()
+    pairs.count()  # three triangle-join consumers + two degree scans
+    nodes = pairs.select(F.col("doc_a").alias("x")).unionAll(
+        pairs.select(F.col("doc_b").alias("x"))
+    )
+    n_nodes = nodes.distinct().agg(F.count("*").alias("n_nodes"))
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    max_deg = (
+        nodes.groupBy("x")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("max_degree"))
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(max_deg))
+    )

@@ -529,3 +529,66 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_linreg",
+    oracle="""
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM f GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             9) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 9) AS intercept
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price ~ quantity) from the
+    same EXACT int64 power sums as q_agg_corr_cov — the closed-form
+    regression a 100 TB job computes in ONE map-side-combined pass,
+    never an iterative solver. The final slope/intercept are single
+    fixed-order double expressions (the intercept re-states the slope
+    expression verbatim so both engines evaluate the identical tree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") + 0.5).cast("long").alias("y"),
+    )
+    s = f.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        n_d * F.col("sxx") - sx_d * F.col("sx")
+    )
+    intercept = (sy_d - slope * sx_d) / n_d
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+    ).orderBy("l_returnflag")

@@ -128,6 +128,8 @@ _WINDOW_PRIORITY = (
     "q_tpch_q18_large_orders",
     "q_join_stream_table_versioned",
     "q_text_sentiment",
+    "q_agg_linreg",
+    "q_graph_triangles",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",
