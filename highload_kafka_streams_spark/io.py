@@ -6,11 +6,17 @@ scale-factor directory.
 
 Parity-critical handling:
 
-- ``events.ts`` is INT64 TIMESTAMP(NANOS); Spark reads it (under
-  ``spark.sql.legacy.parquet.nanosAsLong=true``) as a long of ns since
-  epoch. The DuckDB oracle reads the same column as a µs TIMESTAMP by
-  truncation. We convert ns→µs by integer floor-division so both engines
-  see bit-identical timestamps.
+- ``events.ts`` has shipped in two fixture generations: INT64
+  TIMESTAMP(NANOS) (Spark reads it, under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``, as a long of ns since
+  epoch) and INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads
+  it as TIMESTAMP_NTZ). The DuckDB oracle sees a µs TIMESTAMP either way.
+  ``load_table`` inspects the *actual* read type and normalizes to a
+  session-zoned (UTC) TimestampType with the same µs instants in both
+  engines: ns-long → ``timestamp_micros(ts DIV 1000)`` (integer floor
+  division, bit-identical to DuckDB's ns→µs cast); NTZ → plain cast
+  (naive wall-clock reinterpreted in the UTC session zone — the identity
+  mapping DuckDB applies implicitly).
 
 At 100 TB these would be partitioned/bucketed datasets rather than single
 files; ``load_table`` only declares *what* to read — Catalyst handles
@@ -46,10 +52,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ns long → µs timestamp via INTEGER division (matches DuckDB's ns→µs
-        # cast; double division would round at ~1.7e15 and drift by ±1µs)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # ns fixture: ns long → µs timestamp via INTEGER division
+            # (matches DuckDB's ns→µs cast; double division would round at
+            # ~1.7e15 and drift by ±1µs)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-zoned (UTC) TimestampType.
+
+    The µs fixture generation writes `isAdjustedToUTC=false` parquet
+    timestamps which Spark 4 reads as NTZ; reinterpreting the naive wall
+    clock in the UTC session zone preserves the exact instants the DuckDB
+    oracle sees and keeps every downstream consumer (`window()`,
+    `unix_timestamp`, watermarks, joins against literals) on the single
+    timestamp type the engine was built against."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

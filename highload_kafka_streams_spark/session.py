@@ -24,6 +24,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot
     # map to TimestampType; read as long and convert in io.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the µs fixture generation writes isAdjustedToUTC=false timestamps;
+    # read them as plain TimestampType (UTC instants) IN THE SCAN rather
+    # than as TIMESTAMP_NTZ + a cast projection — a cast above the scan
+    # blocks parquet filter pushdown on every timestamp predicate
+    # (measured 2×+ on lineitem-heavy queries at sf0.1)
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
