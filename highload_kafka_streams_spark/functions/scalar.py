@@ -406,3 +406,66 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", " [a-z]{1,2} ", " _ ").alias("short_masked"),
         F.col("text").rlike("(data|spark|stream)").alias("mentions_tech"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/'
+           || doc_id || '?ref=' || lang || '&pos=' || (doc_id % 10) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                      '([^.]+[.][^.]+)$', 1) AS domain,
+       regexp_extract(url, '^https?://[^/?]+([^?]*)', 1) AS path,
+       len(string_split(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1),
+                        '/')) - 1 AS path_depth,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param,
+       regexp_extract(url, '^(https?)://', 1) AS scheme
+FROM u
+ORDER BY doc_id
+""",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family — the web-corpus column every crawl-derived
+    training set carries. Spark side uses the native `parse_url`
+    (HOST / PATH / QUERY-key extraction, JVM codegen'd); the oracle
+    reproduces each part with portable regexes, which pins down the
+    exact semantics (scheme-relative host, query excluded from path,
+    single-param lookup). The registrable-domain approximation (last
+    two labels) is what per-domain corpus stats group on; at 100 TB
+    this family runs as pure projections — zero shuffle, full
+    whole-stage codegen. URLs are synthesized deterministically from
+    fixture columns because no fixture table carries raw URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id"),
+            F.lit("?ref="),
+            F.col("lang"),
+            F.lit("&pos="),
+            F.col("doc_id") % 10,
+        ).alias("url"),
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+[.][^.]+)$", 1).alias("domain"),
+        path.alias("path"),
+        (F.size(F.split(path, "/")) - 1).alias("path_depth"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
+    ).orderBy("doc_id")

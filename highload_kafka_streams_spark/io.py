@@ -26,6 +26,9 @@ actually matters at scale.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,3 +136,39 @@ def _estimate_bytes(df: DataFrame) -> int:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return 0
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> str:
+    """Persist ``df`` as a hash-bucketed (optionally per-bucket-sorted)
+    table — the storage-side half of shuffle elimination. Two tables
+    bucketed on their join key with the same bucket count join with ZERO
+    exchange: each task reads bucket *i* of both sides, because the
+    hash-partitioning was done once at write time instead of once per
+    query. At 100 TB this is the difference between re-shuffling the
+    fact table on every join and never shuffling it again; ``sort_cols``
+    additionally pre-sorts the files so sort-merge join skips its sort.
+
+    The frame is repartitioned to ``num_buckets`` on the bucket columns
+    first so each bucket lands in exactly one file (many small writers
+    otherwise produce files-per-bucket = task count). Registered as an
+    external table (explicit ``path``, default under the system temp
+    dir) so it works on any catalog including the in-memory one."""
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), f"hks_bucketed_{table}")
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    return table

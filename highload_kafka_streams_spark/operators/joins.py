@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from highload_kafka_streams_spark.compat import dsum
+from highload_kafka_streams_spark.compat import dsum, dsum_sql
 from highload_kafka_streams_spark.io import load_table
 from highload_kafka_streams_spark.registry import query
 from highload_kafka_streams_spark.sources.tables import table_latest_per_key
@@ -703,3 +703,77 @@ def q_join_stream_table_versioned(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("amount")
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_join_bucketed_colocated",
+    oracle=f"""
+SELECT o_orderstatus, count(*) AS n_lines,
+       {dsum_sql("l_extendedprice", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via storage bucketing — KS's
+    co-partitioned-topics invariant, Spark-native. Both sides are
+    written once bucketed on the join key (`io.write_bucketed_table`);
+    the join then runs with ZERO exchange: task *i* reads bucket *i*
+    of each side (outputPartitioning already satisfies the join's
+    distribution requirement). The MERGE hint pins sort-merge so the
+    demonstration doesn't degenerate into a broadcast at toy scale;
+    at 100 TB neither side broadcasts and this plan — bucketed scans,
+    local sorts, no shuffle — is exactly what repeated joins against a
+    curated fact layout should produce. Results are identical to the
+    plain parquet join, which is what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    from highload_kafka_streams_spark.io import write_bucketed_table
+
+    write_bucketed_table(
+        li, "hks_bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    write_bucketed_table(
+        orders, "hks_bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    bl = spark.table("hks_bkt_lineitem")
+    bo = spark.table("hks_bkt_orders")
+    joined = bl.join(
+        bo.hint("merge"), bl.l_orderkey == bo.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice"), "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def bucketed_join_plan_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation join subtree of ``q_join_bucketed_colocated``,
+    exposed for plan assertions: tests check it contains a SortMergeJoin
+    and NO Exchange (the bucketed scans satisfy the join distribution)."""
+    from highload_kafka_streams_spark.io import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed_table(
+        li, "hks_bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    write_bucketed_table(
+        orders, "hks_bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    bl = spark.table("hks_bkt_lineitem")
+    bo = spark.table("hks_bkt_orders")
+    return bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)

@@ -213,3 +213,74 @@ def q_sample_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+WITH c AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+t AS (SELECT SUM(n_docs) AS n_total FROM c),
+w AS (
+  SELECT lang, n_docs, n_total,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) / n_total) * 1000000 + 0.5)
+              AS BIGINT) AS w6
+  FROM c, t
+),
+s AS (SELECT SUM(w6) AS w6_sum FROM w)
+SELECT lang, n_docs, w6,
+       CAST(w6 AS DOUBLE) / w6_sum AS p_sample,
+       (CAST(w6 AS DOUBLE) / w6_sum)
+         / (CAST(n_docs AS DOUBLE) / n_total) AS boost
+FROM w, s
+ORDER BY lang
+""",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling weights per language — the
+    multilingual-corpus rebalance (sample class i with p_i ∝ f_i^α,
+    α = 0.5): high-resource languages are down-weighted, low-resource
+    up-weighted (`boost` > 1), without ever reaching uniform.
+
+    α is fixed at 1/2 so the exponentiation is `sqrt`, which IEEE-754
+    requires to be correctly rounded — bit-identical in Spark (JVM) and
+    DuckDB (libm), unlike `pow(x, 0.7)` whose last ulp is libm-specific.
+    The weight normalization sums fixed-point integers (order-free), and
+    the final probabilities divide exact integers, so every output
+    double is deterministic cross-engine.
+
+    Plan: one shuffle for the per-class count (map-side combined to
+    |classes| rows); the totals are single-row broadcasts. At 100 TB
+    the heavy input pass is the count — everything after it is
+    driver-free arithmetic on a classes-sized table; the weights then
+    drive `sample_stratified`-style md5-bucket cuts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "w6",
+            F.floor(
+                F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    wsum = w.agg(F.sum("w6").alias("w6_sum"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_docs",
+            "w6",
+            (F.col("w6").cast("double") / F.col("w6_sum")).alias("p_sample"),
+            (
+                (F.col("w6").cast("double") / F.col("w6_sum"))
+                / (F.col("n_docs").cast("double") / F.col("n_total"))
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )

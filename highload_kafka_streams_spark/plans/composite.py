@@ -441,3 +441,55 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q14_promo_revenue",
+    oracle=f"""
+WITH j AS (
+  SELECT l_extendedprice * (1 - l_discount) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+),
+s AS (
+  SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END", "promo_revenue")},
+         {dsum_sql("rev", "total_revenue")}
+  FROM j
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM s
+""",
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share over a shipdate window.
+    `part` is a bounded dimension (20k rows at sf0.1) and broadcasts, so
+    the fact side never shuffles — the scan's pushed shipdate range
+    bounds the bytes read, the broadcast hash join is map-side, and the
+    two conditional fixed-point sums partial-aggregate to a single row
+    per task. The final share divides the two already-deterministic
+    doubles, so the ratio is bit-identical cross-engine. At 100 TB this
+    is one pass over the pruned fact bytes with zero exchanges before
+    the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), "promo_revenue"),
+            dsum(rev, "total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (100.0 * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_share_pct"
+            ),
+        )
+    )

@@ -134,3 +134,78 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+),
+starts AS (
+  SELECT user_id, state, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+),
+versioned AS (
+  SELECT user_id, state, valid_from,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           AS version
+  FROM starts
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       version,
+       CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL AS BOOLEAN) AS is_current
+FROM versioned
+ORDER BY user_id, version
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build from a
+    change stream — the batch materialization of a VERSIONED KTable
+    (KS 3.5 VersionedKeyValueStore keeps per-key history; SCD2 is that
+    history as [valid_from, valid_to) intervals). Per user: order the
+    change events, collapse runs of the unchanged state, emit one
+    interval per run with valid_to = next run's start and an is_current
+    flag on the open interval.
+
+    Plan: every window partitions on user_id, so there is exactly ONE
+    shuffle — the three window passes reuse the same hash partitioning
+    (Catalyst plans a single Exchange). Deterministic under ts ties via
+    the event_id tie-break. At 100 TB the state table this produces is
+    the thing you'd bucket by key (io.write_bucketed_table) so the
+    versioned joins read it shuffle-free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_state"),
+    )
+    starts = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    versioned = starts.withColumn("version", F.row_number().over(w_ver))
+    w_seq = Window.partitionBy("user_id").orderBy("version")
+    return (
+        versioned.select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w_seq).alias("valid_to"),
+            "version",
+            F.lead("valid_from").over(w_seq).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -130,6 +130,11 @@ _WINDOW_PRIORITY = (
     "q_text_sentiment",
     "q_agg_linreg",
     "q_graph_triangles",
+    "q_tpch_q14_promo_revenue",
+    "q_join_bucketed_colocated",
+    "q_scd2_intervals",
+    "q_sample_temperature",
+    "q_fn_url",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",

@@ -279,3 +279,78 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_smoke):
     # pruned scan must list strictly fewer partitions than exist
     n_days = ev.select("day").distinct().count()
     assert n_days > 1
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_smoke):
+    """Two tables bucketed on the join key must sort-merge join with ZERO
+    Exchange — the storage-side co-location contract write_bucketed_table
+    exists for (task i reads bucket i of both sides)."""
+    from highload_kafka_streams_spark.operators.joins import (
+        bucketed_join_plan_probe,
+    )
+
+    joined = bucketed_join_plan_probe(spark, sf_smoke)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_q14_broadcasts_part_and_pushes_range(spark, sf_smoke):
+    """TPC-H Q14: part is broadcast (fact side never shuffles) and the
+    shipdate range reaches the parquet scan."""
+    plan = plan_of(get_queries()["q_tpch_q14_promo_revenue"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_scd2_single_exchange(spark, sf_smoke):
+    """All three SCD2 window passes partition on user_id; Catalyst must
+    plan exactly ONE hash exchange (plus the output range sort)."""
+    df = get_queries()["q_scd2_intervals"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan  # output sort only
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_smoke):
+    """Per user: intervals are contiguous (valid_to == next valid_from),
+    exactly one open interval, versions dense from 1."""
+    df = get_queries()["q_scd2_intervals"](spark, sf_smoke)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    checked = df.select(
+        "*",
+        F.lead("valid_from").over(w).alias("next_from"),
+        F.row_number().over(w).alias("expect_version"),
+    )
+    bad = checked.filter(
+        (F.col("version") != F.col("expect_version"))
+        | (
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") != F.col("next_from"))
+        )
+        | (F.col("is_current") != F.col("valid_to").isNull())
+    )
+    assert bad.count() == 0
+    opens = (
+        df.filter(F.col("is_current")).groupBy("user_id").count()
+        .filter(F.col("count") != 1)
+    )
+    assert opens.count() == 0
+
+
+def test_temperature_weights_flatten_distribution(spark, sf_smoke):
+    """Temperature sampling: probabilities sum to ~1, minority classes get
+    boost > 1, the majority class gets boost < 1."""
+    rows = {
+        r["lang"]: r
+        for r in get_queries()["q_sample_temperature"](spark, sf_smoke).collect()
+    }
+    total_p = sum(r["p_sample"] for r in rows.values())
+    assert abs(total_p - 1.0) < 1e-9
+    majority = max(rows.values(), key=lambda r: r["n_docs"])
+    minority = min(rows.values(), key=lambda r: r["n_docs"])
+    assert majority["boost"] < 1.0 < minority["boost"]
