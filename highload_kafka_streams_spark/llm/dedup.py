@@ -812,3 +812,56 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_tri))
         .crossJoin(F.broadcast(max_deg))
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+WITH snapshot AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+),
+incoming AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 250
+),
+novel AS (
+  SELECT i.doc_id, i.digest,
+         ROW_NUMBER() OVER (PARTITION BY i.digest ORDER BY i.doc_id)
+           AS rn
+  FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM snapshot s WHERE s.digest = i.digest)
+)
+SELECT doc_id, digest FROM novel WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) exact dedup — the continuous-ingestion
+    form: an incoming batch is deduped against the digests of everything
+    already accepted, then within itself. Modeled here with doc_id<250
+    as the accepted snapshot and the rest as the batch.
+
+    Scale shape: the snapshot is ONLY its 16-byte digest column (at
+    100 TB you keep that as a bucketed digest table, not the corpus);
+    the anti-join shuffles digests, never text, and the within-batch
+    winner is a first-per-digest window — the same idiom as exact
+    dedup. This is the operator a daily crawl append runs, and its
+    state (the digest table) grows by exactly the novel rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    from pyspark.sql.window import Window
+
+    novel = incoming.join(snapshot, "digest", "left_anti")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        novel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "digest")
+        .orderBy("doc_id")
+    )

@@ -703,3 +703,49 @@ def q_similarity_ivf_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_embed_dim_stats",
+    oracle="""
+SELECT g.i - 1 AS dim,
+       count(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum6,
+       min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+       max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    profiling pass behind normalization, quantizer calibration
+    (`quantize_embeddings` needs per-dim ranges) and dead-dimension
+    detection. `posexplode` pivots the vector column to (dim, value)
+    rows; one map-side-combined aggregation on the 64 dim keys follows.
+
+    Determinism: float→double widening is exact, min/max are
+    order-free, and the mean-numerator is the fixed-point integer sum
+    (`sum6`) rather than a double sum — division happens at the
+    consumer, keeping the checked row bit-exact. At 100 TB the explode
+    multiplies rows ×64 but carries only (int, double) pairs, and the
+    64-key aggregate collapses per-task before the single tiny
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivoted = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        pivoted.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("sum6"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .orderBy("dim")
+    )

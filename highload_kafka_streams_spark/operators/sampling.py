@@ -284,3 +284,46 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_sample_cap_per_source",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rk <= 15
+ORDER BY source, doc_id
+""",
+)
+def q_sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the anti-domination rule every
+    crawl-derived corpus applies (no single domain may contribute more
+    than K docs). Selection order is md5(doc_id): content-keyed and
+    therefore reproducible under any partitioning or cluster layout —
+    never `ORDER BY random()`, and never first-K-in-partition-order,
+    both of which change between runs.
+
+    Plan: one shuffle on source, one window pass, filter. Skew note:
+    a monster domain makes one partition hot; at 100 TB you pre-filter
+    with an approximate per-source count and salt only the offenders —
+    the exact top-K-by-hash semantics are unchanged because the
+    md5 order is global per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "lang")
+        .orderBy("source", "doc_id")
+    )

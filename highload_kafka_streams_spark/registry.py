@@ -135,6 +135,9 @@ _WINDOW_PRIORITY = (
     "q_scd2_intervals",
     "q_sample_temperature",
     "q_fn_url",
+    "q_dedup_incremental",
+    "q_embed_dim_stats",
+    "q_sample_cap_per_source",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",

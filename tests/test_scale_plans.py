@@ -354,3 +354,52 @@ def test_temperature_weights_flatten_distribution(spark, sf_smoke):
     majority = max(rows.values(), key=lambda r: r["n_docs"])
     minority = min(rows.values(), key=lambda r: r["n_docs"])
     assert majority["boost"] < 1.0 < minority["boost"]
+
+
+def test_incremental_dedup_novel_disjoint_from_snapshot(spark, sf_smoke):
+    """Output digests must not intersect the snapshot's digest set and
+    must be unique within the batch."""
+    from highload_kafka_streams_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    snapshot = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    out = get_queries()["q_dedup_incremental"](spark, sf_smoke)
+    assert out.join(snapshot, "digest", "inner").count() == 0
+    assert out.count() == out.select("digest").distinct().count()
+
+
+def test_cap_per_source_is_partitioning_invariant(spark, sf_smoke):
+    """≤15 docs per source, and the SAME selection after an adversarial
+    repartition (content-keyed order, not partition order)."""
+    q = get_queries()["q_sample_cap_per_source"]
+    out = q(spark, sf_smoke)
+    over = out.groupBy("source").count().filter(F.col("count") > 15)
+    assert over.count() == 0
+    ids = sorted(r["doc_id"] for r in out.collect())
+    from highload_kafka_streams_spark.io import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_smoke, "documents").repartition(7, "lang")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    again = (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+
+def test_embed_dim_stats_covers_every_dimension(spark, sf_smoke):
+    from highload_kafka_streams_spark.io import load_table
+
+    out = get_queries()["q_embed_dim_stats"](spark, sf_smoke).collect()
+    n_rows = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(out) == 64
+    assert all(r["n"] == n_rows for r in out)
+    assert all(r["mn"] <= r["mx"] for r in out)
