@@ -469,3 +469,43 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
         F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+SELECT doc_id,
+       struct_pack(lang := lang, source := source).lang AS s_lang,
+       struct_pack(lang := lang, source := source).source AS s_source,
+       to_json(struct_pack(id := doc_id, lang := lang,
+                           n_chars := n_chars)) AS packed_json,
+       CAST(row(lang, n_chars) = row('en', n_chars) AS BOOLEAN) AS is_en_pair
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) family — create, field-access, struct
+    equality, and canonical JSON encoding. Spark `named_struct` ↔ DuckDB
+    `struct_pack`/`row`; both serialize field-order-preserving compact
+    JSON, which the oracle pins. Structs are the carrier type for the
+    multimodal metadata convention and for every composite key the
+    engine ships through a shuffle — all pure codegen projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.struct(F.col("lang").alias("lang"), F.col("source").alias("source"))
+    return docs.select(
+        "doc_id",
+        s.getField("lang").alias("s_lang"),
+        s.getField("source").alias("s_source"),
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("lang").alias("lang"),
+                F.col("n_chars").alias("n_chars"),
+            )
+        ).alias("packed_json"),
+        (
+            F.struct(F.col("lang"), F.col("n_chars"))
+            == F.struct(F.lit("en").alias("lang"), F.col("n_chars"))
+        ).alias("is_en_pair"),
+    ).orderBy("doc_id")

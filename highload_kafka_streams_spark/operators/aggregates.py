@@ -592,3 +592,55 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 9).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_bitmap_presence",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+              AS BIGINT) AS bitmap,
+         bit_count(bit_or(CAST(1 AS BIGINT)
+                          << CAST(user_id % 63 AS INTEGER))) AS n_buckets
+  FROM events GROUP BY event_type
+),
+merged AS (
+  SELECT CAST(bit_or(bitmap) AS BIGINT) AS global_bitmap FROM per_type
+),
+direct AS (
+  SELECT CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+              AS BIGINT) AS global_direct
+  FROM events
+)
+SELECT event_type, bitmap, n_buckets,
+       CAST((SELECT global_bitmap FROM merged)
+            = (SELECT global_direct FROM direct) AS BOOLEAN)
+         AS merge_exact
+FROM per_type
+ORDER BY event_type
+""",
+)
+def q_agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact presence bitmap per group — the bounded-domain cousin of the
+    HLL sketch: each user hashes to one of 63 bit buckets, `bit_or`
+    accumulates a single BIGINT per group, and `bit_count` reads the
+    occupied-bucket cardinality. The `merge_exact` column PROVES the
+    re-aggregation property on both engines: OR-ing the per-group
+    bitmaps equals the bitmap computed directly over the union — the
+    invariant that lets 100 TB of per-partition bitmaps roll up to any
+    coarser grouping without touching raw data again (same argument as
+    q_agg_hll_mergeable, but exact). Shuffle payload: 8 bytes/group."""
+    ev = load_table(spark, sf_dir, "events")
+    # F.shiftleft takes a literal shift count; the per-row shift needs expr
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    per_type = ev.groupBy("event_type").agg(
+        F.bit_or(bit).alias("bitmap"),
+        F.bit_count(F.bit_or(bit)).alias("n_buckets"),
+    )
+    merged = per_type.agg(F.bit_or("bitmap").alias("global_bitmap"))
+    direct = ev.agg(F.bit_or(bit).alias("global_direct"))
+    flag = merged.crossJoin(direct).select(
+        (F.col("global_bitmap") == F.col("global_direct")).alias("merge_exact")
+    )
+    return per_type.crossJoin(F.broadcast(flag)).orderBy("event_type")

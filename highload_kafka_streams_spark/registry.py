@@ -138,6 +138,9 @@ _WINDOW_PRIORITY = (
     "q_dedup_incremental",
     "q_embed_dim_stats",
     "q_sample_cap_per_source",
+    "q_stream_debounce",
+    "q_agg_bitmap_presence",
+    "q_fn_struct",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",

@@ -121,3 +121,78 @@ def q_stream_emit_on_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_updates"), dsum("value", "final_sum"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_debounce",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+              AS session_id
+  FROM marked
+),
+last_per AS (
+  SELECT user_id, session_id, event_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM sess
+)
+SELECT user_id, session_id, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value, ts AS settled_ts
+FROM last_per WHERE rk = 1
+ORDER BY user_id, session_id
+""",
+)
+def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS ``KTable#suppress(untilTimeLimit)`` as a debounce: per key,
+    emit only the LAST update of each burst, where a burst ends after
+    30 minutes of inactivity. Batch replay = gap-sessionization (the
+    lag/cumsum idiom shared with q_window_session) + last-per-session.
+
+    In the live streaming form this is `applyInPandasWithState` with a
+    30-minute event-time timeout emitting the buffered newest value —
+    the rate-limited changelog consumers want when a hot key updates
+    1000×/s but downstream wants one settled row per burst. One shuffle
+    on user_id; all three window passes reuse it; deterministic via the
+    (ts, event_id) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(w))
+    w_last = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        sess.withColumn("rk", F.row_number().over(w_last))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "session_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("settled_ts"),
+        )
+        .orderBy("user_id", "session_id")
+    )
