@@ -130,17 +130,22 @@ _WINDOW_PRIORITY = (
     "q_text_sentiment",
     "q_agg_linreg",
     "q_graph_triangles",
+    # this session's additions; the first nine fill the 50-slot window
+    # exactly — the three after them (scalar families similar to already
+    # driver-green ones, and a Q5-shaped composite) overflow gracefully
+    # ahead of the r1-green backfill
     "q_tpch_q14_promo_revenue",
     "q_join_bucketed_colocated",
     "q_scd2_intervals",
     "q_sample_temperature",
-    "q_fn_url",
     "q_dedup_incremental",
     "q_embed_dim_stats",
     "q_sample_cap_per_source",
     "q_stream_debounce",
     "q_agg_bitmap_presence",
+    "q_fn_url",
     "q_fn_struct",
+    "q_tpch_q7_volume_shipping",
     # --- backfill: r1-green-only, touched-since-r1 modules first ---
     # operators/joins.py (r2: as-of r_-prefix collision fix)
     "q_join_stream_stream_windowed",

@@ -403,3 +403,12 @@ def test_embed_dim_stats_covers_every_dimension(spark, sf_smoke):
     assert len(out) == 64
     assert all(r["n"] == n_rows for r in out)
     assert all(r["mn"] <= r["mx"] for r in out)
+
+
+def test_q7_role_playing_dims_all_broadcast(spark, sf_smoke):
+    """TPC-H Q7: supplier, customer and BOTH nation roles must broadcast;
+    the only shuffle join permitted is lineitem⋈orders."""
+    plan = plan_of(get_queries()["q_tpch_q7_volume_shipping"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    n_other = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_other <= 1, plan
