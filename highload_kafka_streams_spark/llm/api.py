@@ -215,3 +215,95 @@ def exact_quantiles(
     return [
         kth_smallest(df, col, max(1, math.ceil(q * n))) for q in quantiles
     ]
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming ``batch`` against an accepted-corpus digest set
+    (a frame with a ``digest`` column — md5 hex of the text), then
+    within itself (first id per digest wins). Returns the surviving
+    rows of ``batch`` with their ``digest`` attached; union the digests
+    back into the snapshot to advance it. Anti-join + window shuffle
+    16-byte digests, never document text."""
+    from pyspark.sql.window import Window
+
+    hashed = batch.withColumn("digest", F.md5(F.col(text_col)))
+    novel = hashed.join(
+        seen_digests.select("digest"), "digest", "left_anti"
+    )
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        novel.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def temperature_weights(
+    corpus: DataFrame, class_col: str = "lang"
+) -> DataFrame:
+    """Per-class sampling probabilities p_i ∝ f_i^(1/2) (temperature-
+    flattened mixture; α fixed at 1/2 so the exponent is IEEE-exact
+    sqrt). Returns (class, n_docs, p_sample, boost); deterministic on
+    any engine/layout — see q_sample_temperature."""
+    counts = corpus.groupBy(class_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__w6",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_total")) * 1e6
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    wsum = w.agg(F.sum("__w6").alias("__w6_sum"))
+    return w.crossJoin(F.broadcast(wsum)).select(
+        class_col,
+        "n_docs",
+        (F.col("__w6").cast("double") / F.col("__w6_sum")).alias("p_sample"),
+        (
+            (F.col("__w6").cast("double") / F.col("__w6_sum"))
+            / (F.col("n_docs").cast("double") / F.col("n_total"))
+        ).alias("boost"),
+    )
+
+
+def cap_per_class(
+    corpus: DataFrame,
+    class_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per class, selected by content-keyed md5
+    order — reproducible under any partitioning (the anti-domination
+    rule; see q_sample_cap_per_source)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        corpus.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (dim, n, sum6, mn, mx) profile of a vector column —
+    quantizer calibration / dead-dimension detection; `sum6` is the
+    fixed-point mean numerator (divide by 1e6 * n at the consumer)."""
+    pivoted = emb.select(F.posexplode(emb_col).alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return pivoted.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")).alias("sum6"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )

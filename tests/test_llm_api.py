@@ -278,3 +278,66 @@ def test_kth_smallest_heavy_duplication(spark):
     )
     assert kth_smallest(df, "v", 500, extract_threshold=10) == 7.0
     assert kth_smallest(df, "v", 991, extract_threshold=10) == 990.0
+
+
+def test_incremental_dedup_api(spark):
+    from highload_kafka_streams_spark.llm.api import incremental_dedup
+    from pyspark.sql import functions as F
+
+    seen = spark.createDataFrame(
+        [("already seen",)], ["text"]
+    ).select(F.md5("text").alias("digest"))
+    batch = spark.createDataFrame(
+        [
+            (1, "already seen"),
+            (2, "fresh one"),
+            (3, "fresh one"),
+            (4, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(batch, seen)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
+
+
+def test_temperature_weights_api(spark):
+    from highload_kafka_streams_spark.llm.api import temperature_weights
+
+    corpus = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(i, "small") for i in range(10)],
+        ["doc_id", "lang"],
+    )
+    rows = {r["lang"]: r for r in temperature_weights(corpus).collect()}
+    assert abs(sum(r["p_sample"] for r in rows.values()) - 1.0) < 1e-9
+    assert rows["small"]["boost"] > 1.0 > rows["big"]["boost"]
+    # sqrt flattening: 90/10 raw ratio becomes 3/1 in weights
+    assert abs(rows["big"]["p_sample"] / rows["small"]["p_sample"] - 3.0) < 1e-3
+
+
+def test_cap_per_class_api(spark):
+    from highload_kafka_streams_spark.llm.api import cap_per_class
+
+    corpus = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(50)], ["doc_id", "src"]
+    )
+    out = cap_per_class(corpus, "src", 5)
+    by = {r["src"]: 0 for r in out.collect()}
+    for r in out.collect():
+        by[r["src"]] += 1
+    assert by == {"a": 5, "b": 5}
+    # repartition must not change the selection
+    again = cap_per_class(corpus.repartition(13, "doc_id"), "src", 5)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_embedding_dim_stats_api(spark):
+    from highload_kafka_streams_spark.llm.api import embedding_dim_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
+    assert rows[0]["n"] == 2 and rows[0]["mn"] == 1.0 and rows[0]["mx"] == 3.0
+    assert rows[1]["sum6"] == 2_000_000  # (-2 + 4) * 1e6
