@@ -644,3 +644,47 @@ def q_agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("global_bitmap") == F.col("global_direct")).alias("merge_exact")
     )
     return per_type.crossJoin(F.broadcast(flag)).orderBy("event_type")
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                 + o_orderkey) AS biggest_order,
+       max(o_totalprice) AS top_price,
+       arg_min(o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                 + o_orderkey) AS smallest_order,
+       min(o_totalprice) AS bottom_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (`max_by`/`min_by` ↔ `arg_max`/`arg_min`)
+    — the which-row-had-the-extreme companion to min/max, replacing the
+    window-rank-then-filter idiom with a single map-side-combinable
+    aggregate (one value per task per group instead of a full window
+    sort). Tie-breaking is UNSPECIFIED in both engines, so the ordering
+    key is a composite BIGINT — fixed-point cents ×1e7 + orderkey — that
+    cannot tie, making the result deterministic cross-engine (same trick
+    as q_agg_mode's deterministic mode)."""
+    o = load_table(spark, sf_dir, "orders")
+    ord_key = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * 10000000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ord_key).alias("biggest_order"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min_by("o_orderkey", ord_key).alias("smallest_order"),
+            F.min("o_totalprice").alias("bottom_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

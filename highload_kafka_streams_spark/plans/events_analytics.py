@@ -209,3 +209,84 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+WITH merged AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS click_id, 1 AS is_purchase,
+         value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, event_id AS click_id, 0 AS is_purchase,
+         NULL::DOUBLE AS value
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_purchase, value,
+         LAST_VALUE(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_purchase, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS attributed_click
+  FROM merged
+)
+SELECT event_id AS purchase_id, user_id, value AS revenue,
+       attributed_click,
+       CAST(attributed_click IS NOT NULL AS BOOLEAN) AS attributed
+FROM carried
+WHERE is_purchase = 1
+ORDER BY purchase_id
+""",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent click at-or-before it — the as-of join applied to a
+    marketing-analytics shape (KS would build this as a stream-table
+    join against a per-key click store). MERGE form, not a range join:
+    clicks and purchases are unioned and ONE window pass per user
+    carries the last click id forward (clicks sort before same-ts
+    purchases so a same-instant click attributes). Linear in
+    |clicks|+|purchases|, one shuffle, no |clicks|×|purchases|
+    candidate blow-up. Unattributed purchases keep NULL + a flag, so
+    conversion coverage falls out of the same pass."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("is_purchase"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "attributed_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("value").alias("revenue"),
+            "attributed_click",
+            F.col("attributed_click").isNotNull().alias("attributed"),
+        )
+        .orderBy("purchase_id")
+    )

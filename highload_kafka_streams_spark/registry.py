@@ -143,6 +143,8 @@ _WINDOW_PRIORITY = (
     "q_sample_cap_per_source",
     "q_stream_debounce",
     "q_agg_bitmap_presence",
+    "q_events_attribution",
+    "q_agg_argmax",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",

@@ -412,3 +412,13 @@ def test_q7_role_playing_dims_all_broadcast(spark, sf_smoke):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     n_other = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert n_other <= 1, plan
+
+
+def test_attribution_single_shuffle_no_range_join(spark, sf_smoke):
+    """Attribution must be the MERGE form: one hash exchange on user_id,
+    no join node at all (a range join would blow up |clicks|×|purchases|
+    per user)."""
+    df = get_queries()["q_events_attribution"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
