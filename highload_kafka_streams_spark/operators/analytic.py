@@ -182,3 +182,135 @@ def q_window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 10000.0
+         AS trailing_1h_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS trailing_1h_n
+FROM events
+ORDER BY event_id
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window aggregates — the VALUE-bounded frame (all rows
+    within the trailing hour of event time) vs q_window_running_agg's
+    ROW-bounded frame. This is the per-record sliding aggregate KS
+    SlidingWindows computes; ordering is epoch SECONDS in both engines
+    so frame boundaries and peer groups agree exactly, and the sum is
+    fixed-point. Same single user_id shuffle as every other per-user
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (F.sum(fixed("value")).over(w) / 10000.0).alias("trailing_1h_value"),
+            F.count("*").over(w).alias("trailing_1h_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_pattern_sequence",
+    oracle="""
+WITH tv AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+  FROM events GROUP BY user_id
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+  GROUP BY e.user_id
+),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+  GROUP BY e.user_id
+)
+SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+       CAST(tp.t_purchase IS NOT NULL AS BOOLEAN) AS completed,
+       CAST(tp.t_purchase IS NOT NULL
+            AND tp.t_purchase <= tv.t_view + INTERVAL 24 HOUR
+            AS BOOLEAN) AS completed_24h
+FROM tv
+LEFT JOIN tc ON tv.user_id = tc.user_id
+LEFT JOIN tp ON tv.user_id = tp.user_id
+WHERE tv.t_view IS NOT NULL
+ORDER BY tv.user_id
+""",
+)
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence pattern detection (CEP): the earliest
+    view → click-after-view → purchase-after-click chain per user, plus
+    a 24-hour completion deadline — the MATCH_RECOGNIZE / Flink-CEP
+    shape a Kafka Streams app hand-rolls with per-key state.
+
+    Spark form: THREE chained conditional-min window passes over ONE
+    user_id partitioning (t_view feeds the click predicate, t_click
+    feeds the purchase predicate) and a final first-row collapse —
+    no self-joins, where the oracle's equivalent SQL needs three.
+    At 100 TB each pass is a linear scan of the already-shuffled
+    partition; pattern depth adds passes, never joins or state blow-up."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    with_v = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    with_c = with_v.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    with_p = with_c.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = (
+        with_p.groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    return per_user.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        F.col("t_purchase").isNotNull().alias("completed"),
+        (
+            F.col("t_purchase").isNotNull()
+            & (
+                F.col("t_purchase")
+                <= F.col("t_view") + F.expr("INTERVAL 24 HOURS")
+            )
+        ).alias("completed_24h"),
+    ).orderBy("user_id")

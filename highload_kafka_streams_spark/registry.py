@@ -145,6 +145,8 @@ _WINDOW_PRIORITY = (
     "q_agg_bitmap_presence",
     "q_events_attribution",
     "q_agg_argmax",
+    "q_pattern_sequence",
+    "q_window_range_frame",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",

@@ -422,3 +422,12 @@ def test_attribution_single_shuffle_no_range_join(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pattern_sequence_no_joins_single_shuffle(spark, sf_smoke):
+    """CEP chain must be window passes over one user_id exchange — the
+    oracle needs three self-joins, the engine must need zero."""
+    df = get_queries()["q_pattern_sequence"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
