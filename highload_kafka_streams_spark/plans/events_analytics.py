@@ -290,3 +290,89 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w AS s1,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_id, user_id, value, n,
+         s1 / 10000.0 / n AS mu,
+         SQRT(GREATEST(
+           (s2 / 100000000.0) / n - (s1 / 10000.0 / n) * (s1 / 10000.0 / n),
+           0.0)) AS sigma
+  FROM framed
+)
+SELECT event_id, user_id, value, n, mu, sigma,
+       CASE WHEN sigma > 0.0 THEN (value - mu) / sigma END AS z,
+       CAST(sigma > 0.0 AND abs((value - mu) / sigma) > 3.0 AS BOOLEAN)
+         AS is_anomaly
+FROM scored
+ORDER BY event_id
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — each event scored against its
+    user's trailing 20-event window (mean and σ from the SAME pass,
+    Welford-free: two fixed-point power sums). The streaming-monitoring
+    operator a KS app builds with a WindowStore; here it is one window
+    pass over one user_id shuffle.
+
+    Determinism: s1/s2 are exact integer sums (order-free), every
+    derived double is a fixed division chain, `sqrt` is IEEE-correctly
+    rounded, and σ is clamped at 0 before the root so catastrophic
+    cancellation cannot go negative in either engine. The z column is
+    NULL for a zero-σ frame (constant values) rather than ±inf —
+    inf/NaN never enter the checked output. At 100 TB the same two
+    power sums are what the sketch-mergeable per-partition rollup
+    carries (cf. q_agg_stats_moments)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fx = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(fx).over(w).alias("s1"),
+        F.sum(fx * fx).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mu = F.col("s1") / 10000.0 / F.col("n")
+    var = F.greatest(
+        (F.col("s2") / 100000000.0) / F.col("n") - mu * mu, F.lit(0.0)
+    )
+    scored = framed.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(var).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n",
+        "mu",
+        "sigma",
+        F.when(F.col("sigma") > 0.0, z).alias("z"),
+        ((F.col("sigma") > 0.0) & (F.abs(z) > 3.0)).alias("is_anomaly"),
+    ).orderBy("event_id")

@@ -64,3 +64,12 @@ def test_embedding_pipeline_example(spark, sf_smoke):
     top = cosine_top_k(emb.filter(F.col("vec_id") != 0), query, k=3).collect()
     assert len(top) == 3
     assert top[0]["cos_sim"] >= top[-1]["cos_sim"]
+
+
+def test_warehouse_layout_example(spark, sf_smoke):
+    from examples.warehouse_layout import curated_join
+
+    joined = curated_join(spark, sf_smoke)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert joined.count() > 0
