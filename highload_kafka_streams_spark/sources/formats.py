@@ -98,3 +98,37 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source — the second columnar format, binary-exact."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "q_source_partitioned_read",
+    oracle=f"""
+SELECT date_trunc('day', ts) AS day,
+       count(*) AS n,
+       {dsum_sql("value", "total_value")}
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY day
+""",
+)
+def q_source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset round-trip with PARTITION PRUNING: events
+    are written `partitionBy(event_type)`, and the read filters one
+    partition value — the scan must list and read exactly 1 of 5
+    partition directories (PartitionFilters in the plan; asserted in
+    tests). This is the layout/pruning contract a 100 TB event lake is
+    built on: the dominant predicate becomes a directory, and queries
+    for one type never touch the bytes of the others. The checked
+    result round-trips through the partitioned copy, proving
+    partition-column recovery (`event_type` leaves the files and comes
+    back from directory names) as well as the pruned aggregate."""
+    path = os.path.join(_SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        back.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .orderBy("day")
+    )

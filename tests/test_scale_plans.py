@@ -431,3 +431,13 @@ def test_pattern_sequence_no_joins_single_shuffle(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partitioned_read_query_prunes(spark, sf_smoke):
+    """q_source_partitioned_read's scan must carry a PartitionFilters
+    entry on event_type and prune to a single partition directory."""
+    df = get_queries()["q_source_partitioned_read"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "event_type" in frag, frag
