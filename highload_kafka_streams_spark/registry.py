@@ -140,9 +140,10 @@ _WINDOW_PRIORITY = (
     "q_sample_temperature",
     "q_dedup_incremental",
     "q_embed_dim_stats",
-    "q_sample_cap_per_source",
     "q_stream_debounce",
+    "q_stateful_debounce_processor",
     "q_agg_bitmap_presence",
+    "q_sample_cap_per_source",
     "q_events_attribution",
     "q_agg_argmax",
     "q_pattern_sequence",

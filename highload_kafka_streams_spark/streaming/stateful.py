@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -240,3 +241,148 @@ ORDER BY user_id, session_start
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# Debounce processor (KTable#suppress(untilTimeLimit) as a state machine)
+
+DEBOUNCE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("settled_ts", TimestampType()),
+    ]
+)
+
+DEBOUNCE_STATE = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("buf_us", LongType()),
+        StructField("buf_event_id", LongType()),
+        StructField("buf_event_type", StringType()),
+        StructField("buf_value_fp", LongType()),
+    ]
+)
+
+
+def debounce_processor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key debounce: buffer the newest record of the current burst;
+    emit it when 30 minutes pass with no newer record (event-time
+    timeout = the KS suppress/punctuation shape). The emitted row is the
+    SETTLED value — exactly one output per burst however hot the key."""
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def _row(sid, t_us, eid, etype, vfp):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [sid],
+                "last_event_id": [eid],
+                "last_event_type": [etype],
+                "last_value": [vfp / 10_000.0],
+                "settled_ts": [pd.Timestamp(t_us * 1000)],
+            }
+        )
+
+    if state.hasTimedOut:
+        sid, buf_us, eid, etype, vfp = state.get
+        state.remove()
+        yield _row(sid, buf_us, eid, etype, vfp)
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    if state.exists:
+        sid, buf_us, eid, etype, vfp = state.get
+    else:
+        sid, buf_us, eid, etype, vfp = 0, None, None, None, None
+
+    out: list[pd.DataFrame] = []
+    for ts, event_id, event_type, value in zip(
+        rows["ts"], rows["event_id"], rows["event_type"], rows["value"]
+    ):
+        t = _us(ts)
+        fp = int(value * 10_000 + 0.5)
+        if buf_us is None:
+            sid = 1
+        elif t - buf_us > gap_us:
+            out.append(_row(sid, buf_us, eid, etype, vfp))
+            sid += 1
+        # newer record in the same burst simply replaces the buffer
+        buf_us, eid, etype, vfp = t, int(event_id), event_type, fp
+
+    state.update((sid, buf_us, eid, etype, vfp))
+    state.setTimeoutTimestamp((buf_us + gap_us) // 1000)
+    if out:
+        yield pd.concat(out, ignore_index=True)
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """Streaming form: one settled row per burst via event-time timeout."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            debounce_processor,
+            outputStructType=DEBOUNCE_OUTPUT,
+            stateStructType=DEBOUNCE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _batch_debouncer(pdf: pd.DataFrame) -> pd.DataFrame:
+    uid = int(pdf["user_id"].iloc[0])
+    state = _ReplayGroupState()
+    parts = list(debounce_processor((uid,), iter([pdf]), state))
+    if state.exists:
+        state.hasTimedOut = True
+        parts.extend(debounce_processor((uid,), iter([]), state))
+    if not parts:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in DEBOUNCE_OUTPUT.fields}
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def debounce_batch(events: DataFrame) -> DataFrame:
+    """Batch replay of the debounce state machine (real processor code)."""
+    return events.groupBy("user_id").applyInPandas(
+        _batch_debouncer, schema=DEBOUNCE_OUTPUT
+    )
+
+
+def q_stateful_debounce_processor(spark, sf_dir: str) -> DataFrame:
+    """§2.6 Processor-API evidence #2: the debounce state machine
+    (applyInPandasWithState shape) batch-replayed over complete groups
+    and checked against the SAME window-SQL oracle as the declarative
+    q_stream_debounce — two independent implementations (state machine
+    vs lag/cumsum windows) pinned to one answer."""
+    from highload_kafka_streams_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return debounce_batch(ev).orderBy("user_id", "session_id")
+
+
+def _register_debounce() -> None:
+    # the declarative twin defines the shared oracle; import it first so
+    # a direct import of this module alone still registers correctly
+    import highload_kafka_streams_spark.streaming.replay  # noqa: F401
+
+    from highload_kafka_streams_spark.registry import ORACLE, query
+
+    query(
+        "q_stateful_debounce_processor",
+        oracle=ORACLE["q_stream_debounce"],
+    )(q_stateful_debounce_processor)
+
+
+_register_debounce()

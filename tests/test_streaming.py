@@ -508,3 +508,35 @@ def test_dedup_dsl_stream_and_batch(spark, sf_smoke, events_stream_source):
     srows = out.collect()
     assert {(r["user_id"], r["event_type"]) for r in srows} == want_keys
     assert len(srows) == len(want_keys)
+
+
+def test_debounce_processor_agrees_with_declarative(spark, sf_smoke):
+    """The debounce STATE MACHINE (batch-replayed applyInPandasWithState
+    code) and the declarative lag/cumsum implementation must produce
+    identical settled rows — two independent engines, one semantics."""
+    from highload_kafka_streams_spark.io import load_table
+    from highload_kafka_streams_spark.registry import get_queries
+    from highload_kafka_streams_spark.streaming.stateful import debounce_batch
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    machine = {
+        tuple(r)
+        for r in debounce_batch(ev)
+        .select(
+            "user_id", "session_id", "last_event_id",
+            "last_event_type", "last_value", "settled_ts",
+        )
+        .collect()
+    }
+    declarative = {
+        tuple(r)
+        for r in get_queries()["q_stream_debounce"](spark, sf_smoke)
+        .select(
+            "user_id", "session_id", "last_event_id",
+            "last_event_type", "last_value", "settled_ts",
+        )
+        .collect()
+    }
+    assert machine == declarative
