@@ -260,3 +260,99 @@ def test_kth_smallest_matches_sorted_order(spark, values, data):
     ).repartition(3)
     got = kth_smallest(df, "v", k, buckets=16, extract_threshold=thresh)
     assert got == sorted(values)[k - 1]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user_id (few keys → interleaving)
+            st.integers(0, 200_000),      # ts offset seconds (bursts + gaps)
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(0, 100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_debounce_state_machine_equals_declarative(spark, rows):
+    """The applyInPandasWithState debounce processor (batch-replayed) and
+    the lag/cumsum declarative implementation must agree on ARBITRARY
+    event streams, not just the fixture — same bursts, same settled
+    rows, same session numbering."""
+    from pyspark.sql import Window
+
+    from highload_kafka_streams_spark.streaming.stateful import (
+        debounce_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": list(range(len(rows))),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r[1])
+                for r in rows
+            ],
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    machine = {
+        tuple(r)
+        for r in debounce_batch(ev).collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(w))
+    w_last = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    # mirror the processor's fixed-point value quantization
+    declarative = {
+        tuple(r)
+        for r in sess.withColumn("rk", F.row_number().over(w_last))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "session_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            (F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long") / 10000.0
+             ).alias("last_value"),
+            F.col("ts").alias("settled_ts"),
+        )
+        .collect()
+    }
+    assert machine == declarative
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_presence_bitmap_merge_invariant(spark, rows):
+    """OR-ing per-group presence bitmaps must equal the bitmap over the
+    union, for ANY grouping — the exact re-aggregation property."""
+    pdf = pd.DataFrame(
+        {"g": [r[0] for r in rows], "uid": [r[1] for r in rows]}
+    )
+    df = spark.createDataFrame(pdf)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(uid % 63 AS INT))")
+    per_group = df.groupBy("g").agg(F.bit_or(bit).alias("bm"))
+    merged = per_group.agg(F.bit_or("bm").alias("m")).first()["m"]
+    direct = df.agg(F.bit_or(bit).alias("m")).first()["m"]
+    assert merged == direct
