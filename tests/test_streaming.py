@@ -540,3 +540,26 @@ def test_debounce_processor_agrees_with_declarative(spark, sf_smoke):
         .collect()
     }
     assert machine == declarative
+
+
+def test_debounce_stream_equals_batch(spark, sf_smoke, events_stream_source):
+    """applyInPandasWithState debounce ≡ batch replay for every burst the
+    event-time timeout settled (the final, never-timed-out burst per
+    user may be absent from the streaming output)."""
+    from highload_kafka_streams_spark.streaming.stateful import (
+        debounce_batch,
+        debounce_stream,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    batch = debounce_batch(ev)
+    stream = debounce_stream(events_stream_source())
+    out = _run_to_memory(stream, "t_debounce", spark, mode="update")
+
+    got = set(_rows(out))
+    want = set(_rows(batch))
+    assert got <= want, f"streaming settled rows absent from batch: {list(got - want)[:3]}"
+    assert len(got) >= len(want) * 0.5
+    assert len(got) > 0
