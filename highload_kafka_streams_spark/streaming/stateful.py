@@ -278,22 +278,24 @@ def debounce_processor(
     (user_id,) = key
     gap_us = SESSION_GAP_SECONDS * 1_000_000
 
-    def _row(sid, t_us, eid, etype, vfp):
+    def _frame(settled: list[tuple]) -> pd.DataFrame:
+        # ONE DataFrame per call, never per emitted row — a per-row
+        # DataFrame+concat measured 10× slower on burst-heavy keys
         return pd.DataFrame(
             {
-                "user_id": [user_id],
-                "session_id": [sid],
-                "last_event_id": [eid],
-                "last_event_type": [etype],
-                "last_value": [vfp / 10_000.0],
-                "settled_ts": [pd.Timestamp(t_us * 1000)],
+                "user_id": [user_id] * len(settled),
+                "session_id": [s[0] for s in settled],
+                "last_event_id": [s[2] for s in settled],
+                "last_event_type": [s[3] for s in settled],
+                "last_value": [s[4] / 10_000.0 for s in settled],
+                "settled_ts": [pd.Timestamp(s[1] * 1000) for s in settled],
             }
         )
 
     if state.hasTimedOut:
         sid, buf_us, eid, etype, vfp = state.get
         state.remove()
-        yield _row(sid, buf_us, eid, etype, vfp)
+        yield _frame([(sid, buf_us, eid, etype, vfp)])
         return
 
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
@@ -302,7 +304,7 @@ def debounce_processor(
     else:
         sid, buf_us, eid, etype, vfp = 0, None, None, None, None
 
-    out: list[pd.DataFrame] = []
+    out: list[tuple] = []
     for ts, event_id, event_type, value in zip(
         rows["ts"], rows["event_id"], rows["event_type"], rows["value"]
     ):
@@ -311,7 +313,7 @@ def debounce_processor(
         if buf_us is None:
             sid = 1
         elif t - buf_us > gap_us:
-            out.append(_row(sid, buf_us, eid, etype, vfp))
+            out.append((sid, buf_us, eid, etype, vfp))
             sid += 1
         # newer record in the same burst simply replaces the buffer
         buf_us, eid, etype, vfp = t, int(event_id), event_type, fp
@@ -319,7 +321,7 @@ def debounce_processor(
     state.update((sid, buf_us, eid, etype, vfp))
     state.setTimeoutTimestamp((buf_us + gap_us) // 1000)
     if out:
-        yield pd.concat(out, ignore_index=True)
+        yield _frame(out)
 
 
 def debounce_stream(events: DataFrame) -> DataFrame:
