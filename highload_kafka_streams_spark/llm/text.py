@@ -870,3 +870,76 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("sentiment"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_rarity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT token, count(*) AS tf FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk
+  FROM tf
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(SUM(r.rnk) AS BIGINT) AS rank_sum
+  FROM toks t JOIN ranked r ON t.token = r.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, rank_sum,
+       CAST(rank_sum AS DOUBLE) / n_tokens AS mean_rank
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring — the integer-exact stand-in for LM
+    perplexity in curation cascades (CCNet-style): each token gets its
+    corpus frequency RANK (1 = most common; deterministic tie-break on
+    the token text), and a document scores the mean rank of its tokens.
+    Rare-token-heavy docs (jargon, codes, garbage) score high; stopword
+    soup scores low. Ranks are integers and the score is one exact
+    integer sum / count, so the result hash-matches cross-engine where
+    a log-probability would drift in the last ulp.
+
+    Plan: the tf pass is the same token shuffle TF-IDF uses; the global
+    rank is a single-partition window over the (small) vocabulary — at
+    100 TB you'd zipf-truncate the vocab to top-K + a default tail rank
+    before broadcasting it back against the token stream, which is the
+    join below."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    ranked = tf.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("token")))
+        .alias("rnk"),
+    )
+    return (
+        toks.join(F.broadcast(ranked), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("rnk").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank_sum",
+            (F.col("rank_sum").cast("double") / F.col("n_tokens")).alias(
+                "mean_rank"
+            ),
+        )
+        .orderBy("doc_id")
+    )

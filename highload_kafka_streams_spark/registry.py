@@ -150,6 +150,7 @@ _WINDOW_PRIORITY = (
     "q_window_range_frame",
     "q_anomaly_zscore",
     "q_source_partitioned_read",
+    "q_text_rarity",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",
