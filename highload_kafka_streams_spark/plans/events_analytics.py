@@ -376,3 +376,60 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sigma") > 0.0, z).alias("z"),
         ((F.col("sigma") > 0.0) & (F.abs(z) > 3.0)).alias("is_anomaly"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.row_total AS p
+FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+ORDER BY t.prev_type, t.next_type
+""",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model feature a stream processor derives
+    for next-event prediction and anomaly baselines. One user_id window
+    pass pairs each event with its predecessor, a 5×5-key aggregate
+    counts transitions, and row-normalization divides exact integers
+    (deterministic doubles). At 100 TB the lag pass rides the standard
+    per-key shuffle and the transition matrix is |types|² rows — tiny
+    forever; the broadcast row-total join never touches the event
+    stream again."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

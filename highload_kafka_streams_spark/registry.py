@@ -151,6 +151,7 @@ _WINDOW_PRIORITY = (
     "q_anomaly_zscore",
     "q_source_partitioned_read",
     "q_text_rarity",
+    "q_events_transitions",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",

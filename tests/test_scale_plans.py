@@ -441,3 +441,12 @@ def test_partitioned_read_query_prunes(spark, sf_smoke):
     assert "PartitionFilters" in plan
     frag = plan.split("PartitionFilters: ")[1].splitlines()[0]
     assert "event_type" in frag, frag
+
+
+def test_bucketed_join_query_idempotent(spark, sf_smoke):
+    """Calling the bucketed-join query twice in one session must
+    overwrite its tables cleanly and return identical results."""
+    q = get_queries()["q_join_bucketed_colocated"]
+    first = [tuple(r) for r in q(spark, sf_smoke).collect()]
+    second = [tuple(r) for r in q(spark, sf_smoke).collect()]
+    assert first == second and len(first) > 0
