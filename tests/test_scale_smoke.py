@@ -109,3 +109,56 @@ def test_minhash_lsh_at_dup_heavy_5x_documents(spark):
     # every doc pairs with its other copies: n_docs * C(n_copies, 2)
     min_cross = n_docs * (n_copies * (n_copies - 1) // 2)
     assert exact >= min_cross * 0.99  # allow boundary docs dropped by filter
+
+
+def test_debounce_state_machine_at_10x(spark, big_events):
+    """1M events / 15k users through the applyInPandasWithState replay:
+    no per-group state blowup, output bounded by input."""
+    from highload_kafka_streams_spark.streaming.stateful import debounce_batch
+
+    out = debounce_batch(
+        big_events.select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    n = out.count()
+    assert 0 < n <= big_events.count()
+    # one open burst per user must survive to the timeout flush
+    n_users = big_events.select("user_id").distinct().count()
+    assert out.groupBy("user_id").count().count() == n_users
+
+
+def test_scd2_and_pattern_at_10x(spark, big_events):
+    """SCD2 interval build and the CEP chain both complete at 10× and
+    keep their per-user invariants."""
+    from pyspark.sql import Window
+
+    ev = big_events
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_state"),
+    )
+    starts = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    n_runs = starts.count()
+    assert 0 < n_runs <= ev.count()
+    wu = Window.partitionBy("user_id")
+    chain = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .groupBy("user_id")
+        .agg(F.first("t_view").alias("t_view"), F.first("t_click").alias("t_click"))
+    )
+    assert chain.count() == big_events.select("user_id").distinct().count()
