@@ -433,3 +433,74 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+held AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_fp,
+         CAST(FLOOR(epoch(next_ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+  FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(v_fp * dur_s) AS BIGINT) AS weighted_fp,
+       CAST(SUM(dur_s) AS BIGINT) AS total_s,
+       (CAST(SUM(v_fp * dur_s) AS BIGINT) / 10000.0)
+         / CAST(SUM(dur_s) AS BIGINT) AS twa_value
+FROM held
+WHERE dur_s > 0
+GROUP BY user_id
+HAVING CAST(SUM(dur_s) AS BIGINT) > 0
+ORDER BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per key — the sensor/market-data aggregate
+    where each reading counts for how long it was CURRENT, not once per
+    sample (a plain average over-weights chatty periods). Each event's
+    value is held until the next event (lead), weighted by integer hold
+    seconds × fixed-point value — exact integer arithmetic end-to-end,
+    one deterministic division at the end.
+
+    Plan: one user_id shuffle shared by the lead pass and the aggregate
+    (the groupBy key matches the window partitioning, so Catalyst reuses
+    the exchange). This is the changelog-integral a KTable's value
+    traces — what 'average price over the session' actually means."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v_fp"),
+        F.unix_timestamp("ts").alias("t_s"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("next_s"),
+    ).filter(F.col("next_s").isNotNull())
+    held = seq.select(
+        "user_id", "v_fp", (F.col("next_s") - F.col("t_s")).alias("dur_s")
+    ).filter(F.col("dur_s") > 0)
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_fp") * F.col("dur_s")).alias("weighted_fp"),
+            F.sum("dur_s").alias("total_s"),
+        )
+        .filter(F.col("total_s") > 0)
+        .select(
+            "user_id",
+            "weighted_fp",
+            "total_s",
+            ((F.col("weighted_fp") / 10000.0) / F.col("total_s")).alias(
+                "twa_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -152,6 +152,7 @@ _WINDOW_PRIORITY = (
     "q_source_partitioned_read",
     "q_text_rarity",
     "q_events_transitions",
+    "q_time_weighted_avg",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",
