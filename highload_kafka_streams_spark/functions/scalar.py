@@ -509,3 +509,37 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.struct(F.lit("en").alias("lang"), F.col("n_chars"))
         ).alias("is_en_pair"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_encoding",
+    oracle="""
+SELECT doc_id,
+       base64(CAST(substring(text, 1, 24) AS BLOB)) AS b64_head,
+       CAST(CAST(from_base64(base64(CAST(substring(text, 1, 24) AS BLOB)))
+                 AS VARCHAR) = substring(text, 1, 24) AS BOOLEAN)
+         AS roundtrip_ok,
+       to_hex(n_chars) AS hex_len,
+       ascii(substring(text, 1, 1)) AS first_cp,
+       chr(ascii(substring(text, 1, 1))) AS first_ch
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/text encoding family — base64 encode + decode round-trip,
+    integer→hex, codepoint extraction and reconstruction. The
+    serialization seams every byte-level pipeline stage (Kafka payloads,
+    blob metadata, digest rendering) crosses; all pure codegen
+    projections, proven byte-exact against DuckDB's encoders."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    b64 = F.base64(head.cast("binary"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64_head"),
+        (F.unbase64(b64).cast("string") == head).alias("roundtrip_ok"),
+        F.hex(F.col("n_chars")).alias("hex_len"),
+        F.ascii(head).alias("first_cp"),
+        F.char(F.ascii(head)).alias("first_ch"),
+    ).orderBy("doc_id")

@@ -504,3 +504,125 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+              AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(ts) AS t0, max(ts) AS t1, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT date_trunc('day', t0) AS day,
+       count(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CAST(FLOOR(epoch(t1)) AS BIGINT)
+                - CAST(FLOOR(epoch(t0)) AS BIGINT)) AS BIGINT)
+         AS total_duration_s,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS bounce_rate
+FROM per_session
+GROUP BY 1
+ORDER BY day
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session health report — sessions started, bounce share
+    (single-event sessions), and total engaged seconds — the product
+    metric the sessionizer exists to feed. Reuses the lag/cumsum
+    sessionization idiom (one user_id shuffle), collapses to
+    per-session rows, then a tiny day-grain aggregate; the bounce rate
+    divides exact integers. Duration uses floored epoch seconds in both
+    engines (DuckDB's double→BIGINT cast rounds; Spark floors)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(w))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        per_session.groupBy(F.date_trunc("day", "t0").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(bounce).alias("n_bounces"),
+            F.sum(
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).alias("total_duration_s"),
+            (F.sum(bounce).cast("double") / F.count("*")).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_backlog_sweepline",
+    oracle="""
+WITH deltas AS (
+  SELECT date_trunc('day', o_orderdate) AS day, 1 AS d FROM orders
+  UNION ALL
+  SELECT date_trunc('day', o_orderdate + INTERVAL 30 DAY) AS day, -1 FROM orders
+),
+daily AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM deltas GROUP BY day
+)
+SELECT day, net,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM daily
+ORDER BY day
+""",
+)
+def q_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval (backlog) curve via sweep-line: each order
+    contributes +1 at placement and −1 at its 30-day horizon; the daily
+    net deltas prefix-sum to 'orders open on each day' — the classic
+    how-many-intervals-overlap operator, O(n) where the naive
+    day×order containment join is O(n·days).
+
+    Scale shape: the ±1 deltas aggregate to DAY grain map-side first,
+    so the global cumulative sum runs over ~2 years of day rows —
+    trivially single-partition no matter how many orders exist. (For a
+    finer-than-day sweep at 100 TB you'd two-phase the prefix sum:
+    per-partition totals, broadcast offsets — the iterative-selection
+    module documents that pattern.)"""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    starts = o.select(F.date_trunc("day", "o_orderdate").alias("day"), F.lit(1).alias("d"))
+    ends = o.select(
+        F.date_trunc("day", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("day"),
+        F.lit(-1).alias("d"),
+    )
+    daily = starts.unionByName(ends).groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "net", F.sum("net").over(w).alias("open_orders")
+    ).orderBy("day")

@@ -153,6 +153,9 @@ _WINDOW_PRIORITY = (
     "q_text_rarity",
     "q_events_transitions",
     "q_time_weighted_avg",
+    "q_session_stats",
+    "q_backlog_sweepline",
+    "q_fn_encoding",
     "q_fn_url",
     "q_fn_struct",
     "q_tpch_q7_volume_shipping",
