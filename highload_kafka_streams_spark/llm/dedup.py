@@ -876,3 +876,98 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "digest")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_graph_pagerank_fx",
+    oracle=_NGRAM_PAIRS_SQL
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+pr0 AS (
+  SELECT id, CAST(1000000 // n AS BIGINT) AS pr FROM nodes, meta
+),
+pr1 AS (
+  SELECT e.dst AS id,
+         CAST((150000 // (SELECT n FROM meta))
+              + SUM((p.pr * 85) // (100 * deg.d)) AS BIGINT) AS pr
+  FROM edges e JOIN pr0 p ON e.src = p.id JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT e.dst AS id,
+         CAST((150000 // (SELECT n FROM meta))
+              + SUM((p.pr * 85) // (100 * deg.d)) AS BIGINT) AS pr
+  FROM edges e JOIN pr1 p ON e.src = p.id JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+pr3 AS (
+  SELECT e.dst AS id,
+         CAST((150000 // (SELECT n FROM meta))
+              + SUM((p.pr * 85) // (100 * deg.d)) AS BIGINT) AS pr
+  FROM edges e JOIN pr2 p ON e.src = p.id JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)
+SELECT id AS doc_id, pr AS pagerank_fx FROM pr3
+ORDER BY doc_id
+""",
+)
+def q_graph_pagerank_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 power iterations, damping 0.85) over the
+    symmetrized near-duplicate graph — hub scoring for template
+    families, and the engine's demonstration of ITERATIVE graph
+    algorithms as deterministic dataframe loops (cf. the connected-
+    components resolver, dedup.py::duplicate_clusters).
+
+    Determinism across engines: ranks live on an integer 1e6 scale,
+    each neighbor contribution is the exact integer floor of
+    pr·85/(100·outdeg), and sums of integers are order-free — so three
+    unrolled iterations match DuckDB digit-for-digit where float
+    PageRank would drift with reduction order. Per iteration: one join
+    edges⋈ranks (ranks broadcast — the rank table is |nodes|, always
+    the small side) + one groupBy dst. At 100 TB the edge list is the
+    only big table, it's never mutated, and you'd bucket it on src so
+    every iteration joins shuffle-free."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    edges.count()  # 3 iterations + deg + nodes read this
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # node count stays IN the plan (broadcast 1-row meta — no driver
+    # scalar action; same discipline as the tfidf df derivation)
+    meta = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pr = nodes.crossJoin(F.broadcast(meta)).select(
+        "id", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(pr), edges.src == pr.id)
+            .join(F.broadcast(deg), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(pr * 85) DIV (100 * d)").alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("id")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(meta))
+            .select(
+                "id",
+                F.expr("CAST((150000 DIV n) + s AS BIGINT)").alias("pr"),
+            )
+        )
+    out = pr.select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank_fx"))
+    edges.unpersist()
+    return out.orderBy("doc_id")

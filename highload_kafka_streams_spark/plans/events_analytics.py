@@ -626,3 +626,85 @@ def q_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).alias("open_orders")
     ).orderBy("day")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH old_snap AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                              event_id DESC) AS rk
+    FROM events WHERE event_id < 5000
+  ) WHERE rk = 1
+),
+new_snap AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                              event_id DESC) AS rk
+    FROM events
+  ) WHERE rk = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.event_type <> n.event_type
+              OR CAST(FLOOR(o.value * 10000 + 0.5) AS BIGINT)
+                 <> CAST(FLOOR(n.value * 10000 + 0.5) AS BIGINT)
+              THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       o.event_type AS old_type, n.event_type AS new_type
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+ORDER BY user_id
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC derivation): classify every key as
+    added / removed / changed / unchanged between two table versions —
+    here the latest-per-key view at an early offset vs now, i.e. the
+    diff of two KTable states. This is how a batch system RECOVERS a
+    changelog when the source only ships full snapshots (reverse ETL,
+    vendor dumps). Full-outer join on the key; value comparison in
+    fixed-point so float noise can't fabricate changes. At 100 TB both
+    snapshots would be bucketed on the key (io.write_bucketed_table)
+    and this diff runs with zero exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    old_snap = snap(ev.filter(F.col("event_id") < 5000)).alias("o")
+    new_snap = snap(ev).alias("n")
+    fx = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        old_snap.join(
+            new_snap, F.col("o.user_id") == F.col("n.user_id"), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+            F.when(F.col("o.user_id").isNull(), "added")
+            .when(F.col("n.user_id").isNull(), "removed")
+            .when(
+                (F.col("o.event_type") != F.col("n.event_type"))
+                | (fx(F.col("o.value")) != fx(F.col("n.value"))),
+                "changed",
+            )
+            .otherwise("unchanged")
+            .alias("change"),
+            F.col("o.event_type").alias("old_type"),
+            F.col("n.event_type").alias("new_type"),
+        )
+        .orderBy("user_id")
+    )

@@ -155,6 +155,8 @@ _WINDOW_PRIORITY = (
     "q_time_weighted_avg",
     "q_session_stats",
     "q_backlog_sweepline",
+    "q_snapshot_diff",
+    "q_graph_pagerank_fx",
     "q_fn_encoding",
     "q_fn_url",
     "q_fn_struct",
