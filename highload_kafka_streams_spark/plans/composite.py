@@ -559,3 +559,120 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("volume"), "revenue"), F.count("*").alias("n_lines"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q_customer_rfm",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         {dsum_sql("o_totalprice", "monetary")}
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       {dsum_sql("monetary", "segment_value")}
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintiles and the
+    value held by each of the 125 segments; the classic CRM rollup a
+    stream processor maintains as a KTable of per-customer aggregates.
+    ntile ties are broken by the customer key so quintile membership is
+    deterministic cross-engine; the monetary sums are fixed-point. The
+    per-customer aggregate shrinks orders to |customers| rows BEFORE
+    the three global ntile sorts, so the sorts run on the small rollup
+    (and at 100 TB you'd replace exact ntile with approx-percentile
+    cut points — the rollup stays the only heavy pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum(F.col("o_totalprice"), "monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("monetary"), "segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "q_tpch_q19_disjunctive",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three disjunctive brand/size/quantity branches —
+    the predicate structure that separates optimizers. Catalyst
+    factors the single-table conjuncts out of the OR: the l_quantity
+    range union pushes to the lineitem scan and the brand/size union
+    to the (broadcast) part scan, so each side is pre-filtered BEFORE
+    the join even though no single branch spans both tables. The
+    remaining cross-table disjunction evaluates post-join inside
+    codegen. Plan-asserted: both scans carry pushed Or filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(branch).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_lines"),
+    )

@@ -157,6 +157,8 @@ _WINDOW_PRIORITY = (
     "q_backlog_sweepline",
     "q_snapshot_diff",
     "q_graph_pagerank_fx",
+    "q_customer_rfm",
+    "q_tpch_q19_disjunctive",
     "q_fn_encoding",
     "q_fn_url",
     "q_fn_struct",

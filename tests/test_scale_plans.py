@@ -450,3 +450,14 @@ def test_bucketed_join_query_idempotent(spark, sf_smoke):
     first = [tuple(r) for r in q(spark, sf_smoke).collect()]
     second = [tuple(r) for r in q(spark, sf_smoke).collect()]
     assert first == second and len(first) > 0
+
+
+def test_q19_pushes_disjunctive_filters_both_scans(spark, sf_smoke):
+    """Q19: Catalyst must factor the OR so BOTH scans carry pushed
+    filters (quantity union on lineitem, brand/size union on part)."""
+    plan = plan_of(get_queries()["q_tpch_q19_disjunctive"](spark, sf_smoke))
+    pushed_sections = plan.split("PushedFilters: ")[1:]
+    assert len(pushed_sections) >= 2, plan
+    frags = [s.splitlines()[0] for s in pushed_sections]
+    assert any("l_quantity" in f and "Or(" in f for f in frags), frags
+    assert any("p_brand" in f and "Or(" in f for f in frags), frags
