@@ -943,3 +943,77 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MG_K = 200  # heavy-hitter threshold: tokens with freq > N/MG_K
+
+
+def _mg_partial(batches):
+    """Per-partition Misra–Gries: stream the partition's tokens through
+    MG_K counters; survivors are the partition's candidate set. Runs
+    inside mapInPandas — bounded memory (MG_K entries) no matter how
+    large the partition."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok in pdf["token"]:
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < MG_K:
+                counters[tok] = 1
+            else:
+                dead = [t for t in counters if counters[t] == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+@query(
+    "q_text_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT token, count(*) AS freq
+FROM toks, meta
+GROUP BY token, meta.n
+HAVING count(*) * 200 > meta.n
+ORDER BY token
+""",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency > N/200) via
+    the two-pass sketch-then-verify paradigm: pass 1 runs Misra–Gries
+    with 200 counters INSIDE each partition (`mapInPandas`, bounded
+    memory), whose union provably contains every global heavy hitter
+    (if freq(x) > Σ_p N_p/200 then some partition leaves x a positive
+    residual); pass 2 exactly recounts ONLY the candidate union
+    (broadcast semi-join) and applies the exact threshold. Output is
+    therefore EXACT and partitioning-independent even though pass 1 is
+    approximate — the pattern that makes top-k affordable at 100 TB:
+    the full token stream is never shuffled, only candidates
+    (≤ 200/partition) and their recount groups."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cand = (
+        toks.mapInPandas(
+            _mg_partial, schema=StructType([StructField("token", StringType())])
+        )
+        .distinct()
+    )
+    meta = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(meta))
+        .filter(F.col("freq") * MG_K > F.col("n"))
+        .select("token", "freq")
+        .orderBy("token")
+    )

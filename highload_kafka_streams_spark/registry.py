@@ -159,6 +159,7 @@ _WINDOW_PRIORITY = (
     "q_graph_pagerank_fx",
     "q_customer_rfm",
     "q_tpch_q19_disjunctive",
+    "q_text_heavy_hitters",
     "q_fn_encoding",
     "q_fn_url",
     "q_fn_struct",

@@ -461,3 +461,37 @@ def test_q19_pushes_disjunctive_filters_both_scans(spark, sf_smoke):
     frags = [s.splitlines()[0] for s in pushed_sections]
     assert any("l_quantity" in f and "Or(" in f for f in frags), frags
     assert any("p_brand" in f and "Or(" in f for f in frags), frags
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
+    """The Misra-Gries candidate pass is approximate, but the verified
+    output must equal the exact threshold answer under adversarial
+    partitionings (the MG union guarantee)."""
+    from highload_kafka_streams_spark.io import load_table
+    from highload_kafka_streams_spark.llm.text import MG_K, _mg_partial
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    d = load_table(spark, sf_smoke, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    n = toks.count()
+    exact = {
+        (r["token"], r["freq"])
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") * MG_K > n)
+        .collect()
+    }
+    for n_part in (1, 7, 32):
+        shuffled = toks.repartition(n_part)
+        cand = shuffled.mapInPandas(
+            _mg_partial, schema=StructType([StructField("token", StringType())])
+        ).distinct()
+        got = {
+            (r["token"], r["freq"])
+            for r in shuffled.join(F.broadcast(cand), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") * MG_K > n)
+            .collect()
+        }
+        assert got == exact, f"n_part={n_part}"
