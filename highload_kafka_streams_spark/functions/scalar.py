@@ -543,3 +543,33 @@ def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(head).alias("first_cp"),
         F.char(F.ascii(head)).alias("first_ch"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+SELECT p_partkey,
+       printf('%05d|%s', p_partkey, p_brand) AS padded_key,
+       lpad(p_brand, 12, '.') AS lpadded,
+       rpad(p_type, 10, '_') AS rpadded,
+       repeat('-', p_size % 5) AS bar,
+       reverse(p_name) AS rname
+FROM part
+ORDER BY p_partkey
+""",
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family — printf-style templating, fixed-width
+    padding, repetition, reversal: the row-rendering seams of report
+    and export sinks. `format_string` follows java.util.Formatter and
+    DuckDB's printf follows C's — the oracle pins that the subset used
+    here (%05d, %s) renders identically. Pure codegen projections."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%05d|%s", "p_partkey", "p_brand").alias("padded_key"),
+        F.lpad("p_brand", 12, ".").alias("lpadded"),
+        F.rpad("p_type", 10, "_").alias("rpadded"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("bar"),
+        F.reverse("p_name").alias("rname"),
+    ).orderBy("p_partkey")

@@ -688,3 +688,78 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_c, qty,
+         CAST(SUM(qty) OVER (PARTITION BY l_returnflag
+                             ORDER BY price_c, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(SUM(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       min(price_c) AS median_price_c,
+       min(tw) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the smallest price whose cumulative quantity
+    weight reaches half the group's total (here: the
+    quantity-weighted median line price per return flag). Plain
+    percentiles treat each row once; weighted quantiles are what
+    inventory/price analytics actually need, and neither engine has a
+    native weighted_median — both build it from the same cumulative
+    window, which pins the semantics. Prices are fixed-point cents and
+    the cut uses 2·cw ≥ tw in integers, so no float boundary exists;
+    ties broken by (orderkey, linenumber) identically. One shuffle on
+    the group key; the per-group sort is the unavoidable cost (at
+    100 TB: pre-bin prices and pick the bin by the same rule — the
+    histogram-selection module's approach)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty").over(win).alias("cw"),
+        F.sum("qty").over(tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").alias("median_price_c"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -160,6 +160,9 @@ _WINDOW_PRIORITY = (
     "q_customer_rfm",
     "q_tpch_q19_disjunctive",
     "q_text_heavy_hitters",
+    "q_agg_weighted_median",
+    "q_tpch_q4_order_priority",
+    "q_fn_format",
     "q_fn_encoding",
     "q_fn_url",
     "q_fn_struct",
