@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
     "highload_kafka_streams_spark.streaming.stateful",
+    "highload_kafka_streams_spark.streaming.topology",
     "highload_kafka_streams_spark.llm.dedup",
     "highload_kafka_streams_spark.llm.similarity",
     "highload_kafka_streams_spark.llm.text",
@@ -137,7 +138,7 @@ _WINDOW_PRIORITY = (
     "q_tpch_q14_promo_revenue",
     "q_join_bucketed_colocated",
     "q_scd2_intervals",
-    "q_sample_temperature",
+    "q_dsl_topology",
     "q_dedup_incremental",
     "q_embed_dim_stats",
     "q_stream_debounce",
@@ -161,6 +162,7 @@ _WINDOW_PRIORITY = (
     "q_tpch_q19_disjunctive",
     "q_text_heavy_hitters",
     "q_agg_weighted_median",
+    "q_sample_temperature",
     "q_tpch_q4_order_priority",
     "q_fn_format",
     "q_fn_encoding",
