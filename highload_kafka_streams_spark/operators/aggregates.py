@@ -763,3 +763,51 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_gini_impurity",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+         count(*) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n, n_types, sum_sq,
+       1.0 - CAST(sum_sq AS DOUBLE) / (n * n) AS gini_impurity
+FROM agg
+ORDER BY user_id
+""",
+)
+def q_agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity via Gini impurity (1 − Σ(cᵢ/N)²) per user —
+    the entropy-style concentration measure that stays EXACT: counts
+    are integers, Σcᵢ² is an integer, and the single division of exact
+    integers is bit-identical cross-engine, where Shannon entropy's
+    per-class log₂ drifts with libm. Two-level aggregate: per-(user,
+    type) partials first so the user-level pass sums |types| rows per
+    user, never raw events. The same Σc² power sum is what a segment-
+    level rollup re-merges — concentration is sketch-mergeable just
+    like the variance power sums (q_agg_stats_moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    agg = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        F.count("*").alias("n_types"),
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "n_types",
+        "sum_sq",
+        (
+            1.0 - F.col("sum_sq").cast("double") / (F.col("n") * F.col("n"))
+        ).alias("gini_impurity"),
+    ).orderBy("user_id")

@@ -708,3 +708,61 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_time_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events WHERE event_type = 'error'
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1
+)
+SELECT s.hour,
+       COALESCE(a.n, 0) AS n_errors,
+       CAST(a.n IS NULL AS BOOLEAN) AS gap_filled
+FROM spine s LEFT JOIN actual a ON s.hour = a.hour
+ORDER BY s.hour
+""",
+)
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap filling: hours with no events exist as
+    explicit zero rows — the regularization every downstream
+    rate/alerting consumer needs (a missing bucket is NOT a zero to a
+    naive GROUP BY). The hour spine is generated IN the plan
+    (`sequence()` between the broadcast min/max bounds, exploded),
+    left-joined to the actual per-hour counts, with a flag marking
+    synthesized rows. At 100 TB the spine is |hours| rows — trivial
+    forever — and the counts aggregate map-side; nothing about this
+    op grows with the corpus except the one count pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(actual, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_errors"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+        .orderBy("hour")
+    )

@@ -163,6 +163,8 @@ _WINDOW_PRIORITY = (
     "q_text_heavy_hitters",
     "q_agg_weighted_median",
     "q_sample_temperature",
+    "q_time_gap_fill",
+    "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
     "q_fn_encoding",
