@@ -777,3 +777,107 @@ def bucketed_join_plan_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = spark.table("hks_bkt_lineitem")
     bo = spark.table("hks_bkt_orders")
     return bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+
+
+@query(
+    "q_join_nearest_event",
+    oracle="""
+WITH merged AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS click_id, 1 AS is_p
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, event_id, 0
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_p,
+         LAST_VALUE(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS before_id,
+         LAST_VALUE(CASE WHEN click_id IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS before_ts,
+         FIRST_VALUE(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS after_id,
+         FIRST_VALUE(CASE WHEN click_id IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS after_ts
+  FROM merged
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE
+         WHEN before_id IS NULL THEN after_id
+         WHEN after_id IS NULL THEN before_id
+         WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                - CAST(FLOOR(epoch(before_ts)) AS BIGINT)
+              <= CAST(FLOOR(epoch(after_ts)) AS BIGINT)
+                - CAST(FLOOR(epoch(ts)) AS BIGINT)
+           THEN before_id ELSE after_id
+       END AS nearest_click
+FROM carried
+WHERE is_p = 1
+ORDER BY purchase_id
+""",
+)
+def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join — each purchase matched to the user's closest
+    click in EITHER direction (sensor-alignment semantics, vs the
+    as-of join's strictly-backward match). Merge form both ways: one
+    window pass carries the last click forward, a mirrored pass
+    carries the next click backward, and an integer-second comparison
+    picks the closer (ties → the earlier click, matching both
+    engines' floor'd epochs). Still one user_id shuffle and zero join
+    nodes — the |purchases|×|clicks| candidate square never exists."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("is_p"),
+    )
+    merged = purchases.unionByName(clicks)
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("click_id").isNotNull(), F.col("ts"))
+    carried = merged.select(
+        "user_id", "ts", "event_id", "is_p",
+        F.last("click_id", ignorenulls=True).over(fwd).alias("before_id"),
+        F.last(click_ts, ignorenulls=True).over(fwd).alias("before_ts"),
+        F.first("click_id", ignorenulls=True).over(bwd).alias("after_id"),
+        F.first(click_ts, ignorenulls=True).over(bwd).alias("after_ts"),
+    )
+    sec = F.unix_timestamp
+    nearest = (
+        F.when(F.col("before_id").isNull(), F.col("after_id"))
+        .when(F.col("after_id").isNull(), F.col("before_id"))
+        .when(
+            sec(F.col("ts")) - sec(F.col("before_ts"))
+            <= sec(F.col("after_ts")) - sec(F.col("ts")),
+            F.col("before_id"),
+        )
+        .otherwise(F.col("after_id"))
+    )
+    return (
+        carried.filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            nearest.alias("nearest_click"),
+        )
+        .orderBy("purchase_id")
+    )

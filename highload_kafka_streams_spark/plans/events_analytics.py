@@ -766,3 +766,72 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_time_carry_forward",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events WHERE event_type = 'purchase'
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_fp
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT s.hour,
+       COALESCE(h.rev_fp,
+                LAST_VALUE(h.rev_fp IGNORE NULLS) OVER (
+                  ORDER BY s.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS rev_fp_locf,
+       CAST(h.rev_fp IS NULL AS BOOLEAN) AS carried
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+ORDER BY s.hour
+""",
+)
+def q_time_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) interpolation — the
+    carry-fill half of time-series regularization (q_time_gap_fill is
+    the zero-fill half): hours with no purchases repeat the last
+    observed hourly revenue, flagged as carried. The fill is one
+    `last(ignorenulls)` window over the hour spine — |hours| rows, so
+    the global window is trivially small at any corpus size; revenue
+    is pre-aggregated map-side as fixed-point integers before the
+    spine join. The same idiom forward-fills a KTable's value between
+    change events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("rev_fp")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(
+                F.col("rev_fp"), F.last("rev_fp", ignorenulls=True).over(w)
+            ).alias("rev_fp_locf"),
+            F.col("rev_fp").isNull().alias("carried"),
+        )
+        .orderBy("hour")
+    )

@@ -164,6 +164,8 @@ _WINDOW_PRIORITY = (
     "q_agg_weighted_median",
     "q_sample_temperature",
     "q_time_gap_fill",
+    "q_time_carry_forward",
+    "q_join_nearest_event",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
