@@ -1017,3 +1017,77 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "freq")
         .orderBy("token")
     )
+
+
+@query(
+    "q_text_novelty",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(
+             range(len(string_split(text,' ')) - 2),
+             i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' '))
+           ))) AS g
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+),
+df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       count(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty
+FROM grams JOIN df ON grams.g = df.g
+GROUP BY grams.doc_id
+ORDER BY grams.doc_id
+""",
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty — the share of a document's distinct trigrams that
+    appear NOWHERE else in the corpus. Low novelty = template/boilerplate
+    (its phrasing is everywhere); high novelty = unique content — the
+    inverse signal of q_text_decontaminate's overlap and a standard
+    curation axis alongside repetition and rarity.
+
+    The gram stream is md5 digests (16-byte shuffle keys, gram text
+    never shuffles); document frequency comes from one digest-keyed
+    aggregate and joins back to the same gram stream — share and ratio
+    are exact-integer arithmetic. At 100 TB this is two passes over the
+    digest stream, the same cost envelope as TF-IDF."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_md5 = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 3)))
+        )
+    )
+    grams = toks.select("doc_id", F.explode(gram_md5).alias("g"))
+    grams = grams.persist()
+    df_tab = grams.groupBy("g").agg(F.count("*").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    out = (
+        grams.join(df_tab, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(uniq).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    return out

@@ -835,3 +835,110 @@ def q_time_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_events_cooccurrence",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS sid
+  FROM marked
+),
+st AS (
+  SELECT DISTINCT user_id, sid, event_type FROM sess
+),
+totals AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions FROM st),
+singles AS (
+  SELECT event_type, count(*) AS c FROM st GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+       CAST(p.c_ab AS DOUBLE) * (SELECT n_sessions FROM totals)
+         / (sa.c * sb.c) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+""",
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level co-occurrence with lift — the market-basket
+    association measure (lift > 1: the two event types attract within a
+    session; < 1: they repel). Sessions come from the shared lag/cumsum
+    idiom; per-session distinct types pair up through a self-join on
+    the session key (each side ≤ |types| rows per session, so the
+    'basket square' is bounded by |types|² per session, never events²);
+    lift divides exact integer counts. The pair matrix is |types|²
+    rows forever — the event-taxonomy analogue of the Markov transition
+    matrix, but order-free and windowless."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn("sid", F.sum("is_new").over(w))
+    st = sess.select("user_id", "sid", "event_type").distinct().persist()
+    totals = st.select("user_id", "sid").distinct().agg(
+        F.count("*").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("c_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double") * F.col("n_sessions")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

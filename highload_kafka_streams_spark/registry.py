@@ -166,6 +166,8 @@ _WINDOW_PRIORITY = (
     "q_time_gap_fill",
     "q_time_carry_forward",
     "q_join_nearest_event",
+    "q_text_novelty",
+    "q_events_cooccurrence",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
