@@ -716,3 +716,137 @@ def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_seasonality_dow",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_part('dow', o_orderdate) AS dow,
+         count(*) AS n_orders,
+         {dsum_sql("o_totalprice", "revenue")}
+  FROM orders
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total, count(*) AS n_dows
+  FROM daily
+)
+SELECT dow, n_orders, revenue,
+       CAST(n_orders AS DOUBLE) * (SELECT n_dows FROM tot)
+         / (SELECT n_total FROM tot) AS seasonal_index
+FROM daily
+ORDER BY dow
+""",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index — each weekday's order share
+    relative to a uniform week (index > 1: over-indexed day). The
+    decomposition step every forecast/anomaly baseline starts from;
+    the index divides exact integer counts (n_orders · n_dows /
+    n_total), so it's bit-stable cross-engine. One 7-group aggregate +
+    a broadcast totals row; nothing scales with the corpus but the
+    first pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.dayofweek("o_orderdate").alias("dow_spark")).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+    daily = daily.select(
+        (F.col("dow_spark") - 1).cast("bigint").alias("dow"),
+        "n_orders",
+        "revenue",
+    )
+    tot = daily.agg(
+        F.sum("n_orders").alias("n_total"), F.count("*").alias("n_dows")
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_orders",
+            "revenue",
+            (
+                F.col("n_orders").cast("double")
+                * F.col("n_dows")
+                / F.col("n_total")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "q_abc_pareto",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, {dsum_sql("l_extendedprice", "revenue_raw")}
+  FROM lineitem GROUP BY l_partkey
+),
+fx AS (
+  SELECT l_partkey,
+         CAST(FLOOR(revenue_raw * 100 + 0.5) AS BIGINT) AS rev_c
+  FROM per_part
+),
+cum AS (
+  SELECT l_partkey, rev_c,
+         CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+         CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+  FROM fx
+)
+SELECT CASE WHEN 5 * cum_c <= 4 * tot_c THEN 'A'
+            WHEN 20 * cum_c <= 19 * tot_c THEN 'B'
+            ELSE 'C' END AS band,
+       count(*) AS n_parts,
+       CAST(SUM(rev_c) AS BIGINT) AS band_rev_c
+FROM cum
+GROUP BY 1
+ORDER BY band
+""",
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — parts banded by cumulative revenue
+    share (A: first 80%, B: to 95%, C: tail), the inventory-analytics
+    standard for '20% of SKUs carry 80% of value'. Band cuts compare
+    integers (5·cum ≤ 4·total etc. on fixed-point cents), so no float
+    boundary can flip a part between engines; ties in revenue order
+    break on the part key. The per-part rollup shrinks lineitem to
+    |parts| rows before the one global cumulative sort (at 100 TB:
+    the same two-phase prefix-sum note as the backlog sweep-line)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice"), "revenue_raw")
+    )
+    fx = per_part.select(
+        "l_partkey",
+        F.floor(F.col("revenue_raw") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_c"),
+    )
+    cum_w = (
+        Window.orderBy(F.col("rev_c").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy()
+    cum = fx.select(
+        "rev_c",
+        F.sum("rev_c").over(cum_w).alias("cum_c"),
+        F.sum("rev_c").over(tot_w).alias("tot_c"),
+    )
+    band = (
+        F.when(5 * F.col("cum_c") <= 4 * F.col("tot_c"), "A")
+        .when(20 * F.col("cum_c") <= 19 * F.col("tot_c"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_c").alias("band_rev_c"),
+        )
+        .orderBy("band")
+    )

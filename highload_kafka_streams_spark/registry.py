@@ -168,6 +168,8 @@ _WINDOW_PRIORITY = (
     "q_join_nearest_event",
     "q_text_novelty",
     "q_events_cooccurrence",
+    "q_seasonality_dow",
+    "q_abc_pareto",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
