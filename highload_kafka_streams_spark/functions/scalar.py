@@ -573,3 +573,48 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("bar"),
         F.reverse("p_name").alias("rname"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q_fn_surrogate_key",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('doc|' || source || '|' || doc_id) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-'
+         || substring(hx, 13, 4) || '-' || substring(hx, 17, 4) || '-'
+         || substring(hx, 21, 12) AS surrogate_uuid,
+       CAST(('0x' || substring(hx, 1, 15)) AS BIGINT) AS surrogate_int
+FROM h
+ORDER BY doc_id
+""",
+)
+def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key generation — UUID-formatted and
+    integer keys derived from the md5 of the natural key, NEVER from
+    `uuid()`, `rand()` or `monotonically_increasing_id()` (all three
+    change across retries, partitionings or reruns, which silently
+    breaks joins against previously-published keys; the content-keyed
+    digest is stable forever and reproducible by any engine — the same
+    discipline as the md5-bucket samplers). The integer form takes the
+    top 60 bits (15 hex chars) so it stays positive in an int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("doc|"), F.col("source"), F.lit("|"), F.col("doc_id")))
+    h = docs.select("doc_id", hx.alias("hx"))
+    uuid_fmt = F.concat_ws(
+        "-",
+        F.substring("hx", 1, 8),
+        F.substring("hx", 9, 4),
+        F.substring("hx", 13, 4),
+        F.substring("hx", 17, 4),
+        F.substring("hx", 21, 12),
+    )
+    return h.select(
+        "doc_id",
+        uuid_fmt.alias("surrogate_uuid"),
+        F.conv(F.substring("hx", 1, 15), 16, 10)
+        .cast("long")
+        .alias("surrogate_int"),
+    ).orderBy("doc_id")

@@ -942,3 +942,76 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_events_bot_score",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+           - CAST(epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS BIGINT)
+           AS gap_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         count(*) AS n_gaps,
+         CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(SUM(gap_us // 1000000) AS BIGINT) AS s1,
+         CAST(SUM((gap_us // 1000000) * (gap_us // 1000000)) AS BIGINT) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps, min_gap_us,
+       s1 // n_gaps AS mean_gap_s,
+       CAST(s2 // n_gaps - (s1 // n_gaps) * (s1 // n_gaps) AS BIGINT)
+         AS var_gap_s2,
+       CAST(min_gap_us < 1000000
+            AND s2 // n_gaps - (s1 // n_gaps) * (s1 // n_gaps) < 360000
+            AS BOOLEAN) AS bot_suspect
+FROM per_user
+ORDER BY user_id
+""",
+)
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristic from inter-event gap statistics: a user is
+    suspect when they have sub-second bursts (min gap < 1 s) AND
+    machine-regular spacing (gap variance below (10 min)²). The burst
+    test keeps exact MICROSECOND resolution (min gap); the variance
+    power sums run in whole seconds so Σgap² stays far inside int64 —
+    all arithmetic is integer with floor division applied identically
+    in both engines (no float time anywhere). One lag pass + one
+    aggregate over the same user_id shuffle; the power sums re-merge
+    for fleet-level rollups."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    gaps = ev.select(
+        "user_id",
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    # power sums in WHOLE SECONDS: µs² overflows int64 on month-long
+    # gaps; second-granularity keeps Σgap² < 1e15 at any fixture scale
+    gap_s = F.expr("gap_us DIV 1000000")
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum(gap_s).alias("s1"),
+        F.sum(gap_s * gap_s).alias("s2"),
+    )
+    mean = F.expr("s1 DIV n_gaps")
+    var = F.expr("s2 DIV n_gaps") - mean * mean
+    return per_user.select(
+        "user_id",
+        "n_gaps",
+        "min_gap_us",
+        mean.alias("mean_gap_s"),
+        var.alias("var_gap_s2"),
+        (
+            (F.col("min_gap_us") < 1000000) & (var < 360000)
+        ).alias("bot_suspect"),
+    ).orderBy("user_id")

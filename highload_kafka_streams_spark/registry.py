@@ -170,6 +170,9 @@ _WINDOW_PRIORITY = (
     "q_events_cooccurrence",
     "q_seasonality_dow",
     "q_abc_pareto",
+    "q_stream_rate_limit",
+    "q_events_bot_score",
+    "q_fn_surrogate_key",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",

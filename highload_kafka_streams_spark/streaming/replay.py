@@ -196,3 +196,42 @@ def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q_stream_rate_limit",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+           ORDER BY ts, event_id
+         ) AS k
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type,
+       CAST(k <= 5 AS BOOLEAN) AS admitted
+FROM ranked
+ORDER BY event_id
+""",
+)
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting (throttle): admit at most 5 events per user
+    per hour, in arrival order, and FLAG the rest rather than dropping
+    them (auditable backpressure — the downstream can count rejected
+    load). The batch twin of a token-bucket processor with hourly
+    refill: row_number within (key, hour bucket) ≤ k, deterministic
+    under the (ts, event_id) arrival order. One shuffle on the
+    composite key; the streaming form is the same state machine as
+    debounce with a counter instead of a buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "event_type",
+            (F.row_number().over(w) <= 5).alias("admitted"),
+        )
+        .orderBy("event_id")
+    )
