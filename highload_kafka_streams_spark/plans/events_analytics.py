@@ -1015,3 +1015,76 @@ def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_gap_us") < 1000000) & (var < 360000)
         ).alias("bot_suspect"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_events_longest_streak",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type,
+         count(*) AS streak_len,
+         min(ts) AS streak_start
+  FROM seq
+  GROUP BY user_id, event_type, rn_all - rn_type
+),
+best AS (
+  SELECT user_id, event_type, streak_len, streak_start,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY streak_len DESC, streak_start, event_type
+         ) AS rk
+  FROM islands
+)
+SELECT user_id, event_type AS streak_type, streak_len, streak_start
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type run per user — the gaps-and-islands
+    pattern (value-based islands, vs the TIME-based islands of
+    sessionization): within a user's event order, a run of equal types
+    has constant rn_all − rn_type, so grouping on that difference
+    recovers each island without self-joins or iteration. Ties between
+    equally long streaks break on (start, type) deterministically.
+    Both row_numbers, the island aggregate and the final pick ride ONE
+    user_id hash partitioning — the streak/retention-style sequence
+    metric KS apps hand-roll with per-key state."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    islands = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("streak_len"), F.min("ts").alias("streak_start")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start", "event_type"
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            "streak_len",
+            "streak_start",
+        )
+        .orderBy("user_id")
+    )

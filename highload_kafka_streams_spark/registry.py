@@ -173,6 +173,7 @@ _WINDOW_PRIORITY = (
     "q_stream_rate_limit",
     "q_events_bot_score",
     "q_fn_surrogate_key",
+    "q_events_longest_streak",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
