@@ -1091,3 +1091,58 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+WITH stats AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+           AS n_sentences,
+         len(string_split(text, ' ')) AS n_words,
+         GREATEST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1, 1)
+           AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_vowel_groups,
+       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+       CAST(n_vowel_groups AS DOUBLE) / n_words AS syllables_per_word
+FROM stats
+ORDER BY doc_id
+""",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile — the Flesch-style inputs (words/sentence,
+    syllable-proxy/word, with vowel GROUPS standing in for syllables)
+    as exact integer counts plus two exact-ratio doubles. Complexity
+    screening is a standard curation axis next to quality/repetition/
+    rarity: too-high words-per-sentence is legalese or run-on garbage,
+    too-low is listicle fragments. Counting is regex splits — pure
+    codegen projections, zero shuffle before the output sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_vg = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    stats = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_vg.alias("n_vowel_groups"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_vowel_groups",
+        (F.col("n_words").cast("double") / F.col("n_sentences")).alias(
+            "words_per_sentence"
+        ),
+        (F.col("n_vowel_groups").cast("double") / F.col("n_words")).alias(
+            "syllables_per_word"
+        ),
+    ).orderBy("doc_id")

@@ -850,3 +850,62 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "q_growth_mom",
+    oracle=f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         count(*) AS n_orders,
+         {dsum_sql("o_totalprice", "revenue")}
+FROM orders
+  GROUP BY 1
+),
+fx AS (
+  SELECT month, n_orders,
+         CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) AS rev_c
+  FROM monthly
+)
+SELECT month, n_orders, rev_c,
+       LAG(rev_c) OVER (ORDER BY month) AS prev_rev_c,
+       CASE WHEN LAG(rev_c) OVER (ORDER BY month) > 0
+            THEN CAST(rev_c - LAG(rev_c) OVER (ORDER BY month) AS DOUBLE)
+                 / LAG(rev_c) OVER (ORDER BY month)
+       END AS mom_growth
+FROM fx
+ORDER BY month
+""",
+)
+def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth — the reporting staple: monthly revenue
+    (fixed-point cents so the monthly totals are exact), previous
+    month via lag, growth as a division of exact integers (NULL on a
+    missing/zero base instead of ±inf). The monthly rollup shrinks
+    orders to |months| rows before the single tiny global lag window —
+    the same collapse-then-window shape as the backlog sweep-line."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    fx = monthly.select(
+        "month",
+        "n_orders",
+        F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("long").alias("rev_c"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return fx.select(
+        "month",
+        "n_orders",
+        "rev_c",
+        prev.alias("prev_rev_c"),
+        F.when(
+            prev > 0, (F.col("rev_c") - prev).cast("double") / prev
+        ).alias("mom_growth"),
+    ).orderBy("month")

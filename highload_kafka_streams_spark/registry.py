@@ -174,6 +174,8 @@ _WINDOW_PRIORITY = (
     "q_events_bot_score",
     "q_fn_surrogate_key",
     "q_events_longest_streak",
+    "q_text_readability",
+    "q_growth_mom",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
