@@ -1088,3 +1088,123 @@ def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_scd2_asof_snapshot",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+),
+starts AS (
+  SELECT user_id, state, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+),
+intervals AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from,
+                                event_id) AS valid_to
+  FROM starts
+)
+SELECT user_id, state, valid_from
+FROM intervals
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+ORDER BY user_id
+""",
+)
+def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query against the SCD2 history: the
+    state of every key AS OF a chosen instant, read as the single
+    interval containing it — what 'rewind the KTable to T' means once
+    history is materialized as [valid_from, valid_to) rows
+    (q_scd2_intervals builds them; this consumes them). The interval
+    predicate is two pushable comparisons — against a bucketed,
+    valid_from-sorted history table this is a pruned scan, no window
+    replay of the raw changelog."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_state"),
+    )
+    starts = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    intervals = starts.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+    )
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        intervals.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select("user_id", "state", "valid_from")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_time_ohlc",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS ord
+  FROM events
+)
+SELECT event_type, hour,
+       arg_min(value, ord) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ord) AS close,
+       count(*) AS n_ticks
+FROM keyed
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — open/high/low/close bars per (series, hour):
+    the market-data compaction that turns a tick stream into candles.
+    Open/close are argmin/argmax over a per-bar row_number (tie-proof
+    (ts, event_id) order — a µs×id composite would overflow int64),
+    high/low are plain min/max. The bar aggregate itself is map-side
+    combinable and rides the same (series, hour) partitioning as the
+    ordering window, so a century of ticks compacts with one shuffle
+    into an |series|×|hours| output. The streaming form is the same
+    aggregate under a tumbling window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    keyed = ev.select(
+        "event_type", hour.alias("hour"), "value",
+        F.row_number().over(w).alias("ord"),
+    )
+    return (
+        keyed.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -176,6 +176,8 @@ _WINDOW_PRIORITY = (
     "q_events_longest_streak",
     "q_text_readability",
     "q_growth_mom",
+    "q_scd2_asof_snapshot",
+    "q_time_ohlc",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
