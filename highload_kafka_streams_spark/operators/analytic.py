@@ -314,3 +314,42 @@ def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("completed_24h"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_window_rolling_median",
+    oracle="""
+SELECT event_id, user_id, value,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS smoothed
+FROM events
+ORDER BY event_id
+""",
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median smoothing (5-tap) — the robust denoiser: unlike a
+    moving average, one corrupted reading cannot drag the smoothed
+    series (the monitoring prefilter ahead of z-score anomaly
+    scoring). Spark has no median window function; the exact
+    `percentile(0.5)` aggregate over the same ROWS frame computes the
+    identical linear-interpolated statistic (semantics pinned
+    cross-engine by q_agg_percentiles). Frame width is constant, so
+    state per row is O(5) and the pass stays one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.expr("percentile(value, 0.5)")
+            .over(w)
+            .alias("smoothed"),
+        )
+        .orderBy("event_id")
+    )
