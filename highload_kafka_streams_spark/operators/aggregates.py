@@ -811,3 +811,44 @@ def q_agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("sum_sq").cast("double") / (F.col("n") * F.col("n"))
         ).alias("gini_impurity"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_agg_minmax_scale",
+    oracle="""
+WITH b AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN b.mx > b.mn
+            THEN (e.value - b.mn) / (b.mx - b.mn) END AS scaled
+FROM events e JOIN b ON e.event_type = b.event_type
+ORDER BY e.event_id
+""",
+)
+def q_agg_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling per group — the [0,1] normalization step
+    of ML preprocessing, degenerate groups (mx == mn) mapping to NULL
+    instead of a division blow-up. min/max are order-free exact
+    aggregates and the rescale applies the identical two-operation
+    float expression to identical inputs, so every scaled value is
+    bit-stable cross-engine. The bounds table is |groups| rows and
+    broadcasts back — the fact stream never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+            ).alias("scaled"),
+        )
+        .orderBy("event_id")
+    )

@@ -909,3 +909,107 @@ def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev > 0, (F.col("rev_c") - prev).cast("double") / prev
         ).alias("mom_growth"),
     ).orderBy("month")
+
+
+@query(
+    "q_referential_audit",
+    oracle="""
+SELECT 'orders_without_customer' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'customers_without_orders',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey))
+UNION ALL
+SELECT 'lineitems_without_order',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+ORDER BY check_name
+""",
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts across the star's
+    foreign keys (the data-quality gate run after every load; a
+    nonzero row is a broken pipeline, and 'customers without orders'
+    doubles as a churn/readiness signal). Each check is an anti-join
+    counted to one row: the keyed side shuffles 8-byte keys only, and
+    the three checks union to a fixed 3-row report."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name, left, right, lk, rk):
+        return (
+            left.join(right, F.col(lk) == F.col(rk), "left_anti")
+            .agg(F.count("*").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    return (
+        check("orders_without_customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(
+            check("customers_without_orders", c, o, "c_custkey", "o_custkey")
+        )
+        .unionByName(
+            check("lineitems_without_order", li, o, "l_orderkey", "o_orderkey")
+        )
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "q_column_profile",
+    oracle="""
+SELECT 'o_custkey' AS col, count(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+       CAST(max(o_custkey) AS VARCHAR) AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+ORDER BY col
+""",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — rows / nulls / distinct / min / max per column
+    in one report: the schema-drift detector every warehouse load runs
+    (a null-count jump or a distinct-count collapse is an upstream
+    break, caught before consumers). One aggregate pass per column over
+    the same scan (Catalyst reuses the exchange-free scans); extrema
+    rendered as strings so one report covers heterogeneous types. At
+    100 TB you'd swap count(DISTINCT) for approx_count_distinct and
+    keep the shape."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_repr"),
+            F.max(col).cast("string").alias("max_repr"),
+        ).select("col", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")
+
+    return (
+        prof("o_custkey")
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_orderpriority"))
+        .orderBy("col")
+    )

@@ -179,6 +179,9 @@ _WINDOW_PRIORITY = (
     "q_scd2_asof_snapshot",
     "q_time_ohlc",
     "q_window_rolling_median",
+    "q_agg_minmax_scale",
+    "q_referential_audit",
+    "q_column_profile",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
