@@ -1146,3 +1146,67 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "syllables_per_word"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_lang_confusion",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','for','with','that','this','are','was'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas','une','des'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','es','una','por','con'], x))) AS s_es
+  FROM t
+),
+pred AS (
+  SELECT lang AS label_lang,
+         CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM scored
+),
+cells AS (
+  SELECT label_lang, pred_lang, count(*) AS n
+  FROM pred GROUP BY label_lang, pred_lang
+),
+label_tot AS (
+  SELECT label_lang, CAST(SUM(n) AS BIGINT) AS n_label FROM cells
+  GROUP BY label_lang
+)
+SELECT c.label_lang, c.pred_lang, c.n, lt.n_label,
+       CAST(c.n AS DOUBLE) / lt.n_label AS label_share
+FROM cells c JOIN label_tot lt ON c.label_lang = lt.label_lang
+ORDER BY c.label_lang, c.pred_lang
+""",
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID confusion
+    matrix (label × prediction counts + per-label share, i.e. the
+    recall diagonal) computed by COMPOSING the registered langid query
+    — model evaluation is itself a dataframe program, which is how
+    quality of any heuristic/model column gets monitored continuously
+    at scale. The matrix is |langs|² rows forever; shares divide exact
+    integers. Eval composes over predictions exactly like the Markov
+    matrix composes over sequences."""
+    pred = q_text_langid(spark, sf_dir).select("label_lang", "pred_lang")
+    cells = pred.groupBy("label_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    label_tot = cells.groupBy("label_lang").agg(F.sum("n").alias("n_label"))
+    return (
+        cells.join(F.broadcast(label_tot), "label_lang")
+        .select(
+            "label_lang",
+            "pred_lang",
+            "n",
+            "n_label",
+            (F.col("n").cast("double") / F.col("n_label")).alias("label_share"),
+        )
+        .orderBy("label_lang", "pred_lang")
+    )

@@ -182,6 +182,7 @@ _WINDOW_PRIORITY = (
     "q_agg_minmax_scale",
     "q_referential_audit",
     "q_column_profile",
+    "q_text_lang_confusion",
     "q_agg_gini_impurity",
     "q_tpch_q4_order_priority",
     "q_fn_format",
