@@ -189,10 +189,11 @@ def q_window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 10000.0
          AS trailing_1h_value,
-       count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          AS trailing_1h_n
 FROM events
@@ -203,9 +204,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window aggregates — the VALUE-bounded frame (all rows
     within the trailing hour of event time) vs q_window_running_agg's
     ROW-bounded frame. This is the per-record sliding aggregate KS
-    SlidingWindows computes; ordering is epoch SECONDS in both engines
-    so frame boundaries and peer groups agree exactly, and the sum is
-    fixed-point. Same single user_id shuffle as every other per-user
+    SlidingWindows computes; ordering is FLOORED epoch seconds in both
+    engines — Spark's unix_timestamp floors, while DuckDB's
+    CAST(epoch(ts) AS BIGINT) ROUNDS fractional seconds, so the oracle
+    must FLOOR(epoch(ts)) first or frame boundaries disagree on
+    sub-second timestamps (ADVICE r3, confirmed at sf0.1) — and the sum
+    is fixed-point. Same single user_id shuffle as every other per-user
     window."""
     ev = load_table(spark, sf_dir, "events")
     w = (

@@ -558,7 +558,10 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
             1,
         ).otherwise(0).alias("is_new"),
     )
@@ -895,7 +898,10 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
             1,
         ).otherwise(0).alias("is_new"),
     )

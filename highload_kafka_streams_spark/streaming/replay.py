@@ -163,7 +163,11 @@ def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rate-limited changelog consumers want when a hot key updates
     1000×/s but downstream wants one settled row per burst. One shuffle
     on user_id; all three window passes reuse it; deterministic via the
-    (ts, event_id) tie-break."""
+    (ts, event_id) tie-break. The gap test compares MICROSECONDS
+    (unix_micros) so it agrees with the oracle's exact
+    ``ts - LAG(ts) > INTERVAL 30 MINUTE`` for gaps within ~1 s of the
+    boundary (ADVICE r3 — floored-second diffs disagreed on sub-second
+    alignment)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
@@ -171,8 +175,8 @@ def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 1800
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
             ),
             1,
         )
