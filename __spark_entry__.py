@@ -1,12 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
-/ ``oracle_sql()`` expose the full registry (one entry per implemented
-SURVEY.md §2 operator plus the LLM-pipeline extensions; round 3:
-122 queries, 114 oracle-backed) for the DuckDB-oracle correctness gate.
-Ordering is driver-facing (registry._WINDOW_PRIORITY / _WINDOW_TAIL):
-never-verified and this-round-changed queries lead the checked prefix;
-rows-only queries sort last.
+/ ``oracle_sql()`` expose the full registry — one entry per implemented
+SURVEY.md §2 operator plus the LLM-pipeline extensions; the exact
+counts are ``len(queries())`` / ``len(oracle_sql())`` (the registry is
+the single source of truth — this docstring intentionally carries no
+hardcoded number after round 3 shipped a stale one).
+Ordering is driver-facing and SELF-MAINTAINING (registry._ordered_names
+reads the driver's own CORRECTNESS_r*.json files): oracle-backed
+queries with no driver-green row yet lead the checked prefix in age
+order, then already-green queries oldest-evidence-first, then
+rows-only queries last.
 """
 
 from __future__ import annotations

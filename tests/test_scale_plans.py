@@ -495,3 +495,52 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
             .collect()
         }
         assert got == exact, f"n_part={n_part}"
+
+
+# --- r4 de-weak plan locks: the four VERDICT-r3 scale-weak queries must
+# keep their distributed two-pass shapes (no full-data unpartitioned
+# window can sneak back in; only the tiny bucket/offset tables may run
+# single-partition).
+
+
+def test_abc_pareto_cumsum_is_bucket_partitioned(spark, sf_smoke):
+    """q_abc_pareto's running revenue sum must be partitioned by the
+    percentile bucket; the only ordered-unpartitioned window allowed is
+    the one over the ≤33-row bucket-offset table."""
+    import re
+
+    plan = plan_of(get_queries()["q_abc_pareto"](spark, sf_smoke))
+    assert re.search(
+        r"sum\(rev_c#\d+L?\) windowspecdefinition\(bucket#\d+", plan
+    ), plan
+
+
+def test_customer_rfm_ntiles_are_bucket_partitioned(spark, sf_smoke):
+    """All three exact-ntile row_number windows must be partitioned by
+    their percentile bucket — no global ntile sort remains."""
+    import re
+
+    plan = plan_of(get_queries()["q_customer_rfm"](spark, sf_smoke))
+    assert not re.search(r"ntile\(", plan), "global ntile returned"
+    rn = re.findall(r"row_number\(\) windowspecdefinition\((\S+?)#", plan)
+    assert rn and all(p == "__bucket" for p in rn), rn
+
+
+def test_late_data_drop_running_max_is_bucket_partitioned(spark, sf_smoke):
+    """The running watermark max over the fact table must be partitioned
+    by the event_id bucket (two-phase prefix max), never one task."""
+    import re
+
+    plan = plan_of(get_queries()["q_stream_late_data_drop"](spark, sf_smoke))
+    assert re.search(
+        r"max\(ts#\d+\) windowspecdefinition\(bucket#\d+L?,", plan
+    ), plan
+
+
+def test_text_rarity_ranks_only_topk(spark, sf_smoke):
+    """The vocabulary rank window must consume a TakeOrderedAndProject
+    top-K cut (bounded K rows), and the rank table must broadcast back
+    against the token stream."""
+    plan = plan_of(get_queries()["q_text_rarity"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
