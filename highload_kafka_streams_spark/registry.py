@@ -253,6 +253,8 @@ _QUERY_LEDGER = (
     "q_union_all",
     "q_union_distinct",
     "q_intersect",
+    # --- round-4 additions (appended chronologically as written) ---
+    "q_stateful_punctuated_session",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

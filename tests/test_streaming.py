@@ -563,3 +563,83 @@ def test_debounce_stream_equals_batch(spark, sf_smoke, events_stream_source):
     assert got <= want, f"streaming settled rows absent from batch: {list(got - want)[:3]}"
     assert len(got) >= len(want) * 0.5
     assert len(got) > 0
+
+
+def test_rocksdb_state_store_provider(spark, sf_smoke, events_stream_source):
+    """The production state-store config (SURVEY.md §2.6): the same
+    applyInPandasWithState sessionizer agreement test, but with the
+    state backed by RocksDBStateStoreProvider instead of the default
+    HDFS-backed in-memory map — the provider a 100 TB cluster would run
+    (bounded executor heap; state spills to local SST files). Probed,
+    not assumed (the r3 Avro-gate lesson): skips only if this PySpark
+    build genuinely lacks the provider/JNI jar."""
+    import glob
+    import os
+
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "rocksdbjni*")
+    )
+    if not jars:
+        pytest.skip("rocksdbjni jar absent from this PySpark build")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        ev = load_table(spark, sf_smoke, "events")
+        batch = sessionize_batch(ev)
+        stream = sessionize_stream(events_stream_source())
+        out = _run_to_memory(stream, "t_rocksdb_stateful", spark, mode="update")
+        got = set(_rows(out))
+        want = set(_rows(batch))
+        assert got <= want, (
+            f"rocksdb-backed run emitted sessions absent from batch: "
+            f"{list(got - want)[:3]}"
+        )
+        assert len(got) >= len(want) * 0.5
+        assert len(got) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_punctuated_replay_fires_midstream_timers(spark, sf_smoke):
+    """The punctuated replay must (a) fire timers BETWEEN micro-batches
+    for real — not only at the final flush — and (b) produce exactly the
+    single-call replay's session set (timer cuts land where the data
+    branch would cut)."""
+    import pandas as pd
+
+    from highload_kafka_streams_spark.streaming.stateful import (
+        _batch_sessionizer,
+        _punctuated_sessionizer_impl,
+    )
+
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    stats: dict = {}
+    got_parts, want_parts = [], []
+    for _, grp in ev.groupby("user_id"):
+        got_parts.append(_punctuated_sessionizer_impl(grp, stats=stats))
+        want_parts.append(_batch_sessionizer(grp))
+    got = pd.concat(got_parts, ignore_index=True)
+    want = pd.concat(want_parts, ignore_index=True)
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert stats.get("midstream_timers", 0) > 0, (
+        "no mid-stream punctuation fired — the timeout branch was never "
+        "exercised between batches"
+    )
