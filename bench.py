@@ -52,6 +52,19 @@ HEADLINE = [
     "q_text_tfidf",             # two-phase agg + join
 ]
 
+# Extended set (r4, VERDICT item 9): the five heaviest non-headline
+# LLM-pipeline stacks, timed and reported per-query so round-over-round
+# regressions in them are visible. NOT in `value` — the headline total
+# stays a like-for-like series against BENCH_r01..r03 and BASELINE.md;
+# the extended total is reported separately.
+EXTENDED = [
+    "q_pipeline_curation",      # full curation cascade, one wide exchange
+    "q_dedup_clusters",         # iterative connected components
+    "q_graph_pagerank_fx",      # 3 fixed-point power iterations
+    "q_similarity_ann_md5",     # LSH signatures + probe + re-rank
+    "q_shard_packing",          # distributed two-pass prefix sum
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,8 +72,8 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    names = [n for n in HEADLINE if n in queries]
-    missing = [n for n in HEADLINE if n not in queries]
+    names = [n for n in HEADLINE + EXTENDED if n in queries]
+    missing = [n for n in HEADLINE + EXTENDED if n not in queries]
     if missing:
         print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
 
@@ -81,7 +94,8 @@ def main() -> None:
             spark.catalog.clearCache()  # a persist() in pass 1 must not feed pass 2
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
     print(
         json.dumps(
             {
@@ -90,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extended_total_sec": extended_total,
             }
         )
     )
