@@ -1123,3 +1123,394 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_orderpriority"))
         .orderBy("col")
     )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS vol_fp,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol_fp ELSE 0 END)
+            AS BIGINT) AS nation_vol_fp,
+       CAST(SUM(vol_fp) AS BIGINT) AS total_vol_fp,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol_fp ELSE 0 END)
+            AS DOUBLE) / SUM(vol_fp) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one region's
+    market for one part type, the share of volume supplied by one
+    nation, per year — the conditional-ratio aggregate over a
+    seven-table star join. All five dims broadcast (part is filtered to
+    one type first); lineitem⋈orders stays the single shuffled join.
+    The share divides two exact fixed-point BIGINTs, so the ratio is
+    the same double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    vol_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    nation_fp = F.when(
+        F.col("supp_nation") == "NATION_12", vol_fp
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(nation_fp).alias("nation_vol_fp"),
+            F.sum(vol_fp).alias("total_vol_fp"),
+        )
+        .select(
+            "o_year",
+            "nation_vol_fp",
+            "total_vol_fp",
+            (
+                F.col("nation_vol_fp").cast("double") / F.col("total_vol_fp")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q13_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    order-less customers appear with count 0, then a histogram of the
+    per-customer counts. Two shuffles total — the custkey join/agg and
+    the tiny c_count rollup; count(o_orderkey) (not count(*)) is what
+    makes the no-order rows count 0 in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_rev_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_fp,
+       total_rev_fp / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) tied at the maximum — the scalar-aggregate-
+    subquery pattern. The per-supplier rollup computes once and is
+    reused for both the max and the filter (persist + broadcast of the
+    1-row max); revenue compares as fixed-point BIGINT so 'equal to
+    max' can't miss on a last-ulp double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("total_rev_fp")
+        )
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_rev_fp").alias("max_rev_fp"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_fp") == F.col("max_rev_fp"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "total_rev_fp",
+            (F.col("total_rev_fp") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17_small_quantity",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS agg_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT {dsum_sql("l_extendedprice", "total_price")},
+       count(*) AS n_lines,
+       {dsum_sql("l_extendedprice / 7.0", "avg_yearly")}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+""",
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): lines whose quantity is
+    below 20% of the part's average quantity — the correlated scalar
+    AVG subquery, decorrelated into a per-part aggregate joined back.
+    The 'qty < 0.2·avg' test is algebraically rearranged to
+    ``5·qty·cnt < sum_qty`` over exact integers (fixture quantities are
+    integral), so no double division can flip a boundary line between
+    engines. The per-part aggregate is small (|parts| rows) and
+    broadcasts; lineitem is scanned twice but shuffles only for its own
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(pa), F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(
+            5 * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice"), "total_price"),
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") / 7.0, "avg_yearly"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21_sole_latest_shipper",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+WHERE n_name = 'NATION_2'
+  AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate >= l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def q_tpch_q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted to the fixture schema (no
+    receipt/commit dates): among completed ('F') multi-supplier orders,
+    count per supplier the lines where that supplier was the SOLE
+    LATEST shipper — every other supplier's line shipped strictly
+    earlier. Preserves Q21's defining structure: a correlated EXISTS
+    (another supplier participated) plus a correlated NOT EXISTS with
+    an inequality (nobody else shipped as late), decorrelated
+    Spark-side into a LEFT SEMI and a LEFT ANTI self-join on the order
+    key with the supplier/date predicates as residual join conditions
+    — the §2.3 semi/anti operators doing subquery duty. One shuffle
+    family on l_orderkey serves both self-joins; supplier and nation
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    )
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_suppkey").alias("sk1"),
+        F.col("l_shipdate").alias("ship1"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_shipdate").alias("ship2"),
+    )
+    qualified = (
+        l1.join(
+            l2,
+            (F.col("k1") == F.col("k2")) & (F.col("sk1") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("k3"),
+                F.col("l_suppkey").alias("sk3"),
+                F.col("l_shipdate").alias("ship3"),
+            ),
+            (F.col("k1") == F.col("k3"))
+            & (F.col("sk1") != F.col("sk3"))
+            & (F.col("ship3") >= F.col("ship1")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(
+            orders, F.col("k1") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(supp), F.col("sk1") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
+    "q_tpch_q22_dormant_customers",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9)
+),
+avg_pos AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt
+  FROM pool WHERE bal_c > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+FROM pool, avg_pos
+WHERE bal_c * cnt > sum_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted to the fixture schema (no phone
+    country codes — nation keys select the pool): rich-but-dormant
+    customers, i.e. above-average balance in a nation pool with no
+    recent orders, summarized per nation. Preserves Q22's structure:
+    an uncorrelated scalar AVG subquery gating the pool plus a NOT
+    EXISTS anti-join against orders. The 'balance > avg' test
+    multiplies through by the count (``bal·cnt > sum`` on fixed-point
+    cents), so the average is never materialized as a double; the
+    1-row (sum, cnt) broadcasts, and the anti-join is the only
+    shuffle pairing."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    pool = cust.filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_c"),
+    )
+    avg_pos = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("cnt")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(
+            orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+        .orderBy("c_nationkey")
+    )

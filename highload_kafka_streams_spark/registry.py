@@ -255,6 +255,12 @@ _QUERY_LEDGER = (
     "q_intersect",
     # --- round-4 additions (appended chronologically as written) ---
     "q_stateful_punctuated_session",
+    "q_tpch_q8_market_share",
+    "q_tpch_q13_count_distribution",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_quantity",
+    "q_tpch_q21_sole_latest_shipper",
+    "q_tpch_q22_dormant_customers",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
