@@ -27,38 +27,44 @@ def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
 
 
 def test_registry_window_ordering():
-    """The driver verifies a prefix of queries() (50 in round 1), so the
-    ordering contract matters: every _WINDOW_PRIORITY name must exist
-    (typos would silently waste window slots), the first 50 queries must
-    all be oracle-backed, and every rows-only query must sort behind
-    every oracle-backed one."""
+    """The driver verifies a prefix of queries() (observed 50/round), so
+    the ordering contract matters. r4 contract (self-maintaining): the
+    ordering derives from CORRECTNESS_r*.json — never-driver-green
+    oracle-backed queries lead in ledger order, then green ones
+    oldest-evidence-first, then rows-only queries last. Every ledger /
+    tail name must exist (typos silently waste window slots), every
+    registered query must appear exactly once, and no slot of the
+    verified window may go to a query that already has newer driver
+    evidence while ANY oracle-backed query has none."""
     from highload_kafka_streams_spark import registry
 
     qs = ent.queries()
     osql = ent.oracle_sql()
     names = list(qs)
-    unknown = [n for n in registry._WINDOW_PRIORITY if n not in qs]
-    assert not unknown, f"_WINDOW_PRIORITY names not registered: {unknown}"
-    # a rows-only name in the priority head would waste a verified-window
-    # slot on a `no_oracle` row; an oracle-backed name in the tail would
-    # bury verifiable evidence behind rows-only queries
-    plain_in_pri = [n for n in registry._WINDOW_PRIORITY if n not in osql]
-    assert not plain_in_pri, f"rows-only in _WINDOW_PRIORITY: {plain_in_pri}"
+    unknown = [n for n in registry._QUERY_LEDGER if n not in qs]
+    assert not unknown, f"_QUERY_LEDGER names not registered: {unknown}"
+    assert len(set(registry._QUERY_LEDGER)) == len(registry._QUERY_LEDGER)
     oracle_in_tail = [n for n in registry._WINDOW_TAIL if n in osql]
     assert not oracle_in_tail, f"oracle-backed in _WINDOW_TAIL: {oracle_in_tail}"
     unknown_tail = [n for n in registry._WINDOW_TAIL if n not in qs]
     assert not unknown_tail, f"_WINDOW_TAIL names not registered: {unknown_tail}"
-    window = names[:50]
-    no_oracle_in_window = [n for n in window if n not in osql]
-    assert not no_oracle_in_window, no_oracle_in_window
-    tail_flags = [n in osql for n in names]
-    # once the first rows-only query appears, no oracle-backed may follow
-    # (vacuously true if every registered query becomes oracle-backed)
-    if False in tail_flags:
-        first_plain = tail_flags.index(False)
-        assert not any(
-            tail_flags[first_plain:]
-        ), "oracle-backed after rows-only"
+    assert sorted(names) == sorted(set(names)) and len(names) == len(qs)
+    # (1) never-green before green among oracle-backed; (2) all
+    # oracle-backed before all rows-only; (3) greens oldest-first
+    green = registry._driver_green_rounds()
+    phases = []
+    for n in names:
+        if n not in osql:
+            phases.append(2)
+        elif n in green:
+            phases.append(1)
+        else:
+            phases.append(0)
+    assert phases == sorted(phases), "window phases out of order"
+    green_rounds = [green[n] for n in names if phases[names.index(n)] == 1]
+    assert green_rounds == sorted(green_rounds), "greens not oldest-first"
+    # the verified window prefix must be entirely oracle-backed
+    assert all(n in osql for n in names[:50]), names[:50]
 
 
 def test_pandas_udf_queries_work_from_foreign_cwd(tmp_path):

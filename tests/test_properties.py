@@ -356,3 +356,39 @@ def test_presence_bitmap_merge_invariant(spark, rows):
     merged = per_group.agg(F.bit_or("bm").alias("m")).first()["m"]
     direct = df.agg(F.bit_or(bit).alias("m")).first()["m"]
     assert merged == direct
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    k=st.sampled_from([2, 3, 5]),
+    n_part=st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=12, deadline=None)
+def test_exact_ntile_desc_equals_global_ntile(spark, keys, k, n_part):
+    """The bucketed two-pass exact ntile (r4 de-weak machinery behind
+    q_customer_rfm) must equal Spark's own global ``ntile(k)`` window on
+    adversarial inputs — heavy ties (keys drawn from a small domain, so
+    many rows share a percentile cut value), any partitioning, and
+    group sizes not divisible by k (big-buckets-first rule)."""
+    from pyspark.sql import Window
+
+    from highload_kafka_streams_spark.plans.composite import _exact_ntile_desc
+
+    rows = [(i, kv) for i, kv in enumerate(keys)]
+    df = spark.createDataFrame(rows, "tb long, key long").repartition(n_part)
+    got = {
+        (r["tb"], r["tile"])
+        for r in _exact_ntile_desc(df, "key", "tb", "tile", k=k).collect()
+    }
+    want = {
+        (r["tb"], r["tile"])
+        for r in df.select(
+            "tb",
+            F.ntile(k)
+            .over(Window.orderBy(F.col("key").desc(), F.col("tb")))
+            .alias("tile"),
+        ).collect()
+    }
+    assert got == want
