@@ -637,7 +637,12 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_tiebreak="purchase_id",
     )
-    fresh = F.col("c_ts").cast("long") - F.col("r_ts").cast("long") <= 7200
+    # µs-exact tolerance test, matching the oracle's c_ts - p.ts <=
+    # INTERVAL 2 HOUR (floored-second diffs disagree for gaps within
+    # ~1 s of the boundary — the r3-ADVICE precision class)
+    fresh = (
+        F.unix_micros("c_ts") - F.unix_micros("r_ts") <= 7_200_000_000
+    )
     return joined.select(
         "click_id",
         "user_id",
