@@ -279,7 +279,7 @@ _WINDOW_TAIL = (
 )
 
 
-def _driver_green_rounds() -> dict[str, int]:
+def _driver_green_rounds(root=None) -> dict[str, int]:
     """Latest driver round each query was GREEN in, from the
     ``CORRECTNESS_r*.json`` files the driver writes to the repo root.
 
@@ -287,12 +287,17 @@ def _driver_green_rounds() -> dict[str, int]:
     oracle-backed queries) the value hash matched. An errored or
     mismatched latest row removes the query from the green set so it
     returns to the front of the verification window.
+
+    ``root`` is overridable for tests; production always reads the
+    repo root this package sits in.
     """
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[1]
+    if root is None:
+        root = Path(__file__).resolve().parents[1]
+    root = Path(root)
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.stem)

@@ -104,3 +104,33 @@ print("ROWS", df.count())
         },
     )
     assert "ROWS" in out.stdout, out.stderr[-2000:]
+
+
+def test_driver_green_rounds_parsing(tmp_path):
+    """The ordering derivation must track the LATEST driver verdict per
+    query: a green row counts, a later error or mismatch pulls the query
+    back out of the green set (so it returns to the front of the
+    window), and malformed files are ignored rather than fatal."""
+    import json
+
+    from highload_kafka_streams_spark.registry import _driver_green_rounds
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_a": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None},
+        "q_b": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None},
+        "q_c": {"rows_match": False, "schema_match": True,
+                "hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_b": {"rows_match": True, "schema_match": True,
+                "hash_match": False, "err": None},   # regressed
+        "q_c": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None},    # fixed
+        "q_d": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": "boom"},  # errored
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("not json at all")
+    green = _driver_green_rounds(root=tmp_path)
+    assert green == {"q_a": 1, "q_c": 2}
