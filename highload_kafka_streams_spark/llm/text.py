@@ -1222,3 +1222,62 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_lang", "pred_lang")
     )
+
+
+@query(
+    "q_text_bpe_merge_step",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w
+),
+idx AS (
+  SELECT w, f, unnest(generate_series(1, len(w) - 1)) AS i FROM wf
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b, f
+  FROM idx
+)
+SELECT sym_a, sym_b, CAST(SUM(f) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY sym_a, sym_b
+ORDER BY pair_count DESC, sym_a, sym_b
+LIMIT 20
+""",
+)
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: the adjacent-symbol pair counts
+    whose argmax becomes the next merge rule — the inner loop of
+    byte-pair-encoding tokenizer induction, expressed as a query.
+
+    Scale shape (the classic BPE trick): pairs are counted over the
+    WORD-FREQUENCY table, never the corpus — the token shuffle carries
+    |vocab| rows weighted by their frequency, so a 100 TB corpus with a
+    10M-word vocabulary explodes 10M·avg_len pair rows, not the
+    corpus's token stream. The top-20 cut is a limit-sort
+    (TakeOrderedAndProject) with a (count, sym_a, sym_b) total order so
+    the merge choice is deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wf = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = wf.select(
+        "w",
+        "f",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(
+        F.expr("substring(w, i, 1)").alias("sym_a"),
+        F.expr("substring(w, i + 1, 1)").alias("sym_b"),
+        "f",
+    )
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+        .limit(20)
+    )
