@@ -852,3 +852,76 @@ def q_agg_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_agg_ktable_regroup",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value
+  FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+  ) WHERE rk = 1
+)
+SELECT event_type,
+       count(*) AS n_keys,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_fp
+FROM latest
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_agg_ktable_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS ``KGroupedTable.aggregate(adder, subtractor)`` — re-grouping a
+    changelog table by a NON-key attribute. In Kafka Streams every
+    upstream update emits TWO records downstream: the subtractor
+    retracts the key's old value from its old group, the adder applies
+    the new value to its new group.
+
+    The Spark side computes the final per-group aggregate THE CHANGELOG
+    WAY: each update contributes (+new value to its group) and, via
+    ``lag`` over the per-key update order, (−previous value to the
+    previous group); summing all signed contributions telescopes to the
+    latest-snapshot aggregate. The ORACLE derives the same answer
+    independently from the final snapshot (latest row per key, then
+    group), so the hash-match proves the adder/subtractor algebra — the
+    KS semantic — not just the arithmetic. Counts work identically
+    (+1/−1 membership deltas).
+
+    Scale shape: one shuffle on the key (user_id) for the lag window,
+    one on the group for the sum — exactly the two exchanges the KS
+    repartition topics represent. Fixed-point values make the signed
+    sums order-free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.select(
+        "user_id",
+        F.col("event_type").alias("grp"),
+        fp.alias("v_fp"),
+        F.lag("event_type").over(w).alias("prev_grp"),
+        F.lag(fp).over(w).alias("prev_fp"),
+    )
+    adds = chg.select(
+        "grp", F.col("v_fp").alias("d_fp"), F.lit(1).alias("d_n")
+    )
+    subs = chg.filter(F.col("prev_grp").isNotNull()).select(
+        F.col("prev_grp").alias("grp"),
+        (-F.col("prev_fp")).alias("d_fp"),
+        F.lit(-1).alias("d_n"),
+    )
+    return (
+        adds.unionByName(subs)
+        .groupBy(F.col("grp").alias("event_type"))
+        .agg(
+            F.sum("d_n").alias("n_keys"),
+            F.sum("d_fp").alias("total_fp"),
+        )
+        .orderBy("event_type")
+    )

@@ -262,6 +262,7 @@ _QUERY_LEDGER = (
     "q_tpch_q21_sole_latest_shipper",
     "q_tpch_q22_dormant_customers",
     "q_text_bpe_merge_step",
+    "q_agg_ktable_regroup",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
