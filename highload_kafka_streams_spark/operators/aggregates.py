@@ -495,20 +495,28 @@ def q_agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_hll_mergeable",
     oracle="""
-SELECT event_type, TRUE AS merge_equals_direct
+SELECT event_type, TRUE AS merge_within_tolerance
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
 def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability — THE property that makes approximate
     distinct-counting re-aggregable at 100 TB: per-day partial HLL
-    sketches unioned per event_type must estimate exactly what one
-    direct per-type sketch estimates (same sketch algebra, so equality
-    is exact, not approximate). The oracle pins the invariant (TRUE per
-    group present in the data); Spark computes both sides for real via
-    hll_sketch_agg / hll_union_agg / hll_sketch_estimate. This is the
-    continuous-aggregate pattern: store tiny daily sketches, answer
-    any-time-range distinct queries by union — never rescan raw data."""
+    sketches unioned per event_type must estimate what one direct
+    per-type sketch estimates, WITHIN the sketch's error bound. The
+    invariant is deliberately a tolerance, not exact equality: the
+    r4 sf0.1 density sweep proved exact register-level equality is NOT
+    a DataSketches HLL_4 property (a directly-built sketch and a union
+    of partial sketches clip their 4-bit register windows differently,
+    and the estimator differs HIP-vs-composite) — at sf0.01 the two
+    agreed exactly by low-density luck. The 2% gate sits ~2.5× above
+    the observed divergence (≤0.8%) and just over the lgK=12 RSE
+    (~1.6%), so it pins real mergeability without depending on fixture
+    density. The oracle pins the invariant (TRUE per group present);
+    Spark computes both sides for real via hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate. This is the continuous-
+    aggregate pattern: store tiny daily sketches, answer any-time-range
+    distinct queries by union — never rescan raw data."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
     )
@@ -525,7 +533,10 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         direct.join(merged, "event_type")
         .select(
             "event_type",
-            (F.col("d_est") == F.col("m_est")).alias("merge_equals_direct"),
+            (
+                F.abs(F.col("d_est") - F.col("m_est"))
+                <= 0.02 * F.col("d_est")
+            ).alias("merge_within_tolerance"),
         )
         .orderBy("event_type")
     )
