@@ -975,3 +975,87 @@ def q_graph_pagerank_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pr.select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank_fx"))
     edges.unpersist()
     return out.orderBy("doc_id")
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(
+           list_transform(
+             range(len(string_split(text,' ')) - 2),
+             i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+           ))) AS grams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / least(len(a.grams), len(b.grams)) AS containment
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / least(len(a.grams), len(b.grams)) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT near-dup pairs (≥0.8) — the
+    quote/excerpt detector Jaccard misses: containment divides the
+    intersection by the SMALLER shingle set, so a short document living
+    almost entirely inside a long one scores ~1.0 where its Jaccard is
+    tiny (the union is dominated by the long doc). This is the
+    partial-copy axis a curation cascade needs alongside symmetric
+    near-dup: boilerplate quotes, chunk-of-other-doc, truncated
+    re-crawls.
+
+    Same inverted-index scale shape as q_dedup_ngram_jaccard (shingle
+    equi-join, never corpus²; hashed 3-grams; one persisted shingle
+    table feeds sides and sizes) — only the final scoring projection
+    differs, and both engines divide the same exact integers."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    )
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    sh = tok_df.select("doc_id", "lang", gram_h.alias("grams")).persist()
+    sh.count()
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    inv = sh.select("doc_id", "lang", F.explode("grams").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("sa.sz"), F.col("sb.sz")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -886,3 +886,84 @@ def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+WITH hv AS (
+  SELECT o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL 7 DAY AS e
+  FROM orders WHERE o_totalprice > 495000
+)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+         AS overlap_days
+FROM hv a JOIN hv b
+  ON a.o_orderkey < b.o_orderkey AND a.s < b.e AND b.s < a.e
+ORDER BY key_a, key_b
+""",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — every pair of high-value order
+    activity windows (7 days from placement) that overlap in time, with
+    the exact overlap length. The oracle states the quadratic
+    definition; the engine computes it the scale way: each interval
+    EXPLODES to the 7-day-grain buckets it touches, pairs join on the
+    bucket (equi-join — never a cross product), the exact overlap
+    predicate filters within buckets, and distinct collapses pairs that
+    share several buckets. Any two overlapping intervals share the
+    bucket containing their overlap start, so the bucket join loses no
+    pairs; per-bucket work is |intervals in bucket|², bounded by the
+    bucket grain, not the table. The same shape handles session
+    overlap, campaign concurrency, and any temporal self-join at
+    100 TB. Overlap length is exact integer days."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 495000
+    )
+    day = lambda c: F.datediff(c, F.lit("1970-01-01"))  # noqa: E731
+    hv = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    bucketed = hv.select(
+        "o_orderkey",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(day(F.col("s")) / 7).cast("long"),
+                F.floor((day(F.col("e")) - 1) / 7).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.datediff(
+                F.least("e_a", "e_b"), F.greatest("s_a", "s_b")
+            ).alias("overlap_days"),
+        )
+        .distinct()
+        .orderBy("key_a", "key_b")
+    )

@@ -263,6 +263,8 @@ _QUERY_LEDGER = (
     "q_tpch_q22_dormant_customers",
     "q_text_bpe_merge_step",
     "q_agg_ktable_regroup",
+    "q_join_interval_overlap",
+    "q_dedup_containment",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
