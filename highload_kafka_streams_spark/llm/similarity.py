@@ -749,3 +749,116 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+MRL_DIMS = (8, 16, 32, 64)  # matryoshka truncation ladder (64 = full)
+
+
+@query(
+    "q_embed_mrl_overlap",
+    oracle="""
+WITH fx AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+qv AS (SELECT dim, v FROM fx WHERE vec_id = 0),
+dots AS (
+  SELECT f.vec_id, d.d AS dims_kept, CAST(SUM(f.v * q.v) AS BIGINT) AS dot
+  FROM fx f
+  JOIN qv q ON f.dim = q.dim,
+       (SELECT unnest([8, 16, 32, 64]) AS d) d
+  WHERE f.vec_id <> 0 AND f.dim <= d.d
+  GROUP BY f.vec_id, d.d
+),
+ranked AS (
+  SELECT dims_kept, vec_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY dims_kept
+                            ORDER BY dot DESC, vec_id) AS rk
+  FROM dots
+),
+full10 AS (SELECT vec_id FROM ranked WHERE dims_kept = 64 AND rk <= 10)
+SELECT dims_kept,
+       CAST(count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM full10))
+            AS BIGINT) AS n_overlap_with_full,
+       CAST(min(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT) AS top1_id
+FROM ranked
+WHERE rk <= 10
+GROUP BY dims_kept
+ORDER BY dims_kept
+""",
+)
+def q_embed_mrl_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation as a query: dot-product
+    top-10 retrieval for one query vector at each kept-prefix width
+    (8/16/32/64 dims), reporting how much of the full-width top-10
+    each truncation preserves and which vector it ranks first — the
+    ablation a pipeline runs before deciding how many dims to store
+    and index at 100 TB (storage and ANN cost scale linearly in dims).
+
+    Determinism: dot products are exact integer sums of 1e6-scaled
+    fixed-point components (the similarity-module idiom), ranked with a
+    (dot DESC, vec_id) total order, so the top-10 sets are identical
+    cross-engine. Each width's top-10 is its own distributed limit-sort
+    (TakeOrderedAndProject) over one corpus pass — never a 4-group
+    window over the whole corpus — and the tiny (≤40-row) union is all
+    that reaches the overlap join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot_d(d: int):
+        fx = lambda c: F.floor(  # noqa: E731
+            c.cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long")
+        return F.aggregate(
+            F.zip_with(
+                F.slice("embedding", 1, d),
+                F.slice("qe", 1, d),
+                lambda x, y: fx(x) * fx(y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    tops = None
+    for d in MRL_DIMS:
+        top = (
+            base.select(
+                F.lit(d).alias("dims_kept"),
+                "vec_id",
+                dot_d(d).alias("dot"),
+            )
+            .orderBy(F.col("dot").desc(), "vec_id")
+            .limit(10)
+        )
+        tops = top if tops is None else tops.unionByName(top)
+    from pyspark.sql import Window
+
+    ranked = tops.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("dims_kept").orderBy(
+                F.col("dot").desc(), "vec_id"
+            )
+        ),
+    )
+    full10 = ranked.filter(F.col("dims_kept") == 64).select(
+        F.col("vec_id").alias("full_vec")
+    )
+    return (
+        ranked.join(
+            F.broadcast(full10),
+            ranked.vec_id == full10.full_vec,
+            "left",
+        )
+        .groupBy("dims_kept")
+        .agg(
+            F.count("full_vec").alias("n_overlap_with_full"),
+            F.min(F.when(F.col("rk") == 1, F.col("vec_id"))).alias("top1_id"),
+        )
+        .orderBy("dims_kept")
+    )

@@ -265,6 +265,7 @@ _QUERY_LEDGER = (
     "q_agg_ktable_regroup",
     "q_join_interval_overlap",
     "q_dedup_containment",
+    "q_embed_mrl_overlap",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
