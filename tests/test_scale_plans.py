@@ -544,3 +544,20 @@ def test_text_rarity_ranks_only_topk(spark, sf_smoke):
     plan = plan_of(get_queries()["q_text_rarity"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_smoke):
+    """The interval×interval overlap join must plan as an equi-join on
+    the time bucket (bucket-explode pattern) — never a cartesian/NLJ
+    over the interval table."""
+    plan = plan_of(get_queries()["q_join_interval_overlap"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mrl_overlap_uses_limit_sorts(spark, sf_smoke):
+    """Each truncation width's top-10 must be a distributed limit-sort
+    (TakeOrderedAndProject), not a global sort or a 4-partition window
+    over the corpus."""
+    plan = plan_of(get_queries()["q_embed_mrl_overlap"](spark, sf_smoke))
+    assert plan.count("TakeOrderedAndProject") >= 4, plan
