@@ -643,3 +643,71 @@ def test_punctuated_replay_fires_midstream_timers(spark, sf_smoke):
         "no mid-stream punctuation fired — the timeout branch was never "
         "exercised between batches"
     )
+
+
+def test_watermark_drops_late_rows_in_real_streaming(spark, sf_smoke, tmp_path):
+    """Grace/late-data semantics through REAL IncrementalExecution, not
+    only the batch twin: phase 1 streams the NEWEST half of events
+    (advancing the watermark to max(ts)−10min), phase 2 appends a file
+    of OLD events (all timestamps far below the phase-1 watermark) and
+    resumes from the same checkpoint. In append mode with a 10-minute
+    watermark, every phase-2 window older than the watermark must be
+    dropped — the final sink equals a batch aggregate of the NEW half
+    only, proving late rows were discarded by the state store rather
+    than re-opening closed windows."""
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts", "user_id")
+    cut = ev.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m"))
+    mid = cut.collect()[0]["m"]
+    new_half = ev.filter(F.col("ts").cast("double") >= mid)
+    old_half = ev.filter(F.col("ts").cast("double") < mid)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    new_half.write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(new_half.schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("w_start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()  # watermark advances to max(new_half.ts) - 10min
+    old_half.write.mode("append").parquet(src)
+    run_pass()  # old rows are all below the persisted watermark → dropped
+
+    got = {
+        (r["w_start"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # every phase-2 row is late beyond grace: emitted windows must cover
+    # the new half only (windows still open at stream end never emit in
+    # append mode — allow those to be missing, forbid any OLD window)
+    want_new = {
+        (r["w_start"], r["n"])
+        for r in new_half.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+        .collect()
+    }
+    assert got, "no windows emitted"
+    assert got <= want_new, f"late windows leaked: {list(got - want_new)[:3]}"
+    old_windows = {
+        r["w_start"]
+        for r in old_half.select(
+            F.date_trunc("hour", "ts").alias("w_start")
+        ).distinct().collect()
+    } - {w for w, _ in want_new}
+    assert not ({w for w, _ in got} & old_windows), "old-only window emitted"
