@@ -1214,3 +1214,124 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "q_time_interpolate_linear",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events WHERE event_type = 'purchase'
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+j AS (
+  SELECT s.hour, a.v,
+         CAST(FLOOR(epoch(s.hour)) AS BIGINT) // 3600 AS h
+  FROM spine s LEFT JOIN actual a ON s.hour = a.hour
+),
+ctx AS (
+  SELECT hour, v, h,
+         LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         LAST_VALUE(h * (CASE WHEN v IS NOT NULL THEN 1 END) IGNORE NULLS)
+           OVER (ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0,
+         FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+         FIRST_VALUE(h * (CASE WHEN v IS NOT NULL THEN 1 END) IGNORE NULLS)
+           OVER (ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h1
+  FROM j
+)
+SELECT hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN v0 IS NULL THEN v1
+            WHEN v1 IS NULL THEN v0
+            ELSE v0 + (v1 - v0) * CAST(h - h0 AS DOUBLE) / (h1 - h0)
+       END AS v_interp,
+       CAST(v IS NULL AS BOOLEAN) AS interpolated
+FROM ctx
+ORDER BY hour
+""",
+)
+def q_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — the third member of the
+    regularization trio (gap_fill = zeros, carry_forward = LOCF,
+    this = linear): missing hourly buckets take the straight line
+    between their observed neighbors, edges extend the nearest
+    observation. Deterministic cross-engine because both engines
+    interpolate from IDENTICAL inputs with one identical expression:
+    the endpoint values are exact fixed-point hourly sums, the
+    fractional position is a ratio of exact integer hour indices, and
+    v0 + (v1-v0)·k/n is evaluated the same way in IEEE doubles.
+
+    Plan: one hourly pre-aggregation over the fact table (map-side
+    partials), then all window passes run on the |hours| spine —
+    bounded by the time span forever, the hypertable property. The
+    h0/h1 neighbor indices ride the same IGNORE NULLS windows as the
+    values (hour index masked to NULL on gap rows), so no join or
+    self-join is needed to locate the bracketing observations."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            )
+            / 10000.0
+        ).alias("v")
+    )
+    j = spine.join(actual, "hour", "left").withColumn(
+        "h", F.floor(F.unix_timestamp("hour") / 3600).cast("long")
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    w_back = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    ctx = j.select(
+        "hour",
+        "v",
+        "h",
+        F.last("v", ignorenulls=True).over(w_back).alias("v0"),
+        F.last(h_obs, ignorenulls=True).over(w_back).alias("h0"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("v1"),
+        F.first(h_obs, ignorenulls=True).over(w_fwd).alias("h1"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("v0").isNull(), F.col("v1"))
+        .when(F.col("v1").isNull(), F.col("v0"))
+        .otherwise(
+            F.col("v0")
+            + (F.col("v1") - F.col("v0"))
+            * (F.col("h") - F.col("h0")).cast("double")
+            / (F.col("h1") - F.col("h0"))
+        )
+    )
+    return (
+        ctx.select(
+            "hour",
+            interp.alias("v_interp"),
+            F.col("v").isNull().alias("interpolated"),
+        )
+        .orderBy("hour")
+    )

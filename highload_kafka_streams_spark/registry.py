@@ -266,6 +266,7 @@ _QUERY_LEDGER = (
     "q_join_interval_overlap",
     "q_dedup_containment",
     "q_embed_mrl_overlap",
+    "q_time_interpolate_linear",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
