@@ -1514,3 +1514,395 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- derived partsupp: the fixture ships no partsupp table, so the six
+# TPC-H shapes that need one (Q2/Q9/Q11/Q16/Q20) derive it from lineitem:
+# one (partkey, suppkey) row per observed supplying pair, with the unit
+# price floor(l_extendedprice / l_quantity) as the supply-cost stand-in
+# and the total supplied quantity as the availqty stand-in. Both are
+# exact fixed-point BIGINTs so every downstream comparison ("equal to
+# the min cost", "value share > threshold") is integer arithmetic in
+# both engines. At scale this is one map-side-combinable groupBy on a
+# (partkey, suppkey) composite key — cardinality |parts|·|suppliers per
+# part|, far below |lineitem| — and every query below reuses the same
+# shuffle key for its ps join.
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000 + 0.5)
+                  AS BIGINT)) AS ps_cost_fp,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_qty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(li: DataFrame) -> DataFrame:
+    """lineitem -> (ps_partkey, ps_suppkey, ps_cost_fp, ps_qty)."""
+    unit_fp = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 10000 + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(unit_fp).alias("ps_cost_fp"),
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_qty"),
+    )
+
+
+@query(
+    "q_tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PS_SQL}),
+eligible AS (
+  SELECT ps_partkey, ps_cost_fp, s_acctbal, s_name, n_name
+  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+mn AS (
+  SELECT ps_partkey AS mk, MIN(ps_cost_fp) AS min_cost_fp
+  FROM eligible GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost_fp
+FROM eligible JOIN mn ON ps_partkey = mk AND ps_cost_fp = min_cost_fp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the European supplier(s) offering it at the region-wide minimum
+    cost — the classic correlated-MIN subquery, decorrelated as a
+    per-partkey MIN rollup joined back on (partkey, cost). Supplier/
+    nation/region and the filtered part dim all broadcast; the derived
+    partsupp and its min-rollup share the ps_partkey shuffle key, and
+    cost equality compares fixed-point BIGINTs so a tie at the min is
+    never lost to a double ulp. The LIMIT orders by a total key
+    (acctbal, nation, supplier, partkey) so the cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    eligible = (
+        _derived_partsupp(li)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_cost_fp", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost_fp").alias("min_cost_fp")
+    )
+    return (
+        eligible.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_cost_fp") == F.col("min_cost_fp")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_cost_fp")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9_product_profit",
+    oracle=f"""
+WITH ps AS ({_PS_SQL})
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)
+                - ps_cost_fp * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS profit_fp,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)
+                - ps_cost_fp * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation and
+    order year, revenue minus supply cost over the parts matching a
+    name pattern. The derived partsupp joins back to lineitem on the
+    same (partkey, suppkey) key it was built on — Catalyst reuses one
+    exchange for build+probe — and the orders join is the only other
+    shuffle; part (pre-filtered by the LIKE), supplier, and nation
+    broadcast. Profit is revenue_fp − cost_fp·qty in exact BIGINTs, so
+    the per-(nation, year) sums hash identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = _derived_partsupp(li)
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    profit_line = rev_fp - F.col("ps_cost_fp") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit_line).alias("profit_fp"))
+        .select(
+            "nation",
+            "o_year",
+            "profit_fp",
+            (F.col("profit_fp") / 10000.0).alias("profit"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11_important_stock",
+    oracle=f"""
+WITH ps AS ({_PS_SQL}),
+euro AS (
+  SELECT ps_partkey, ps_cost_fp * ps_qty AS val_fp
+  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pv AS (
+  SELECT ps_partkey, CAST(SUM(val_fp) AS BIGINT) AS value_fp
+  FROM euro GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(value_fp) AS BIGINT) AS total_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv)
+SELECT ps_partkey, value_fp, value_fp / 10000.0 AS part_value
+FROM pv, tot
+WHERE value_fp * n_parts > 2 * total_fp
+ORDER BY value_fp DESC, ps_partkey
+""",
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value held
+    by one region's suppliers, kept where the part's value exceeds
+    2× the mean part value — the uncorrelated scalar-subquery HAVING,
+    with a scale-invariant gate (TPC-H's fixed share fraction zeroes
+    out as |parts| grows; value·n_parts > 2·total keeps a selective
+    tail at any SF). The per-part rollup persists and is reused for
+    both the grand total (1-row broadcast) and the filter, so lineitem
+    is read once; the gate multiplies through to integers instead of
+    materializing a double fraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    pv = (
+        _derived_partsupp(li)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_cost_fp") * F.col("ps_qty")).alias("value_fp"))
+        .persist()
+    )
+    tot = pv.agg(
+        F.sum("value_fp").alias("total_fp"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_fp") * F.col("n_parts") > 2 * F.col("total_fp"))
+        .select(
+            "ps_partkey",
+            "value_fp",
+            (F.col("value_fp") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.col("value_fp").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q12_priority_by_class",
+    oracle="""
+SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_tpch_q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority split), adapted to the fixture
+    schema (no l_shipmode/commitdate/receiptdate — l_linestatus plays
+    the ship-class axis and the ship-year window replaces the receipt
+    window): per class, how many lines belonged to urgent/high-priority
+    orders vs the rest — the conditional-count pivot over a fact⋈fact
+    join. The lineitem side filters before the join (predicate reaches
+    the scan), the orderkey join is the single shuffle, and the
+    2-group CASE rollup is map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q_tpch_q16_supplier_cnt",
+    oracle=f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35, 42, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    suppliers able to supply each qualifying (brand, type, size)
+    combination, excluding a complaint list — NOT IN rendered as a
+    broadcast anti-join (negative account balance stands in for the
+    'Customer Complaints' comment scan the fixture schema lacks).
+    The filtered part dim broadcasts onto the derived partsupp, and
+    the distinct-count shuffles once on the (brand, type, size)
+    group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35, 42, 49)
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        _derived_partsupp(li)
+        .join(
+            F.broadcast(complaints),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20_excess_suppliers",
+    oracle="""
+WITH pair AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate <  TIMESTAMP '1997-01-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS qty96
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+    SELECT sk FROM pair JOIN part ON p_partkey = pk
+    WHERE p_name LIKE '%blue%' AND qty96 > 0 AND total_qty > 4 * qty96)
+ORDER BY s_name
+""",
+)
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess inventory): suppliers in
+    one region holding a qualifying part whose total supplied quantity
+    dwarfs (>4×) what actually shipped in the probe year — Q20's
+    nested IN-subquery chain with the availqty stand-in derived from
+    lineitem. Both the total and the windowed sum come out of ONE
+    map-side-combinable groupBy pass over lineitem (a conditional sum,
+    not a second scan); the part name filter broadcasts onto the pair
+    table, the qualifying supplier-key set is distinct-ed and
+    broadcast, and the region-filtered supplier dim semi-joins against
+    it — zero unbounded shuffles beyond the pair rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    in96 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    qty = F.col("l_quantity").cast("long")
+    pair = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(qty).alias("total_qty"),
+        F.sum(F.when(in96, qty).otherwise(F.lit(0).cast("long"))).alias("qty96"),
+    )
+    qualifying = (
+        pair.join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
+        .filter((F.col("qty96") > 0) & (F.col("total_qty") > 4 * F.col("qty96")))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -267,6 +267,12 @@ _QUERY_LEDGER = (
     "q_dedup_containment",
     "q_embed_mrl_overlap",
     "q_time_interpolate_linear",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_priority_by_class",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q20_excess_suppliers",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
