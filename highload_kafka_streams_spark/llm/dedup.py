@@ -1059,3 +1059,137 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_dedup_jaccard_prefix",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, list_sort(list_distinct(
+           list_transform(
+             range(len(string_split(text,' ')) - 2),
+             i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+           ))) AS grams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+),
+toks AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 10 >= 5 * (sa.n + sb.n - shared)
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥0.5) via PREFIX FILTERING
+    (the PPJoin/AllPairs candidate rule) instead of the full inverted
+    index q_dedup_ngram_jaccard uses. Shingles are globally ordered by
+    (document frequency asc, hash) — rarest first — and each document
+    only indexes its first ``n − ⌈t·n⌉ + 1`` shingles: any pair with
+    Jaccard ≥ t MUST share a prefix shingle under a common total order
+    (pigeonhole on the required overlap ⌈t·n⌉), so recall is exactly
+    100% while the candidate join touches only the low-df prefix
+    postings. The exact verify then counts shared shingles ONLY for
+    candidate pairs and applies the threshold as an integer cross-
+    multiplication. At 100 TB this is the standard inverted-index
+    upgrade: candidate cost drops from Σ_g df(g)² over ALL shingles to
+    the prefix (rare-shingle) postings only — the frequent-shingle
+    blow-up the plain index suffers never happens
+    (tests assert candidates(prefix) < candidates(full) on the
+    fixture, with identical final output)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(tk) - 3)
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    sh = tok_df.select("doc_id", gram_h.alias("grams")).persist()
+    sh.count()
+    inv = sh.select("doc_id", F.explode("grams").alias("g"))
+    sizes = sh.select("doc_id", F.size("grams").cast("long").alias("n"))
+    # global shingle order: (df asc, hash) — one df rollup, joined back
+    # on the shingle key the postings are already distributed by
+    df_tbl = inv.groupBy("g").agg(F.count("*").alias("df"))
+    ordered = (
+        inv.join(df_tbl, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("og"),
+            F.count("*").alias("n"),
+        )
+    )
+    # prefix length for Jaccard t=0.5: n − ⌈n/2⌉ + 1
+    plen = (F.col("n") - F.floor((F.col("n") + 1) / 2) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("og"), F.lit(1), plen), lambda x: x["g"]
+            )
+        ).alias("g"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    ib = inv.select(F.col("doc_id").alias("b_doc"), F.col("g").alias("gb"))
+    shared = (
+        cand.join(ia, "doc_a")
+        .join(
+            ib,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("ga") == F.col("gb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared") * 10
+            >= 5 * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1281,3 +1281,148 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
         .limit(20)
     )
+
+
+@query(
+    "q_text_unigram_lm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+lp AS (
+  SELECT token,
+         CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS lp_fp
+  FROM vocab, tot
+),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+)
+SELECT per_doc.doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(-SUM(lp_fp * c) AS BIGINT) AS nll_fp,
+       -SUM(lp_fp * c) / (1000000.0 * SUM(c)) AS avg_neg_logprob
+FROM per_doc JOIN lp USING (token)
+GROUP BY per_doc.doc_id
+ORDER BY per_doc.doc_id
+""",
+)
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/KenLM-style perplexity
+    proxy used to rank web text by fluency): train a unigram LM on the
+    corpus itself (token -> ln(count/total)), then score every document
+    by its average negative log-probability. The vocab is a DataFrame
+    (never a driver-side dict); each token's logprob is fixed-pointed
+    ONCE per vocab entry (floor(ln·1e6) — the only transcendental in
+    the query), so the per-document reduction is exact BIGINT
+    arithmetic and reduction-order-proof in both engines. Shuffle cost
+    carries doc×term partials (two-level agg), and the (token -> lp_fp)
+    table joins on the token key the partials are already grouped by.
+    At 100 TB the vocab table is the small side — broadcast or
+    bucket-joined — and the corpus is read once for counting, once for
+    scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = per_doc.persist()
+    vocab = per_doc.groupBy("token").agg(F.sum("c").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1000000
+        )
+        .cast("long")
+        .alias("lp_fp"),
+    )
+    return (
+        per_doc.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (-F.sum(F.col("lp_fp") * F.col("c"))).alias("nll_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_fp",
+            (
+                F.col("nll_fp") / (1000000.0 * F.col("n_tokens"))
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_text_chunk_overlap",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, i AS chunk_idx,
+       least(32, n - i*24) AS chunk_len,
+       md5(array_to_string(toks[i*24+1 : i*24+least(32, n - i*24)], ' '))
+         AS chunk_md5
+FROM base,
+     UNNEST(range(CASE WHEN n > 32 THEN 2 + (n - 32 - 1) // 24 ELSE 1 END))
+       AS u(i)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (training-sample prep): split
+    every document into 32-token windows with stride 24 (8-token
+    overlap so no boundary context is lost), emitting one row per
+    chunk with its md5 content digest. The chunk index list is a
+    per-row ``sequence`` + ``explode`` — pure JVM, no UDF, and the
+    fan-out is bounded by ceil(n/stride) per document so a 100 TB
+    corpus chunks in one narrow pass with zero shuffles (the output
+    digest, not the chunk text, is what downstream dedup consumes —
+    see q_dedup_chunks for the digest-keyed exact dedup that follows
+    this operator in a real pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+    )
+    n_chunks = F.when(
+        F.col("n") > 32, 2 + F.floor((F.col("n") - 32 - 1) / 24).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    chunk_len = F.least(F.lit(32).cast("long"), F.col("n") - F.col("chunk_idx") * 24)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk_len.alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        (F.col("chunk_idx") * 24 + 1).cast("int"),
+                        chunk_len.cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

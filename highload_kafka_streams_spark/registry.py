@@ -273,6 +273,9 @@ _QUERY_LEDGER = (
     "q_tpch_q12_priority_by_class",
     "q_tpch_q16_supplier_cnt",
     "q_tpch_q20_excess_suppliers",
+    "q_text_unigram_lm",
+    "q_text_chunk_overlap",
+    "q_dedup_jaccard_prefix",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -561,3 +561,102 @@ def test_mrl_overlap_uses_limit_sorts(spark, sf_smoke):
     over the corpus."""
     plan = plan_of(get_queries()["q_embed_mrl_overlap"](spark, sf_smoke))
     assert plan.count("TakeOrderedAndProject") >= 4, plan
+
+
+def test_prefix_filter_prunes_candidates_without_losing_pairs(spark, sf_smoke):
+    """q_dedup_jaccard_prefix's whole point: the prefix index generates
+    STRICTLY fewer candidate pairs than the full inverted index, and
+    the final pair set is identical to the exhaustive inverted-index
+    answer (100% recall is a theorem, not a heuristic — verify it on
+    the fixture)."""
+    from pyspark.sql import functions as F
+
+    from highload_kafka_streams_spark.io import load_table
+
+    d = load_table(spark, sf_smoke, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tk = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(tk) - 3)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    sh = d.select("doc_id", grams.alias("grams")).persist()
+    inv = sh.select("doc_id", F.explode("grams").alias("g"))
+    full_cands = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    df_tbl = inv.groupBy("g").agg(F.count("*").alias("df"))
+    ordered = (
+        inv.join(df_tbl, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "g"))).alias("og"),
+            F.count("*").alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.floor((F.col("n") + 1) / 2) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice(F.col("og"), F.lit(1), plen), lambda x: x["g"])
+        ).alias("g"),
+    )
+    prefix_cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    sh.unpersist()
+    assert prefix_cands < full_cands, (prefix_cands, full_cands)
+
+    # identical final answer: prefix-filtered query vs exhaustive verify
+    from highload_kafka_streams_spark.registry import get_queries
+
+    out = get_queries()["q_dedup_jaccard_prefix"](spark, sf_smoke)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    sizes = sh.select("doc_id", F.size("grams").cast("long").alias("n"))
+    shared = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared") * 10
+            >= 5 * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .collect()
+    }
+    assert got == want
