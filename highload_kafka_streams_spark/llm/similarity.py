@@ -862,3 +862,143 @@ def q_embed_mrl_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dims_kept")
     )
+
+
+@query(
+    "q_similarity_pq_fx",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label, i.i - 1 AS dim,
+         CAST(embedding[i.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+sub AS (
+  SELECT vec_id, label, dim // 8 AS s, dim % 8 AS j, x FROM dims
+),
+cent AS (
+  SELECT s, label AS clabel, j,
+         SUM(CAST(FLOOR(x * 1e12 + 0.5) AS BIGINT)) / 1e12 / COUNT(*) AS c
+  FROM sub GROUP BY s, label, j
+),
+enc_d AS (
+  SELECT v.vec_id, v.s, c.clabel,
+         CAST(SUM(CAST(FLOOR((v.x - c.c) * (v.x - c.c) * 1e12 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS d2_fp
+  FROM sub v JOIN cent c ON c.s = v.s AND c.j = v.j
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id, v.s, c.clabel
+),
+code AS (
+  SELECT vec_id, s, clabel AS code FROM (
+    SELECT vec_id, s, clabel,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2_fp, clabel) AS rn
+    FROM enc_d) t
+  WHERE rn = 1
+),
+qd AS (
+  SELECT c.s, c.clabel,
+         CAST(SUM(CAST(FLOOR((q.x - c.c) * (q.x - c.c) * 1e12 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS qd2_fp
+  FROM sub q JOIN cent c ON c.s = q.s AND c.j = q.j
+  WHERE q.vec_id = 0
+  GROUP BY c.s, c.clabel
+),
+adc AS (
+  SELECT code.vec_id, CAST(SUM(qd.qd2_fp) AS BIGINT) AS adc_fp
+  FROM code JOIN qd ON qd.s = code.s AND qd.clabel = code.code
+  GROUP BY code.vec_id
+)
+SELECT a.vec_id, e.label, a.adc_fp, a.adc_fp / 1e12 AS adc_dist
+FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id
+ORDER BY a.adc_fp, a.vec_id
+LIMIT 10
+""",
+)
+def q_similarity_pq_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the classic memory-compressed search:
+    Jégou et al., 'Product Quantization for Nearest Neighbor Search'),
+    fully fixed-point so the trained codebook, the encoding, and the
+    ADC ranking are bit-equal cross-engine. The 64-dim space splits
+    into M=8 subspaces of 8 dims; per-subspace codebooks use the label
+    as the deterministic training assignment (the same trick as
+    q_similarity_ivf_fx — k-means iterations would be seed-dependent),
+    giving an 8×10 codebook. Each database vector encodes to 8 one-byte
+    codes (argmin of exact fixed-point L2 per subspace, ties to the
+    lowest code); the query never touches the vectors again — its 80
+    subspace distances form the broadcast ADC lookup table and the
+    approximate distance of a vector is an 8-term INTEGER sum of table
+    entries. Top-10 ascending by that exact integer.
+
+    Scale: encode is the one wide pass (N·M·K distance rows, the
+    standard PQ encode cost) and happens ONCE at ingest in a real
+    deployment; the search itself reads only the 8-byte codes —
+    64 dims × 4 bytes compress 32× — plus a broadcast 80-entry table,
+    which is the entire reason PQ exists at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") / 8).cast("int").alias("s"),
+        (F.col("dim") % 8).alias("j"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    sub = sub.persist()
+    cent = (
+        sub.groupBy(
+            "s", F.col("label").alias("clabel"), "j"
+        ).agg(
+            (
+                F.sum(F.floor(F.col("x") * SCALE + 0.5).cast("long"))
+                / float(SCALE)
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cent = F.broadcast(cent)
+    d2 = F.floor(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * SCALE + 0.5
+    ).cast("long")
+    enc_d = (
+        sub.filter(F.col("vec_id") != 0)
+        .join(cent, ["s", "j"])
+        .groupBy("vec_id", "s", "clabel")
+        .agg(F.sum(d2).alias("d2_fp"))
+    )
+    code = (
+        enc_d.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2_fp", "clabel")).alias("m"))
+        .select("vec_id", "s", F.col("m.clabel").alias("code"))
+    )
+    qd = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(cent, ["s", "j"])
+        .groupBy("s", "clabel")
+        .agg(F.sum(d2).alias("qd2_fp"))
+    )
+    qd = qd.select(
+        F.col("s").alias("qs"), F.col("clabel").alias("qlabel"), "qd2_fp"
+    )
+    adc = (
+        code.join(
+            F.broadcast(qd),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qlabel")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd2_fp").alias("adc_fp"))
+    )
+    return (
+        adc.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "adc_fp",
+            (F.col("adc_fp") / float(SCALE)).alias("adc_dist"),
+        )
+        .orderBy("adc_fp", "vec_id")
+        .limit(10)
+    )

@@ -276,6 +276,7 @@ _QUERY_LEDGER = (
     "q_text_unigram_lm",
     "q_text_chunk_overlap",
     "q_dedup_jaccard_prefix",
+    "q_similarity_pq_fx",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

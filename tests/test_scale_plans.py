@@ -660,3 +660,14 @@ def test_prefix_filter_prunes_candidates_without_losing_pairs(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_pq_adc_lookup_is_broadcast_and_topk_is_take_ordered(spark, sf_smoke):
+    """q_similarity_pq_fx's search phase must read only codes + a
+    broadcast ADC table: the qd lookup join is a BroadcastHashJoin
+    (never a shuffled join on the tiny 80-entry table) and the final
+    top-10 plans as TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(get_queries()["q_similarity_pq_fx"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
