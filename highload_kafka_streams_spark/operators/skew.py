@@ -143,3 +143,116 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+BLOOM_BITS = 1 << 16  # 64 Kbit = 1024 longs = 8 KB broadcast payload
+BLOOM_K = 3
+
+
+def _bloom_positions(key_sql: str) -> list[tuple[Column, Column]]:
+    """K (word-index, bit-mask) pairs for a key column — xxhash64 with K
+    seeds. ``key_sql`` is the column name (SQL-expression form, because
+    ``shiftleft``'s DataFrame API takes only literal shift amounts —
+    the SQL function accepts a column expression)."""
+    out = []
+    for seed in range(BLOOM_K):
+        pos = f"pmod(xxhash64({key_sql}, {seed}), {BLOOM_BITS})"
+        out.append(
+            (
+                F.expr(f"CAST({pos} / 64 AS INT)"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+                ),
+            )
+        )
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame, dim_keys: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Left-semi join with a broadcast Bloom-filter prefilter — the
+    explicit form of the runtime row-level filtering a production
+    engine injects for selective dim joins at scale.
+
+    Build: the dim key set hashes into a 64 Kbit Bloom bitmap,
+    assembled DISTRIBUTEDLY (explode K positions -> groupBy word index
+    -> bit_or) and collapsed to a single-row map<int,long> — never a
+    driver-side loop over keys. Probe: each fact row tests its K bit
+    positions against the broadcast map in one whole-stage-codegen
+    boolean expression; only surviving rows (true matches + the
+    bitmap's false-positive residue) reach the exact broadcast semi
+    join that makes the result precise.
+
+    Semantics are EXACTLY left-semi (the Bloom filter admits false
+    positives, never false negatives, and the final semi join removes
+    them), so the operator is oracle-checkable. At 100 TB the payoff
+    is that the prefilter runs inside the fact scan — rows drop before
+    any shuffle or join hash table, at the cost of an 8 KB broadcast."""
+    dim_keys = dim_keys.select(F.col(dim_key).alias("_bk")).distinct()
+    pos_cols = []
+    for w, b in _bloom_positions("_bk"):
+        pos_cols.append(F.struct(w.alias("w"), b.alias("bit")))
+    words = (
+        dim_keys.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or(F.col("p.bit")).alias("word"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("_bloom")
+    )
+    probe = None
+    for w, b in _bloom_positions(fact_key):
+        hit = (
+            F.coalesce(F.element_at(F.col("_bloom"), w), F.lit(0).cast("long"))
+            .bitwiseAND(b)
+            != 0
+        )
+        probe = hit if probe is None else (probe & hit)
+    prefiltered = (
+        fact.crossJoin(F.broadcast(bitmap)).filter(probe).drop("_bloom")
+    )
+    return prefiltered.join(
+        F.broadcast(dim_keys),
+        F.col(fact_key) == F.col("_bk"),
+        "left_semi",
+    )
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle=f"""
+SELECT l_suppkey,
+       count(*) AS n_lines,
+       {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup over only the fact rows belonging to a selective
+    supplier set — the fact side prefiltered by a broadcast Bloom
+    bitmap before the exact semi join (bloom_semi_join above). The
+    oracle is the plain IN-subquery: bit-identical results prove the
+    Bloom path is a pure physical optimization with zero semantic
+    drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rich = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 9000
+    )
+    return (
+        bloom_semi_join(li, rich.select("s_suppkey"), "l_suppkey", "s_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -277,6 +277,7 @@ _QUERY_LEDGER = (
     "q_text_chunk_overlap",
     "q_dedup_jaccard_prefix",
     "q_similarity_pq_fx",
+    "q_join_bloom_prefilter",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

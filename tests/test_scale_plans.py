@@ -671,3 +671,59 @@ def test_pq_adc_lookup_is_broadcast_and_topk_is_take_ordered(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_is_superset_reduction(spark, sf_smoke):
+    """The Bloom prefilter inside bloom_semi_join must (a) pass every
+    true-matching fact row (no false negatives — exactness depends on
+    it) and (b) actually reduce the fact stream (the entire point of
+    spending the 8 KB broadcast)."""
+    from pyspark.sql import functions as F
+
+    from highload_kafka_streams_spark.io import load_table
+    from highload_kafka_streams_spark.operators.skew import (
+        _bloom_positions,
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    rich = (
+        load_table(spark, sf_smoke, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    total = li.count()
+    exact = li.join(
+        F.broadcast(rich), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).count()
+
+    # rebuild just the prefiltered stream (bitmap + probe, no semi join)
+    dk = rich.select(F.col("s_suppkey").alias("_bk")).distinct()
+    pos_cols = [
+        F.struct(w.alias("w"), b.alias("bit")) for w, b in _bloom_positions("_bk")
+    ]
+    words = (
+        dk.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or(F.col("p.bit")).alias("word"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("_bloom")
+    )
+    probe = None
+    for w, b in _bloom_positions("l_suppkey"):
+        hit = (
+            F.coalesce(F.element_at(F.col("_bloom"), w), F.lit(0).cast("long"))
+            .bitwiseAND(b)
+            != 0
+        )
+        probe = hit if probe is None else (probe & hit)
+    prefiltered = li.crossJoin(F.broadcast(bitmap)).filter(probe).count()
+
+    assert exact <= prefiltered < total, (exact, prefiltered, total)
+    # and the full operator is exactly the semi join
+    assert (
+        bloom_semi_join(li, rich, "l_suppkey", "s_suppkey").count() == exact
+    )
