@@ -1646,11 +1646,14 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): per supplier-nation and
     order year, revenue minus supply cost over the parts matching a
     name pattern. The derived partsupp joins back to lineitem on the
-    same (partkey, suppkey) key it was built on — Catalyst reuses one
-    exchange for build+probe — and the orders join is the only other
-    shuffle; part (pre-filtered by the LIKE), supplier, and nation
-    broadcast. Profit is revenue_fp − cost_fp·qty in exact BIGINTs, so
-    the per-(nation, year) sums hash identically."""
+    (partkey, suppkey) key it was built on; its rollup is orders of
+    magnitude smaller than lineitem (one row per observed supplying
+    pair), so AQE broadcasts it at fixture scale — at 100 TB it
+    becomes the build side of a shuffled join and both sides would be
+    bucketed on partkey. The orders join is the only other pairing;
+    part (pre-filtered by the LIKE), supplier, and nation broadcast.
+    Profit is revenue_fp − cost_fp·qty in exact BIGINTs, so the
+    per-(nation, year) sums hash identically."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
