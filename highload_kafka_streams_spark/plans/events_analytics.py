@@ -1335,3 +1335,76 @@ def q_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_time_ses_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_fp
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(v_fp ORDER BY day) AS xs,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(list_reduce(xs, (a, b) -> (3 * b + 7 * a) // 10) AS BIGINT)
+         AS level_fp,
+       list_reduce(xs, (a, b) -> (3 * b + 7 * a) // 10) / 10000.0
+         AS forecast_next
+FROM series ORDER BY event_type
+""",
+)
+def q_time_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing one-step forecast per event type
+    (α = 0.3): the level recurrence s₁ = x₁,
+    sₜ = ⌊(3·xₜ + 7·sₜ₋₁)/10⌋ folds over the date-ordered daily totals
+    entirely in INTEGER fixed-point, so the inherently sequential
+    recurrence — which would drift under float reduction reordering —
+    is digit-exact in both engines (Spark ``aggregate`` over the
+    sorted per-key array ≡ DuckDB ``list_reduce``). The daily rollup
+    is the only shuffle (map-side combinable); the fold's state is one
+    BIGINT per key and the array is bounded by the calendar, not the
+    event count — at 100 TB the per-key series stays thousands of
+    elements regardless of corpus size, which is what makes the
+    collect_list safe."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("v_fp")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v_fp"))),
+            lambda s: s["v_fp"],
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+    )
+    def _step(acc, x):
+        # exact ⌊(3x+7s)/10⌋ on longs: subtract the mod-10 remainder so
+        # the double division is of an exact multiple of 10 (< 2^53),
+        # then recast — no float rounding can move the result
+        s = 3 * x + 7 * acc
+        return ((s - (s % 10)) / 10).cast("long")
+
+    level = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+        F.element_at(F.col("xs"), 1),
+        _step,
+    )
+    return (
+        series.select(
+            "event_type",
+            "n_days",
+            level.alias("level_fp"),
+            (level / 10000.0).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

@@ -278,6 +278,7 @@ _QUERY_LEDGER = (
     "q_dedup_jaccard_prefix",
     "q_similarity_pq_fx",
     "q_join_bloom_prefilter",
+    "q_time_ses_forecast",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
