@@ -392,3 +392,33 @@ def test_exact_ntile_desc_equals_global_ntile(spark, keys, k, n_part):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_ses_integer_fold_matches_python_reference(spark, xs):
+    """The SES fold's exact-⌊(3x+7s)/10⌋ trick (subtract mod-10, divide,
+    recast — q_time_ses_forecast) must equal the straight Python integer
+    recurrence for arbitrary non-negative fixed-point series."""
+    want = xs[0]
+    for x in xs[1:]:
+        want = (3 * x + 7 * want) // 10
+
+    df = spark.createDataFrame([(xs,)], "xs: array<long>")
+
+    def _step(acc, x):
+        s = 3 * x + 7 * acc
+        return ((s - (s % 10)) / 10).cast("long")
+
+    got = df.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+            F.element_at(F.col("xs"), 1),
+            _step,
+        ).alias("level")
+    ).collect()[0]["level"]
+    assert got == want, (got, want)
