@@ -73,3 +73,15 @@ def test_warehouse_layout_example(spark, sf_smoke):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert joined.count() > 0
+
+
+def test_retrieval_prep_example(spark, sf_smoke):
+    from examples.retrieval_prep import retrieval_corpus
+
+    out = retrieval_corpus(spark, sf_smoke)
+    rows = out.collect()
+    assert len(rows) > 0
+    # chunk-level dedup: digests unique after the keep-first pass
+    digests = [r.chunk_md5 for r in rows]
+    assert len(digests) == len(set(digests))
+    assert {"doc_id", "chunk_idx", "chunk_len", "chunk_md5"} <= set(out.columns)
