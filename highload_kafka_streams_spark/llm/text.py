@@ -1426,3 +1426,84 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "q_text_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                            * 1000000000) AS BIGINT) AS score_fp
+  FROM tf JOIN df ON tf.token = df.token, n
+  WHERE df.df >= 2
+),
+ranked AS (
+  SELECT doc_id, token, score_fp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fp DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token AS keyword, score_fp
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    composition of the corpus DF table with a per-doc ranking window.
+    The ranking key is an INTEGER surrogate (tf · ⌊ln(N/df)·1e9⌋ — the
+    idf fixed-pointed once per distinct df value) so cross-engine rank
+    order can never flip on a last-ulp double, the hazard a raw
+    double tfidf ordering would carry. One shuffle builds the df
+    table, one shuffle ranks per doc_id; at 100 TB the df table is the
+    broadcast-or-bucket side exactly as in q_text_tfidf."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.persist()
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf_fp = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000000
+    ).cast("long")
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * idf_fp).alias("score_fp"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), "token"
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.col("token").alias("keyword"),
+            "score_fp",
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )

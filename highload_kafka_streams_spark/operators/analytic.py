@@ -357,3 +357,61 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_window_cume_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+           THEN 1 ELSE 0 END AS first_seen,
+         CAST(ts AS TIMESTAMP) AS tst
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (
+           PARTITION BY user_id ORDER BY tst, event_id) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+""",
+)
+def q_window_cume_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window — 'how many distinct
+    event types has this user produced so far' — which plain running
+    aggregation cannot express (COUNT(DISTINCT) is not a supported
+    window aggregate in either engine). The standard decomposition:
+    flag each row that is the FIRST occurrence of its (user, type)
+    (row_number over the narrower partition = 1), then a running SUM
+    of the 0/1 flags over the user's timeline. Both windows partition
+    by user (the second by a prefix of the first's key), so Catalyst
+    plans one exchange on user_id and two in-partition sorts — no
+    global window, no state beyond the partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_cume = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_cume).alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -279,6 +279,8 @@ _QUERY_LEDGER = (
     "q_similarity_pq_fx",
     "q_join_bloom_prefilter",
     "q_time_ses_forecast",
+    "q_window_cume_distinct",
+    "q_text_keywords",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
