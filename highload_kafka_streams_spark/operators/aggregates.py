@@ -936,3 +936,54 @@ def q_agg_ktable_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_mad_robust",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(med) AS med,
+       median(adev) AS mad
+FROM dev
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    scale estimator outlier screens should use instead of stddev
+    (one corrupted sensor saturates a variance; it barely moves a
+    MAD). Two grouped EXACT medians: the per-group median joins back
+    (broadcast — |groups| rows) and the deviations' median follows.
+    Cross-engine determinism: both engines interpolate the even-count
+    median as the mean of the two central elements of the same sorted
+    multiset, and |x−m| / (a+b)/2 are single IEEE ops — no reduction
+    order anywhere. Both median passes shuffle on the same
+    event_type key."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.any_value("med").alias("med"),
+            F.percentile("adev", F.lit(0.5)).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

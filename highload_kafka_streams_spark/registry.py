@@ -281,6 +281,7 @@ _QUERY_LEDGER = (
     "q_time_ses_forecast",
     "q_window_cume_distinct",
     "q_text_keywords",
+    "q_agg_mad_robust",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
