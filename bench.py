@@ -66,14 +66,44 @@ EXTENDED = [
 ]
 
 
+# TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
+# the classic composite-join/agg workload, reported as `tpch_total_sec`
+# starting this round (not in `value`, same reasoning as EXTENDED).
+TPCH = [
+    "q_pricing_summary",  # Q1 (also in HEADLINE; timed once, reused)
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_priority_by_class",
+    "q_tpch_q13_count_distribution",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q17_small_quantity",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q20_excess_suppliers",
+    "q_tpch_q21_sole_latest_shipper",
+    "q_tpch_q22_dormant_customers",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    names = [n for n in HEADLINE + EXTENDED if n in queries]
-    missing = [n for n in HEADLINE + EXTENDED if n not in queries]
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH))
+    names = [n for n in all_names if n in queries]
+    missing = [n for n in all_names if n not in queries]
     if missing:
         print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
 
@@ -96,6 +126,7 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
+    tpch_total = round(sum(timings[n] for n in TPCH if n in timings), 3)
     print(
         json.dumps(
             {
@@ -105,6 +136,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extended_total_sec": extended_total,
+                "tpch_total_sec": tpch_total,
             }
         )
     )
