@@ -727,3 +727,29 @@ def test_bloom_prefilter_is_superset_reduction(spark, sf_smoke):
     assert (
         bloom_semi_join(li, rich, "l_suppkey", "s_suppkey").count() == exact
     )
+
+
+def test_tpch_q20_single_lineitem_pass(spark, sf_smoke):
+    """Q20's total + probe-year quantity sums must come out of ONE
+    lineitem scan (a conditional sum in one groupBy), never a second
+    pass — and the supplier qualification must be semi-join shaped."""
+    plan = plan_of(get_queries()["q_tpch_q20_excess_suppliers"](spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q12_pushes_shipdate_range(spark, sf_smoke):
+    """Q12's ship-year window must reach the lineitem parquet scan."""
+    plan = plan_of(get_queries()["q_tpch_q12_priority_by_class"](spark, sf_smoke))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_tpch_q16_complaints_is_broadcast_anti(spark, sf_smoke):
+    """Q16's NOT IN must plan as a broadcast anti-join, not a shuffled
+    null-aware subquery."""
+    plan = plan_of(get_queries()["q_tpch_q16_supplier_cnt"](spark, sf_smoke))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
