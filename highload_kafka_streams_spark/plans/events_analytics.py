@@ -1408,3 +1408,99 @@ def q_time_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_eval_auc",
+    oracle="""
+WITH scored AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+grp AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+),
+ordered AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS c
+  FROM grp
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(cnt - pos) AS BIGINT) AS nn
+  FROM grp
+)
+SELECT np, nn,
+       CAST(SUM(pos * (2 * c + cnt + 1)) AS BIGINT) AS rank2_pos_sum,
+       (CAST(SUM(pos * (2 * c + cnt + 1)) AS BIGINT) - np * (np + 1))
+         / (2.0 * np * nn) AS auc
+FROM ordered, tot
+GROUP BY np, nn
+""",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label ('does `value`
+    rank purchases above everything else') — the Mann-Whitney rank-sum
+    form with average ranks for ties, so the answer is exactly what
+    sklearn's roc_auc_score returns. Everything stays INTEGER until
+    the final division: per distinct score, the doubled average rank
+    is 2·(rows_before) + cnt + 1.
+
+    Scale shape: ranking needs a GLOBAL order over scores, which is
+    the classic single-task-window trap. Here it runs as the same
+    two-phase prefix sum llm/packing.py uses — scores roll up per
+    distinct value, cumulative counts compute WITHIN value-range
+    buckets (floor(s/16), partitioned window), and only the per-bucket
+    totals — a table bounded by the score domain, not the data — see
+    an ordered cumulative pass before broadcasting back as offsets.
+    The oracle uses DuckDB's plain global window; identical integers
+    prove the decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    grp = grp.withColumn("b", F.floor(F.col("s") / 16).cast("long")).persist()
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = grp.withColumn(
+        "c_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+    )
+    btot = grp.groupBy("b").agg(F.sum("cnt").alias("bc"))
+    # the only ordered-unpartitioned window runs over the BUCKET table,
+    # whose size is bounded by the score domain (⌈max/16⌉ rows) — the
+    # packing.py contract for distributed prefix sums
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.withColumn(
+        "c_off", F.coalesce(F.sum("bc").over(w_b), F.lit(0))
+    ).select("b", "c_off")
+    rank2 = 2 * (F.col("c_off") + F.col("c_in")) + F.col("cnt") + 1
+    s2 = (
+        within.join(F.broadcast(off), "b")
+        .agg(F.sum(F.col("pos") * rank2).alias("rank2_pos_sum"))
+    )
+    tot = grp.agg(
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+    )
+    return s2.crossJoin(F.broadcast(tot)).select(
+        "np",
+        "nn",
+        "rank2_pos_sum",
+        (
+            (F.col("rank2_pos_sum") - F.col("np") * (F.col("np") + 1))
+            / (2.0 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )

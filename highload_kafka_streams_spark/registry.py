@@ -282,6 +282,7 @@ _QUERY_LEDGER = (
     "q_window_cume_distinct",
     "q_text_keywords",
     "q_agg_mad_robust",
+    "q_eval_auc",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
