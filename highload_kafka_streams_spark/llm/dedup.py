@@ -1193,3 +1193,80 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_eval_sketch_recall",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')))) AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+exact AS (
+  SELECT p.doc_a, p.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) sa ON sa.doc_id = p.doc_a
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) sb ON sb.doc_id = p.doc_b
+  WHERE p.shared * 10 >= 5 * (sa.n + sb.n - p.shared)
+),
+m AS (
+  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || gram)) AS mh
+  FROM g, unnest(generate_series(0, 7)) AS pp(p)
+  GROUP BY doc_id, p
+),
+sig AS (SELECT doc_id, list(mh ORDER BY p) AS s FROM m GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, md5(s[2*b+1] || s[2*b+2]) AS bucket
+  FROM sig, unnest(generate_series(0, 3)) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT e.doc_a, e.doc_b FROM exact e
+  JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM hit)
+SELECT n_exact, n_found,
+       n_exact - n_found AS n_missed,
+       CAST(n_found AS DOUBLE) / n_exact AS recall
+FROM ne, nh
+""",
+)
+def q_eval_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement AS A QUERY: the recall of the banded
+    MinHash LSH candidate generator against the exact ≥0.5 Jaccard
+    pair set — the number an engineer tunes bands×rows against before
+    trusting a sketch dedup at 100 TB. Both sides are this module's
+    own verified pipelines (the md5-portable MinHash and the exact
+    prefix-filtered join share the 3-gram shingle definition); the
+    semi-join of exact pairs against LSH candidates counts the hits,
+    and precision is 1.0 by construction (candidates are
+    exact-verified), so recall is the only free parameter. One row:
+    n_exact, n_found, n_missed, recall."""
+    exact = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    found = q_dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b")
+    hit = exact.join(found, ["doc_a", "doc_b"], "left_semi")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nh = hit.agg(F.count("*").alias("n_found"))
+    return ne.crossJoin(F.broadcast(nh)).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        (F.col("n_found").cast("double") / F.col("n_exact")).alias("recall"),
+    )

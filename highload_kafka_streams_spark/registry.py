@@ -283,6 +283,7 @@ _QUERY_LEDGER = (
     "q_text_keywords",
     "q_agg_mad_robust",
     "q_eval_auc",
+    "q_eval_sketch_recall",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
