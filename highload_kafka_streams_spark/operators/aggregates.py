@@ -968,7 +968,11 @@ def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     median as the mean of the two central elements of the same sorted
     multiset, and |x−m| / (a+b)/2 are single IEEE ops — no reduction
     order anywhere. Both median passes shuffle on the same
-    event_type key."""
+    event_type key. Exact `percentile` buffers a group's values in
+    the agg state — fine while groups fit an executor; at 100 TB
+    swap each median for the iterative histogram selection
+    (operators/selection.py) or `percentile_approx`, same query
+    shape (the weighted-median posture)."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
