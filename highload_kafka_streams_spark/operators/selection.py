@@ -197,3 +197,148 @@ def q_select_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, bool(med_ok), bool(p90_ok))],
         "n_rows bigint, median_in_bound boolean, p90_in_bound boolean",
     )
+
+
+GROUPED_BUCKETS = 1024
+
+
+def grouped_kth_smallest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_of_n,
+    buckets: int = GROUPED_BUCKETS,
+    max_iter: int = 10,
+) -> list[tuple]:
+    """Exact per-group k-th smallest of an INTEGER column for EVERY
+    group simultaneously — the grouped form of ``kth_smallest`` and
+    the implemented escape hatch the exact-percentile docstrings
+    (weighted median, MAD, RFM) point at: no per-group value buffer,
+    no per-group sort; each refinement round is ONE map-side-combined
+    aggregation over all still-unresolved groups at once.
+
+    ``rank_of_n``: callable n → k (1-based), e.g. ``lambda n: (n+1)//2``
+    for the lower median. Returns [(group, n, k, kth_value)] sorted by
+    group. Driver state is one (lo, hi, k) triple per group plus a
+    ≤ |groups|·buckets histogram per round — the operator for FEW BIG
+    groups (the exact regime where value-buffering percentile
+    explodes); |groups| must fit the driver like any grouped result
+    a user collects.
+
+    Integer domain ⇒ exact termination: bucket width
+    ``(hi−lo)//B + 1`` shrinks ≥ B× per round until lo == hi, and
+    narrowing to the observed per-bucket (min, max) skips empty range.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    init = (
+        df.groupBy(g.alias("_g"))
+        .agg(F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi"))
+        .collect()
+    )
+    state = {
+        r["_g"]: {"n": r["n"], "k": rank_of_n(r["n"]), "lo": r["lo"], "hi": r["hi"]}
+        for r in init
+    }
+    for _ in range(max_iter):
+        open_groups = {gr: s for gr, s in state.items() if s["lo"] < s["hi"]}
+        if not open_groups:
+            break
+        spark = df.sparkSession
+        bounds = spark.createDataFrame(
+            [
+                (gr, s["lo"], s["hi"], (s["hi"] - s["lo"]) // buckets + 1)
+                for gr, s in open_groups.items()
+            ],
+            ["_bg", "_lo", "_hi", "_w"],
+        )
+        bucket = F.least(
+            F.floor((v - F.col("_lo")) / F.col("_w")).cast("long"),
+            F.lit(buckets - 1),
+        )
+        hist = (
+            df.join(F.broadcast(bounds), g == F.col("_bg"))
+            # k is relative to the current bracket: rows outside
+            # [lo, hi] were already discounted when the bracket
+            # narrowed, so they must not re-enter the histogram
+            .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
+            .groupBy(F.col("_bg").alias("_g"), bucket.alias("_b"))
+            .agg(
+                F.count(v).alias("c"),
+                F.min(v).alias("bmin"),
+                F.max(v).alias("bmax"),
+            )
+            .collect()
+        )
+        per_group: dict = {}
+        for row in hist:
+            per_group.setdefault(row["_g"], []).append(row)
+        for gr, rows in per_group.items():
+            s = state[gr]
+            cum = 0
+            for row in sorted(rows, key=lambda r: r["_b"]):
+                if cum + row["c"] >= s["k"]:
+                    s["k"] -= cum
+                    s["n"] = row["c"]
+                    s["lo"], s["hi"] = row["bmin"], row["bmax"]
+                    break
+                cum += row["c"]
+    totals = {r["_g"]: r["n"] for r in init}
+    out = []
+    for gr in sorted(state):
+        s = state[gr]
+        assert s["lo"] == s["hi"], f"group {gr} unresolved after {max_iter} rounds"
+        out.append((gr, totals[gr], rank_of_n(totals[gr]), s["lo"]))
+    return out
+
+
+@query(
+    "q_select_grouped_median",
+    oracle="""
+WITH f AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST((n + 1) // 2 AS BIGINT) AS k,
+       v AS median_fp,
+       v / 10000.0 AS median_lower
+FROM r WHERE rn = (n + 1) // 2
+ORDER BY event_type
+""",
+)
+def q_select_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT (lower) median via grouped histogram selection —
+    all groups refined simultaneously, ~4 aggregation passes total,
+    nothing sorted, no group's values ever buffered (contrast
+    `percentile`, which holds each group's column in the agg state).
+    Values are fixed-point BIGINTs so every rank is an exact integer
+    lookup; the oracle states the same semantics as a rank-k pick over
+    the per-group order. This is the implemented form of the scale
+    path the weighted-median/MAD/RFM docstrings reference."""
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    rows = grouped_kth_smallest(
+        fx, "event_type", "v", rank_of_n=lambda n: (n + 1) // 2
+    )
+    out = spark.createDataFrame(
+        [(g, n, k, kv) for (g, n, k, kv) in rows],
+        "event_type string, n long, k long, median_fp long",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "k",
+        "median_fp",
+        (F.col("median_fp") / 10000.0).alias("median_lower"),
+    ).orderBy("event_type")

@@ -284,6 +284,7 @@ _QUERY_LEDGER = (
     "q_agg_mad_robust",
     "q_eval_auc",
     "q_eval_sketch_recall",
+    "q_select_grouped_median",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -422,3 +422,42 @@ def test_ses_integer_fold_matches_python_reference(spark, xs):
         ).alias("level")
     ).collect()[0]["level"]
     assert got == want, (got, want)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-10**9, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    rank_kind=st.sampled_from(["median", "p25", "max"]),
+)
+@settings(max_examples=15, deadline=None)
+def test_grouped_kth_smallest_matches_sorted_reference(spark, data, rank_kind):
+    """grouped_kth_smallest must agree with per-group sorted indexing for
+    arbitrary ranks on arbitrary (including negative and duplicated)
+    integer data."""
+    from highload_kafka_streams_spark.operators.selection import (
+        grouped_kth_smallest,
+    )
+
+    rank_of_n = {
+        "median": lambda n: (n + 1) // 2,
+        "p25": lambda n: (n + 3) // 4,
+        "max": lambda n: n,
+    }[rank_kind]
+    df = spark.createDataFrame(data, "g string, v long")
+    got = grouped_kth_smallest(df, "g", "v", rank_of_n)
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g_, v_ in data:
+        by_g[g_].append(v_)
+    want = [
+        (g_, len(vs), rank_of_n(len(vs)), sorted(vs)[rank_of_n(len(vs)) - 1])
+        for g_, vs in sorted(by_g.items())
+    ]
+    assert got == want, (got, want)
