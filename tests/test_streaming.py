@@ -711,3 +711,38 @@ def test_watermark_drops_late_rows_in_real_streaming(spark, sf_smoke, tmp_path):
         ).distinct().collect()
     } - {w for w, _ in want_new}
     assert not ({w for w, _ in got} & old_windows), "old-only window emitted"
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+    spark, sf_smoke, events_stream_source
+):
+    """The Spark-4 Processor API (transformWithStateInPandas + typed
+    value state + event-time timers) must emit EXACTLY the same closed
+    sessions as the applyInPandasWithState sessionizer — two different
+    engine APIs, one state machine."""
+    from highload_kafka_streams_spark.streaming.stateful import (
+        _HAS_TWS,
+        sessionize_stream_tws,
+    )
+
+    if not _HAS_TWS:
+        pytest.skip(
+            "transformWithState unavailable: needs Spark>=4 AND the "
+            "google.protobuf python package (absent in this container; "
+            "probed in streaming/stateful.py, same gate pattern as Avro)"
+        )
+
+    aipws = _run_to_memory(
+        sessionize_stream(events_stream_source()), "t_tws_ref", spark,
+        mode="update",
+    )
+    tws = _run_to_memory(
+        sessionize_stream_tws(events_stream_source()), "t_tws_new", spark,
+        mode="update",
+    )
+    got = set(_rows(tws))
+    want = set(_rows(aipws))
+    assert len(want) > 0
+    assert got == want, (
+        f"TWS-only: {list(got - want)[:3]}  AIPWS-only: {list(want - got)[:3]}"
+    )
