@@ -1916,3 +1916,36 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# One dialect-portable SQL text, run VERBATIM by both engines: the Spark
+# side registers the fixture tables as temp views (io.register_views)
+# and executes spark.sql() on the very string the DuckDB oracle gets —
+# the engine's SQL entry surface, proven by construction.
+_PORTABLE_SQL = """
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_c,
+       MIN(c_custkey) AS first_custkey
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment <> 'MACHINERY'
+GROUP BY n_name
+HAVING count(*) > 1
+ORDER BY n_name
+""".strip()
+
+
+@query("q_sql_passthrough", oracle=_PORTABLE_SQL)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry surface: the engine accepts ANSI SQL text directly —
+    ``io.register_views`` exposes the tables, ``spark.sql`` runs the
+    EXACT string the oracle runs (join, filter, fixed-point aggregate,
+    HAVING, ORDER BY — the portable core both dialects share). Zero
+    translation layer: Catalyst plans the text the same way it plans
+    the DataFrame API (broadcast dim, one agg exchange), because both
+    lower to the same logical plan."""
+    from highload_kafka_streams_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_SQL)

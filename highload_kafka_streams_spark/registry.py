@@ -285,6 +285,7 @@ _QUERY_LEDGER = (
     "q_eval_auc",
     "q_eval_sketch_recall",
     "q_select_grouped_median",
+    "q_sql_passthrough",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
