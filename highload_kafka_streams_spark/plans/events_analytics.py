@@ -1504,3 +1504,105 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+@query(
+    "q_ts_similarity_search",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hour AS w_start,
+         list(v) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS w
+  FROM hourly
+),
+full_w AS (SELECT * FROM win WHERE len(w) = 24),
+q AS (
+  SELECT event_type AS q_type, w_start AS q_start, w AS qw
+  FROM full_w WHERE event_type = 'purchase'
+  ORDER BY w_start DESC LIMIT 1
+),
+dist AS (
+  SELECT f.event_type, f.w_start,
+         CAST(SUM((f.w[i.i] - q.qw[i.i]) * (f.w[i.i] - q.qw[i.i]))
+              AS BIGINT) AS dist_fp
+  FROM full_w f, q, (SELECT unnest(range(1, 25)) AS i) i
+  WHERE NOT (f.event_type = q.q_type AND f.w_start = q.q_start)
+  GROUP BY 1, 2
+)
+SELECT event_type, w_start, dist_fp
+FROM dist
+ORDER BY dist_fp, event_type, w_start
+LIMIT 10
+""",
+)
+def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the distributed
+    streaming-similarity problem of PAPERS.md's EDBT 2019 entry —
+    UCR-suite/Matrix-Profile family): given the most recent 24-hour
+    demand pattern of one event type, find the 10 most similar
+    24-hour windows anywhere else in the corpus. Windows materialize
+    per series via an ordered rows-frame collect (partitioned by
+    event_type — never a global window); distances are exact BIGINT
+    sums of squared fixed-point differences (no float accumulation,
+    so ranking can't ulp-flip cross-engine), the query window
+    broadcasts, and the top-10 is a TakeOrderedAndProject. At 100 TB
+    the window table is ~|series|·|hours| rows of 24-element arrays —
+    linear in the data — and the scale lever the paper's incremental
+    framework adds (early-abandon lower bounds) composes here as a
+    cheap-bound prefilter before the exact distance, same shape as
+    the Bloom/prefix prefilters elsewhere in this repo."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    w_frame = (
+        Window.partitionBy("event_type").orderBy("hour").rowsBetween(0, 23)
+    )
+    full_w = (
+        hourly.select(
+            "event_type",
+            F.col("hour").alias("w_start"),
+            F.collect_list("v").over(w_frame).alias("w"),
+        )
+        .filter(F.size("w") == 24)
+    )
+    full_w = full_w.persist()
+    qw = (
+        full_w.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("w_start").desc())
+        .limit(1)
+        .select(
+            F.col("event_type").alias("q_type"),
+            F.col("w_start").alias("q_start"),
+            F.col("w").alias("qw"),
+        )
+    )
+    diff2 = F.zip_with("w", "qw", lambda a, b: (a - b) * (a - b))
+    dist_fp = F.aggregate(
+        diff2, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        full_w.crossJoin(F.broadcast(qw))
+        .filter(
+            ~(
+                (F.col("event_type") == F.col("q_type"))
+                & (F.col("w_start") == F.col("q_start"))
+            )
+        )
+        .select("event_type", "w_start", dist_fp.alias("dist_fp"))
+        .orderBy("dist_fp", "event_type", "w_start")
+        .limit(10)
+    )

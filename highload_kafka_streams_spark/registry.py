@@ -286,6 +286,7 @@ _QUERY_LEDGER = (
     "q_eval_sketch_recall",
     "q_select_grouped_median",
     "q_sql_passthrough",
+    "q_ts_similarity_search",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
