@@ -50,8 +50,9 @@ def _norm_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return "0x" + v.hex()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # DuckDB fetches BLOBs as bytearray, Spark as bytes — one form
+        return "0x" + bytes(v).hex()
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)

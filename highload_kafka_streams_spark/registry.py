@@ -287,6 +287,8 @@ _QUERY_LEDGER = (
     "q_select_grouped_median",
     "q_sql_passthrough",
     "q_ts_similarity_search",
+    "q_multimodal_frame_sample",
+    "q_multimodal_features_checked",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
@@ -301,7 +303,6 @@ _WINDOW_TAIL = (
     "q_similarity_ann_lsh",
     "q_similarity_ivf",
     "q_multimodal_features",
-    "q_multimodal_frame_sample",
 )
 
 
