@@ -162,3 +162,84 @@ def test_scd2_and_pattern_at_10x(spark, big_events):
         .agg(F.first("t_view").alias("t_view"), F.first("t_click").alias("t_click"))
     )
     assert chain.count() == big_events.select("user_id").distinct().count()
+
+
+def test_grouped_selection_at_10x(spark, big_events):
+    """Grouped histogram selection over ~1M rows must resolve every
+    group's exact median in the bounded round budget and agree with
+    Spark's own exact percentile (small group count => percentile's
+    buffering is safe HERE, making it a valid cross-check)."""
+    from highload_kafka_streams_spark.operators.selection import (
+        grouped_kth_smallest,
+    )
+
+    fx = big_events.select(
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    got = grouped_kth_smallest(
+        fx, "event_type", "v", rank_of_n=lambda n: (n + 1) // 2
+    )
+    # reference: per-group sort-based rank pick via window (fixture-only)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("v")
+    ref = {
+        (r["event_type"], r["n"]): r["v"]
+        for r in fx.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .collect()
+    }
+    assert len(got) == 5
+    for g, n, k, kth in got:
+        assert ref[(g, n)] == kth, (g, n, k, kth, ref[(g, n)])
+
+
+def test_auc_two_phase_equals_global_window_at_10x(spark, big_events):
+    """The bucketed two-phase AUC rank-sum must equal the single-window
+    global formulation on the 10× corpus (the decomposition is exact,
+    not approximate — prove it at a size where it matters)."""
+    from pyspark.sql.window import Window
+
+    scored = big_events.select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    ).persist()
+    # global single-window reference (fixture-only shape)
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ref = (
+        grp.withColumn("c", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .agg(
+            F.sum(
+                F.col("pos") * (2 * F.col("c") + F.col("cnt") + 1)
+            ).alias("s2")
+        )
+        .first()["s2"]
+    )
+    # two-phase bucketed form (the registered query's shape)
+    grp_b = grp.withColumn("b", F.floor(F.col("s") / 16).cast("long"))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = grp_b.withColumn(
+        "c_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+    )
+    btot = grp_b.groupBy("b").agg(F.sum("cnt").alias("bc"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.withColumn(
+        "c_off", F.coalesce(F.sum("bc").over(w_b), F.lit(0))
+    ).select("b", "c_off")
+    rank2 = 2 * (F.col("c_off") + F.col("c_in")) + F.col("cnt") + 1
+    got = (
+        within.join(F.broadcast(off), "b")
+        .agg(F.sum(F.col("pos") * rank2).alias("s2"))
+        .first()["s2"]
+    )
+    grp.unpersist()
+    assert got == ref, (got, ref)
