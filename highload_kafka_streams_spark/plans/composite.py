@@ -1949,3 +1949,197 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_SQL)
+
+
+@query(
+    "q_basket_pair_affinity",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob),
+brand_n AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY b),
+pair_n AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, CAST(count(*) AS BIGINT) AS nab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, nab, na.nb AS n_a, nc.nb AS n_b,
+       CAST(nab AS DOUBLE) * n.n / (na.nb * nc.nb) AS lift
+FROM pair_n
+JOIN brand_n na ON na.b = brand_a
+JOIN brand_n nc ON nc.b = brand_b, n_orders n
+WHERE nab >= 20
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+""",
+)
+def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association (frequent-pair mining): brand pairs
+    bought together in one order, ranked by LIFT — the
+    support/confidence/lift shape of association-rule mining. The
+    basket table distincts to (order, brand) FIRST (so a 100-line
+    order contributes each brand once), the pair join is an
+    inverted-index self-join WITHIN the order key (pairs per order
+    ∝ basket², never corpus²), and the lift divides exact integer
+    counts once at the end. The brand marginals broadcast; the top-20
+    is a deterministic total order (lift ties broken by the pair
+    itself — the count ratios make exactly equal doubles only from
+    equal integer triples, which the tie-break then orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ob = ob.persist()
+    n_orders = ob.agg(F.count_distinct("o").alias("n"))
+    brand_n = ob.groupBy("b").agg(F.count("*").alias("nb"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pair_n = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+        )
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= 20)
+    )
+    na = brand_n.select(F.col("b").alias("brand_a"), F.col("nb").alias("n_a"))
+    nc = brand_n.select(F.col("b").alias("brand_b"), F.col("nb").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nc), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "nab",
+            "n_a",
+            "n_b",
+            (
+                F.col("nab").cast("double") * F.col("n")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_join_relational_division",
+    oracle="""
+WITH qual AS (SELECT DISTINCT p_brand, p_type FROM part),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qual),
+cover AS (
+  SELECT l_suppkey AS sk,
+         CAST(count(DISTINCT (p_brand, p_type)) AS BIGINT) AS ncov
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, ncov
+FROM cover JOIN supplier ON s_suppkey = sk, nq
+WHERE ncov = nq.n
+ORDER BY s_suppkey
+""",
+)
+def q_join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION ('suppliers that have shipped EVERY
+    (brand, type) category'): the universal-quantifier join, expressed
+    as the count-matching decomposition — distinct coverage count per
+    supplier equals the category-universe count — instead of the
+    double-NOT-EXISTS the textbook form uses (which Catalyst would run
+    as two nested anti-joins over the fact table). One distinct-agg on
+    the supplier key + a broadcast 1-row universe count; the part dim
+    broadcasts onto lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nq = part.select("p_brand", "p_type").distinct().agg(
+        F.count("*").alias("n")
+    )
+    cover = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.count_distinct("p_brand", "p_type").alias("ncov"))
+    )
+    return (
+        cover.crossJoin(F.broadcast(nq))
+        .filter(F.col("ncov") == F.col("n"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", "ncov")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_latency_histogram_quantiles",
+    oracle="""
+WITH lat AS (
+  SELECT o_orderpriority AS pri,
+         date_diff('day', o_orderdate, l_shipdate) AS d
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+h AS (SELECT pri, d, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT pri, d, c,
+         SUM(c) OVER (PARTITION BY pri ORDER BY d) AS cum_c,
+         SUM(c) OVER (PARTITION BY pri) AS n
+  FROM h
+)
+SELECT pri, CAST(any_value(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN d END) AS median_days,
+       MIN(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN d END) AS p90_days
+FROM cum
+GROUP BY pri
+ORDER BY pri
+""",
+)
+def q_latency_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order→ship latency quantiles per priority from the INTEGER
+    day histogram — the third exact-quantile strategy in the repo
+    (after sort-window and histogram selection): when the value domain
+    is small and discrete (days), a groupBy histogram + a cumulative
+    walk over DISTINCT values yields exact ranks with no per-row sort
+    and no selection loop. The windows partition per priority over
+    |distinct days| rows (~thousands — domain-bounded, not
+    data-bounded), which is the property that keeps this shape safe
+    at 100 TB."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("d"),
+    )
+    h = lat.groupBy("pri", "d").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pri")
+    cum = h.select(
+        "pri",
+        "d",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med_k = F.floor((F.col("n") + 1) / 2)
+    p90_k = F.floor((9 * F.col("n") + 9) / 10)
+    return (
+        cum.groupBy("pri")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.min(F.when(F.col("cum_c") >= med_k, F.col("d"))).alias(
+                "median_days"
+            ),
+            F.min(F.when(F.col("cum_c") >= p90_k, F.col("d"))).alias(
+                "p90_days"
+            ),
+        )
+        .orderBy("pri")
+    )

@@ -289,6 +289,9 @@ _QUERY_LEDGER = (
     "q_ts_similarity_search",
     "q_multimodal_frame_sample",
     "q_multimodal_features_checked",
+    "q_basket_pair_affinity",
+    "q_join_relational_division",
+    "q_latency_histogram_quantiles",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
