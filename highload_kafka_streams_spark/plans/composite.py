@@ -2143,3 +2143,102 @@ def q_latency_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "q_alloc_largest_remainder",
+    oracle="""
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS rev_fp
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+),
+units AS (
+  SELECT n_name, rev_fp, CAST(rev_fp // 10000 AS BIGINT) AS rev_u FROM rev
+),
+tot AS (SELECT CAST(SUM(rev_u) AS BIGINT) AS t FROM units),
+base AS (
+  SELECT n_name, rev_fp,
+         CAST(1000000 * rev_u // t AS BIGINT) AS floor_alloc,
+         CAST(1000000 * rev_u % t AS BIGINT) AS rem
+  FROM units, tot
+),
+short AS (
+  SELECT CAST(1000000 - SUM(floor_alloc) AS BIGINT) AS leftover FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk FROM base
+)
+SELECT n_name, rev_fp,
+       CAST(floor_alloc + CASE WHEN rk <= s.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked, short s
+ORDER BY n_name
+""",
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional integer allocation by the largest-remainder (Hamilton)
+    method: split a 1,000,000-unit budget across supplier nations in
+    proportion to revenue so the integer allocations sum EXACTLY to the
+    budget — floor allocations first, then the leftover units go to the
+    largest fractional remainders (deterministic tie-break by name).
+    Quota arithmetic stays in BIGINTs (units·rev_u DIV/MOD total —
+    quota basis is whole revenue units so the multiply can't overflow
+    int64 at density),
+    so no float ever rounds an allocation; the ranking window runs over
+    the |groups| rollup (25 rows — domain-bounded), and the 1-row
+    leftover broadcasts. The allocation-sums-to-budget invariant is
+    what the hash proves."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_fp")
+        )
+    )
+    rev = rev.persist()
+    # quota basis = whole revenue units (fp DIV 1e4): keeps units·rev_u
+    # inside int64 at any realistic scale (rev_fp·1e6 overflows at sf0.1
+    # density already — caught by the two-density sweep)
+    units = rev.select(
+        "n_name", "rev_fp", F.expr("CAST(rev_fp DIV 10000 AS BIGINT)").alias("rev_u")
+    )
+    tot = units.agg(F.sum("rev_u").alias("t"))
+    base = units.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "rev_fp",
+        F.expr("CAST(1000000 * rev_u DIV t AS BIGINT)").alias("floor_alloc"),
+        F.expr("CAST(1000000 * rev_u % t AS BIGINT)").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(1000000) - F.sum("floor_alloc")).alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "n_name")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "n_name",
+            "rev_fp",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .orderBy("n_name")
+    )

@@ -292,6 +292,7 @@ _QUERY_LEDGER = (
     "q_basket_pair_affinity",
     "q_join_relational_division",
     "q_latency_histogram_quantiles",
+    "q_alloc_largest_remainder",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
