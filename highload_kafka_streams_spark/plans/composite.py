@@ -2242,3 +2242,99 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+WITH grp AS (
+  SELECT s_suppkey, s_name,
+         CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS rev_fp
+  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+  GROUP BY s_suppkey, s_name, s_acctbal
+)
+SELECT g.s_suppkey, g.s_name, g.bal_c, g.rev_fp
+FROM grp g
+WHERE NOT EXISTS (
+  SELECT 1 FROM grp o
+  WHERE o.bal_c >= g.bal_c AND o.rev_fp >= g.rev_fp
+    AND (o.bal_c > g.bal_c OR o.rev_fp > g.rev_fp)
+)
+ORDER BY g.s_suppkey
+""",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): suppliers not dominated on
+    (account balance, total revenue) — kept iff no other supplier is
+    ≥ on both axes and > on at least one. The oracle states the
+    textbook quadratic NOT EXISTS; the engine runs the sort-free
+    linear decomposition: a point survives iff its revenue (a) beats
+    the MAX revenue over all STRICTLY higher balances and (b) equals
+    the max within its own balance value (ties on both axes all
+    survive — no strict edge). The strictly-higher-balance running
+    max is the repo's two-phase prefix aggregate yet again, this time
+    as a MAX: per-balance-value rollup → within-bucket ordered prefix
+    max + cross-bucket offsets over the DOMAIN-bounded bucket table
+    (balance range is fixed by the schema, so the one ordered pass
+    never grows with the data)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    grp = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "s_suppkey",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal_c"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_fp")
+        )
+    )
+    grp = grp.persist()
+    per_bal = grp.groupBy("bal_c").agg(F.max("rev_fp").alias("bal_max_rev"))
+    per_bal = per_bal.withColumn(
+        "bkt", F.floor(F.col("bal_c") / 65536).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("bal_c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = per_bal.withColumn("m_in", F.max("bal_max_rev").over(w_in))
+    btot = per_bal.groupBy("bkt").agg(F.max("bal_max_rev").alias("bmax"))
+    w_b = (
+        Window.orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.withColumn("m_off", F.max("bmax").over(w_b)).select(
+        "bkt", "m_off"
+    )
+    frontier_vals = (
+        within.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "m_gt",
+            F.greatest(
+                F.coalesce(F.col("m_in"), F.lit(-(1 << 62))),
+                F.coalesce(F.col("m_off"), F.lit(-(1 << 62))),
+            ),
+        )
+        .filter(F.col("bal_max_rev") > F.col("m_gt"))
+        .select("bal_c", "bal_max_rev")
+    )
+    return (
+        grp.join(F.broadcast(frontier_vals), "bal_c")
+        .filter(F.col("rev_fp") == F.col("bal_max_rev"))
+        .select("s_suppkey", "s_name", "bal_c", "rev_fp")
+        .orderBy("s_suppkey")
+    )

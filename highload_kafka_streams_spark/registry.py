@@ -293,6 +293,7 @@ _QUERY_LEDGER = (
     "q_join_relational_division",
     "q_latency_histogram_quantiles",
     "q_alloc_largest_remainder",
+    "q_skyline_pareto",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
