@@ -1606,3 +1606,87 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_fp", "event_type", "w_start")
         .limit(10)
     )
+
+
+@query(
+    "q_events_interval_scheduling",
+    oracle="""
+WITH RECURSIVE iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + CAST(FLOOR(value * 1000000) AS BIGINT) AS e_us
+  FROM events
+),
+pick AS (
+  SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS last_e,
+         CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT DISTINCT user_id FROM iv) u
+  UNION ALL
+  SELECT p.user_id, nxt.e_us, p.cnt + 1
+  FROM pick p, LATERAL (
+    SELECT e_us FROM iv
+    WHERE iv.user_id = p.user_id AND iv.s_us >= p.last_e
+    ORDER BY e_us, s_us LIMIT 1
+  ) nxt
+),
+best AS (
+  SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_nonoverlap
+  FROM pick GROUP BY user_id
+),
+n AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM iv GROUP BY user_id
+)
+SELECT best.user_id, n.n_events, best.max_nonoverlap
+FROM best JOIN n ON best.user_id = n.user_id
+ORDER BY best.user_id
+""",
+)
+def q_events_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy interval scheduling per user: treating each event as a
+    busy interval [ts, ts + value seconds], the maximum number of
+    NON-overlapping intervals — the classic earliest-deadline greedy
+    (provably optimal), run as a fold over the end-time-sorted
+    per-user interval list. Endpoints are exact µs integers and the
+    fold state is (count, last_end) in BIGINTs. The oracle derives the
+    same greedy INDEPENDENTLY as a recursive CTE (repeatedly pick the
+    earliest-ending compatible interval) — deliberately NOT DuckDB's
+    `list_reduce`, whose struct-typed accumulator mis-evaluates under
+    grouped vectorized execution in this build (verified: correct on a
+    single row, collapses to n under multi-group batches — caught by
+    this repo's cross-engine gate). Two formulations, one answer. Per-
+    user lists are bounded by per-key activity; the only shuffle is
+    the user_id groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    e_us = s_us + F.floor(F.col("value") * 1000000).cast("long")
+    iv = ev.select(
+        "user_id", s_us.alias("s_us"), e_us.alias("e_us")
+    )
+    lst = iv.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("e_us").alias("e"), F.col("s_us").alias("s")))
+        ).alias("ivs"),
+        F.count("*").alias("n_events"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(-(1 << 62)).cast("long").alias("last"),
+    )
+
+    def _step(acc, x):
+        take = F.struct(
+            (acc["cnt"] + 1).alias("cnt"), x["e"].alias("last")
+        )
+        return F.when(x["s"] >= acc["last"], take).otherwise(acc)
+
+    count = F.aggregate(F.col("ivs"), init, _step)["cnt"]
+    return (
+        lst.select(
+            "user_id",
+            "n_events",
+            count.alias("max_nonoverlap"),
+        )
+        .orderBy("user_id")
+    )

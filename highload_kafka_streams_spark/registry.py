@@ -294,6 +294,7 @@ _QUERY_LEDGER = (
     "q_latency_histogram_quantiles",
     "q_alloc_largest_remainder",
     "q_skyline_pareto",
+    "q_events_interval_scheduling",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

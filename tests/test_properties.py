@@ -461,3 +461,38 @@ def test_grouped_kth_smallest_matches_sorted_reference(spark, data, rank_kind):
         for g_, vs in sorted(by_g.items())
     ]
     assert got == want, (got, want)
+
+
+def test_interval_scheduling_matches_python_greedy_at_sf01(spark):
+    """q_events_interval_scheduling vs a straight Python greedy at sf0.1
+    density — the DuckDB oracle's recursive formulation is only
+    tractable at the driver's sf0.01 gate, so the sf0.1-density check
+    (the r3-ADVICE lesson) runs against this independent reference
+    instead."""
+    import collections
+
+    from highload_kafka_streams_spark.io import load_table
+    from highload_kafka_streams_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.1"
+    got = {
+        r.user_id: (r.n_events, r.max_nonoverlap)
+        for r in get_queries()["q_events_interval_scheduling"](
+            spark, sf
+        ).collect()
+    }
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    by_user = collections.defaultdict(list)
+    for r in ev.collect():
+        s = r.ts.timestamp()
+        s_us = int(round(s * 1_000_000))
+        e_us = s_us + int(r.value * 1_000_000 // 1)
+        by_user[r.user_id].append((e_us, s_us))
+    assert set(got) == set(by_user)
+    for u, ivs in by_user.items():
+        cnt, last = 0, -(1 << 62)
+        for e, s in sorted(ivs):
+            if s >= last:
+                cnt += 1
+                last = e
+        assert got[u] == (len(ivs), cnt), (u, got[u], len(ivs), cnt)
