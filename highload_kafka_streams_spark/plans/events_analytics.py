@@ -1690,3 +1690,67 @@ def q_events_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_events_dau_wau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+),
+offs AS (SELECT unnest(range(0, 7)) AS o),
+cover AS (
+  SELECT du.day + offs.o * INTERVAL 1 DAY AS obs_day, du.user_id
+  FROM du, offs
+),
+wau AS (
+  SELECT obs_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM cover GROUP BY obs_day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+""",
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU with the DAU/WAU 'stickiness' ratio —
+    the engagement dashboard primitive. EXACT rolling distinct count
+    without windowed distinct (unsupported) and without 7 self-joins:
+    each (user, active-day) pair EXPLODES into the 7 observation days
+    it covers (bounded ×7 fan-out — the covering-explode dual of a
+    rolling window), then one distinct-count per observation day. Both
+    aggregations shuffle on the day key; the distinct per (day, user)
+    happens map-side first, so the fan-out carries distinct pairs,
+    not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    du = du.persist()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    cover = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "user_id",
+    ).select(
+        F.expr("day + make_dt_interval(o, 0, 0, 0)").alias("day"),
+        "user_id",
+    )
+    wau = cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

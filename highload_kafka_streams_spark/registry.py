@@ -295,6 +295,7 @@ _QUERY_LEDGER = (
     "q_alloc_largest_remainder",
     "q_skyline_pareto",
     "q_events_interval_scheduling",
+    "q_events_dau_wau",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
