@@ -991,3 +991,102 @@ def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sxx
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS s1,
+    MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS q1,
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+    MAX(CASE WHEN event_type = 'click' THEN sx END) AS s2,
+    MAX(CASE WHEN event_type = 'click' THEN sxx END) AS q2
+  FROM s
+)
+SELECT n1, n2, s1, s2,
+  round(
+    ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
+    / sqrt(
+        ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+          / (n1 - 1) / 10000.0) / n1
+        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+            / (n2 - 1) / 10000.0) / n2
+      ), 9) AS t_stat,
+  round(
+    POW(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+          / (n1 - 1) / 10000.0) / n1
+        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+            / (n2 - 1) / 10000.0) / n2, 2)
+    / (POW(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+             / (n1 - 1) / 10000.0) / n1, 2) / (n1 - 1)
+       + POW(((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+               / (n2 - 1) / 10000.0) / n2, 2) / (n2 - 1)), 9) AS welch_df
+FROM w
+""",
+)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (the A/B-testing primitive): does the
+    purchase value distribution differ from clicks? Everything reduces
+    to SIX integers — per-group count and the first two fixed-point
+    power sums (cents scale, so the squared sum stays in int64 to
+    ~sf1000) — and the t statistic and Welch–Satterthwaite df are then
+    one fixed arithmetic expression over those integers, written with
+    identical parenthesization in both engines (IEEE ops on equal
+    inputs; round(9) absorbs nothing but guards future dialect drift,
+    the q_agg_corr_cov convention). Map-side-combined single pass —
+    the experiment-analysis query at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    x_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x_c).alias("sx"),
+        F.sum(x_c * x_c).alias("sxx"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = s.agg(
+        pick("purchase", "n").alias("n1"),
+        pick("purchase", "sx").alias("s1"),
+        pick("purchase", "sxx").alias("q1"),
+        pick("click", "n").alias("n2"),
+        pick("click", "sx").alias("s2"),
+        pick("click", "sxx").alias("q2"),
+    )
+    vn1 = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1) / 10000.0
+    ) / F.col("n1")
+    vn2 = (
+        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1) / 10000.0
+    ) / F.col("n2")
+    t_stat = (
+        (F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast("double") / F.col("n2"))
+        / 100.0
+    ) / F.sqrt(vn1 + vn2)
+    df = F.pow(vn1 + vn2, 2) / (
+        F.pow(vn1, 2) / (F.col("n1") - 1) + F.pow(vn2, 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.round(t_stat, 9).alias("t_stat"),
+        F.round(df, 9).alias("welch_df"),
+    )

@@ -296,6 +296,7 @@ _QUERY_LEDGER = (
     "q_skyline_pareto",
     "q_events_interval_scheduling",
     "q_events_dau_wau",
+    "q_agg_welch_ttest",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
