@@ -1754,3 +1754,102 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_agg_chi_square",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS et, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+marg AS (
+  SELECT c.et, c.dow, c.o,
+         CAST(SUM(c.o) OVER (PARTITION BY c.et) AS BIGINT) AS r,
+         CAST(SUM(c.o) OVER (PARTITION BY c.dow) AS BIGINT) AS col,
+         CAST(SUM(c.o) OVER () AS BIGINT) AS n
+  FROM cells c
+),
+contrib AS (
+  SELECT et, dow, r, col, n,
+         POW(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * col / n, 2)
+           / (CAST(r AS DOUBLE) * col / n) AS x
+  FROM marg
+),
+folded AS (
+  SELECT list(x ORDER BY et, dow) AS xs,
+         CAST(any_value(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT et) AS BIGINT) AS nr,
+         CAST(count(DISTINCT dow) AS BIGINT) AS nc
+  FROM contrib
+)
+SELECT n, n_cells,
+       round(list_reduce(xs, (a, b) -> a + b), 9) AS chi2,
+       round(sqrt(list_reduce(xs, (a, b) -> a + b)
+                  / (n * least(nr - 1, nc - 1))), 9) AS cramers_v
+FROM folded
+""",
+)
+def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event type × day-of-week) with
+    Cramér's V effect size — 'does activity mix shift by weekday', the
+    categorical A/B sibling of q_agg_welch_ttest. Observed counts and
+    margins are exact integers (margins via windows over the
+    DOMAIN-bounded 5×7 cell table, not the data); the per-cell
+    (o−e)²/e contributions are doubles, so the cell sum is made
+    reduction-order-proof by folding a (type, dow)-SORTED list — the
+    q_time_ses_forecast pattern with a scalar accumulator (DuckDB's
+    list_reduce is sound for scalars; its struct-accumulator bug is
+    documented at q_events_interval_scheduling). dayofweek aligns via
+    Spark's dayofweek−1 ≡ DuckDB's (the q_seasonality_dow
+    convention)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.dayofweek(F.col("ts")) - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    marg = cells.select(
+        "et",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("et")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("r").cast("double") * F.col("col") / F.col("n")
+    contrib = marg.select(
+        "et",
+        "dow",
+        "r",
+        "col",
+        "n",
+        (F.pow(F.col("o").cast("double") - e, 2) / e).alias("x"),
+    )
+    folded = contrib.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("et", "dow", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.any_value("n").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.count_distinct("et").alias("nr"),
+        F.count_distinct("dow").alias("nc"),
+    )
+    chi2 = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda a, b: a + b
+    )
+    return folded.select(
+        "n",
+        "n_cells",
+        F.round(chi2, 9).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            9,
+        ).alias("cramers_v"),
+    )

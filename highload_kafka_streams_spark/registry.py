@@ -297,6 +297,7 @@ _QUERY_LEDGER = (
     "q_events_interval_scheduling",
     "q_events_dau_wau",
     "q_agg_welch_ttest",
+    "q_agg_chi_square",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
