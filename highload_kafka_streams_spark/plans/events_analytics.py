@@ -1853,3 +1853,118 @@ def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_survival_kaplan_meier",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS TIMESTAMP)) AS first_ts,
+         max(CAST(ts AS TIMESTAMP)) AS last_ts,
+         min(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END)
+           AS first_err
+  FROM events GROUP BY user_id
+),
+span AS (
+  SELECT user_id,
+         CASE WHEN first_err IS NOT NULL
+              THEN date_diff('day', first_ts, first_err)
+              ELSE date_diff('day', first_ts, last_ts) END AS dur,
+         CAST(first_err IS NOT NULL AS INT) AS ev
+  FROM per_user
+),
+tbl AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_at_dur,
+         CAST(SUM(ev) AS BIGINT) AS d
+  FROM span GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         CAST(SUM(n_at_dur) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+  FROM tbl
+),
+km AS (
+  SELECT dur, d, n_risk,
+         SUM(CASE WHEN d < n_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+           OVER (ORDER BY dur) AS log_s,
+         SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS absorbed
+  FROM risk
+)
+SELECT dur AS duration_days, n_risk, d AS d_event,
+       CASE WHEN absorbed > 0 THEN 0.0 ELSE round(exp(log_s), 9) END
+         AS survival
+FROM km ORDER BY duration_days
+""",
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-error per user
+    (right-censored at the user's last activity when no error occurs)
+    — the survival-analysis primitive behind churn/time-to-failure
+    dashboards. The at-risk counts come from a REVERSE cumulative sum
+    and the product-limit estimator runs in log space as a forward
+    cumulative sum (cumulative frames are sequential by definition, so
+    the double accumulation order is pinned in both engines); the
+    absorbing S=0 state (d = n_risk) is handled outside the log. Both
+    windows order over DISTINCT durations — a day-domain-bounded
+    table, never the user count — and the per-user reduction is one
+    min/max groupBy."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("first_err"),
+    )
+    span = per_user.select(
+        F.when(
+            F.col("first_err").isNotNull(),
+            F.datediff(F.col("first_err"), F.col("first_ts")),
+        )
+        .otherwise(F.datediff(F.col("last_ts"), F.col("first_ts")))
+        .cast("long")
+        .alias("dur"),
+        F.col("first_err").isNotNull().cast("int").alias("ev"),
+    )
+    tbl = span.groupBy("dur").agg(
+        F.count("*").alias("n_at_dur"), F.sum("ev").alias("d")
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tbl.select(
+        "dur", "d", F.sum("n_at_dur").over(w_desc).alias("n_risk")
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    absorbed_flag = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    km = risk.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.sum(log_term).over(w_asc).alias("log_s"),
+        F.sum(absorbed_flag).over(w_asc).alias("absorbed"),
+    )
+    return (
+        km.select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("d_event"),
+            F.when(F.col("absorbed") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("log_s")), 9))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

@@ -298,6 +298,7 @@ _QUERY_LEDGER = (
     "q_events_dau_wau",
     "q_agg_welch_ttest",
     "q_agg_chi_square",
+    "q_survival_kaplan_meier",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
