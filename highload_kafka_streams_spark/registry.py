@@ -325,6 +325,13 @@ def _driver_green_rounds(root=None) -> dict[str, int]:
     mismatched latest row removes the query from the green set so it
     returns to the front of the verification window.
 
+    Round-5 staleness gate: a green row from round R only counts if
+    ``QUERY_HASHES.json`` records that the CURRENT implementation hash
+    was already in place at round R (``hash == current and
+    since_round <= R``) — a query rewritten after its green round
+    re-enters the never-green tier. See ``qhash.py``. If the ledger
+    file is absent the gate is skipped (legacy behavior).
+
     ``root`` is overridable for tests; production always reads the
     repo root this package sits in.
     """
@@ -357,7 +364,21 @@ def _driver_green_rounds(root=None) -> dict[str, int]:
                 and row.get("schema_match") is not False
             )
             latest[name] = (rnd, ok)
-    return {n: rnd for n, (rnd, ok) in latest.items() if ok}
+    green = {n: rnd for n, (rnd, ok) in latest.items() if ok}
+
+    from . import qhash
+
+    ledger = qhash.load_ledger(root)
+    if ledger is not None:
+        cur = qhash.current_hashes()
+        green = {
+            n: rnd
+            for n, rnd in green.items()
+            if (rec := ledger.get(n)) is not None
+            and rec.get("hash") == cur.get(n)
+            and rec.get("since_round", 10**9) <= rnd
+        }
+    return green
 
 
 def _ledger_order() -> list[str]:

@@ -136,6 +136,97 @@ def test_driver_green_rounds_parsing(tmp_path):
     assert green == {"q_a": 1, "q_c": 2}
 
 
+def test_green_rounds_hash_staleness_gate(tmp_path):
+    """Round-5 contract (VERDICT r4 item 1): a driver-green row only
+    counts while the implementation it verified is still the current
+    one. QUERY_HASHES.json records {hash, since_round}; a green row at
+    round R survives iff hash matches the live code AND
+    since_round <= R. A rewritten-since-green query (hash moved, or
+    recorded later than its evidence) re-enters the never-green tier."""
+    import json
+
+    from highload_kafka_streams_spark import qhash
+    from highload_kafka_streams_spark.registry import _driver_green_rounds
+
+    greenrow = {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_current": greenrow,      # hash matches, recorded r1 <= 2 → green
+        "q_rewritten": greenrow,    # ledger hash != live hash → stale
+        "q_late_record": greenrow,  # since_round 4 > evidence round 2 → stale
+        "q_unrecorded": greenrow,   # not in ledger at all → stale
+    }))
+    # live hashes for two fake queries registered just for this test
+    from highload_kafka_streams_spark import registry as reg
+
+    def fake(spark, sf_dir):  # pragma: no cover - never executed
+        return None
+
+    saved_q = dict(reg.QUERIES)
+    saved_o = dict(reg.ORACLE)
+    try:
+        for n in ("q_current", "q_rewritten", "q_late_record", "q_unrecorded"):
+            reg.QUERIES[n] = fake
+            reg.ORACLE[n] = "SELECT 1"
+        live = qhash.content_hash(fake, "SELECT 1")
+        (tmp_path / "QUERY_HASHES.json").write_text(json.dumps({
+            "q_current": {"hash": live, "since_round": 1},
+            "q_rewritten": {"hash": "deadbeefdeadbeef", "since_round": 1},
+            "q_late_record": {"hash": live, "since_round": 4},
+        }))
+        green = _driver_green_rounds(root=tmp_path)
+    finally:
+        reg.QUERIES.clear()
+        reg.QUERIES.update(saved_q)
+        reg.ORACLE.clear()
+        reg.ORACLE.update(saved_o)
+    assert green == {"q_current": 2}, green
+
+
+def test_query_hash_ledger_in_sync_with_registry():
+    """QUERY_HASHES.json must cover every registered query with the
+    CURRENT content hash — i.e. `python -m highload_kafka_streams_spark
+    .qhash update --round N` was re-run after the last query edit. A
+    drifted ledger silently demotes green queries and wastes driver
+    window slots on re-verification."""
+    from highload_kafka_streams_spark import qhash
+
+    ledger = qhash.load_ledger()
+    assert ledger is not None, "QUERY_HASHES.json missing at repo root"
+    cur = qhash.current_hashes()
+    stale = sorted(
+        n for n, h in cur.items()
+        if n not in ledger or ledger[n].get("hash") != h
+    )
+    assert not stale, f"run qhash update; stale entries: {stale}"
+    orphans = sorted(n for n in ledger if n not in cur)
+    assert not orphans, f"ledger entries for unregistered queries: {orphans}"
+
+
+def test_qhash_update_ledger_roundtrip(tmp_path):
+    """update_ledger: new entries stamped with the given round, changed
+    hashes re-stamped, unchanged entries keep their original round."""
+    import json
+
+    from highload_kafka_streams_spark import qhash
+
+    cur = qhash.current_hashes()
+    some = sorted(cur)[0]
+    # seed: one unchanged entry, one wrong-hash entry, rest missing
+    other = sorted(cur)[1]
+    (tmp_path / "QUERY_HASHES.json").write_text(json.dumps({
+        some: {"hash": cur[some], "since_round": 2},
+        other: {"hash": "0000000000000000", "since_round": 2},
+    }))
+    stats = qhash.update_ledger(7, tmp_path)
+    assert stats["unchanged"] == 1 and stats["changed"] == 1
+    assert stats["new"] == len(cur) - 2
+    after = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
+    assert after[some]["since_round"] == 2          # kept
+    assert after[other]["since_round"] == 7         # re-stamped
+    assert after[other]["hash"] == cur[other]
+
+
 def test_coverage_header_counts_match_registry():
     """COVERAGE.md's headline counts must equal the live registry —
     the doc the judge walks cannot drift from the code again."""
