@@ -1244,7 +1244,8 @@ ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
 nh AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM hit)
 SELECT n_exact, n_found,
        n_exact - n_found AS n_missed,
-       CAST(n_found AS DOUBLE) / n_exact AS recall
+       CASE WHEN n_exact > 0
+            THEN CAST(n_found AS DOUBLE) / n_exact END AS recall
 FROM ne, nh
 """,
 )
@@ -1258,7 +1259,9 @@ def q_eval_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join of exact pairs against LSH candidates counts the hits,
     and precision is 1.0 by construction (candidates are
     exact-verified), so recall is the only free parameter. One row:
-    n_exact, n_found, n_missed, recall."""
+    n_exact, n_found, n_missed, recall — recall is NULL (not NaN/inf,
+    identically in both engines) when the exact pair set is empty,
+    e.g. on a fixture density too sparse to produce any ≥0.5 pair."""
     exact = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
     found = q_dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b")
     hit = exact.join(found, ["doc_a", "doc_b"], "left_semi")
@@ -1268,5 +1271,8 @@ def q_eval_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_found",
         (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
-        (F.col("n_found").cast("double") / F.col("n_exact")).alias("recall"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_found").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
     )

@@ -941,20 +941,34 @@ def q_agg_ktable_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_mad_robust",
     oracle="""
-WITH med AS (
-  SELECT event_type, median(value) AS med
-  FROM events GROUP BY event_type
+WITH f AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+),
+med AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, v AS med_fp
+  FROM r WHERE rn = (n + 1) // 2
 ),
 dev AS (
-  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
-  FROM events e JOIN med m ON e.event_type = m.event_type
+  SELECT f.event_type, abs(f.v - m.med_fp) AS adev, m.med_fp, m.n
+  FROM f JOIN med m ON f.event_type = m.event_type
+),
+dr AS (
+  SELECT event_type, adev, med_fp, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn
+  FROM dev
 )
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       any_value(med) AS med,
-       median(adev) AS mad
-FROM dev
-GROUP BY event_type
+SELECT event_type, n, med_fp, adev AS mad_fp,
+       med_fp / 10000.0 AS med,
+       adev / 10000.0 AS mad
+FROM dr WHERE rn = (n + 1) // 2
 ORDER BY event_type
 """,
 )
@@ -962,32 +976,51 @@ def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per event type — the robust
     scale estimator outlier screens should use instead of stddev
     (one corrupted sensor saturates a variance; it barely moves a
-    MAD). Two grouped EXACT medians: the per-group median joins back
-    (broadcast — |groups| rows) and the deviations' median follows.
-    Cross-engine determinism: both engines interpolate the even-count
-    median as the mean of the two central elements of the same sorted
-    multiset, and |x−m| / (a+b)/2 are single IEEE ops — no reduction
-    order anywhere. Both median passes shuffle on the same
-    event_type key. Exact `percentile` buffers a group's values in
-    the agg state — fine while groups fit an executor; at 100 TB
-    swap each median for the iterative histogram selection
-    (operators/selection.py) or `percentile_approx`, same query
-    shape (the weighted-median posture)."""
-    ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    MAD). Two grouped EXACT lower medians: the per-group median joins
+    back (broadcast — |groups| rows) and the deviations' median
+    follows.
+
+    Cross-engine determinism (hardened r5 per ADVICE): values live on
+    a fixed-point 1e4 BIGINT scale and each median is the LOWER median
+    — the element at rank ⌈n/2⌉ of the sorted multiset — selected by
+    row_number, so NO interpolation expression exists to differ
+    between engines (the r4 form leaned on Spark percentile(0.5) and
+    DuckDB median producing bit-identical (a+b)/2 interpolations —
+    empirically green, fragile across engine versions). The exported
+    med/mad doubles are single exact int/1e4 divisions. Both median
+    passes shuffle on the same event_type key. The per-group
+    row_number sorts are the same work the exact-percentile buffering
+    did; at 100 TB swap each selection for the iterative histogram
+    selection (operators/selection.py, grouped_kth_smallest) — same
+    query shape (the grouped-median posture)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("n").cast("long").alias("n"),
+                F.col("v").alias("med_fp"))
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "event_type", "n", "med_fp",
+        F.abs(F.col("v") - F.col("med_fp")).alias("adev"),
     )
+    dw = Window.partitionBy("event_type").orderBy("adev")
     return (
-        dev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.any_value("med").alias("med"),
-            F.percentile("adev", F.lit(0.5)).alias("mad"),
+        dev.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "event_type", "n", "med_fp",
+            F.col("adev").alias("mad_fp"),
+            (F.col("med_fp") / 10000.0).alias("med"),
+            (F.col("adev") / 10000.0).alias("mad"),
         )
         .orderBy("event_type")
     )

@@ -209,6 +209,7 @@ def grouped_kth_smallest(
     rank_of_n,
     buckets: int = GROUPED_BUCKETS,
     max_iter: int = 10,
+    max_groups: int = 100_000,
 ) -> list[tuple]:
     """Exact per-group k-th smallest of an INTEGER column for EVERY
     group simultaneously — the grouped form of ``kth_smallest`` and
@@ -223,7 +224,15 @@ def grouped_kth_smallest(
     ≤ |groups|·buckets histogram per round — the operator for FEW BIG
     groups (the exact regime where value-buffering percentile
     explodes); |groups| must fit the driver like any grouped result
-    a user collects.
+    a user collects — enforced by ``max_groups`` (default 100k ≈ a few
+    MB of driver state), which raises instead of accumulating unbounded
+    driver state. For HIGH-cardinality group columns use the
+    domain-bounded histogram strategy instead
+    (``q_latency_histogram_quantiles``: one groupBy over a bounded
+    value domain, no driver loop).
+
+    NULL group keys participate like any other group (the bounds join
+    is null-safe).
 
     Integer domain ⇒ exact termination: bucket width
     ``(hi−lo)//B + 1`` shrinks ≥ B× per round until lo == hi, and
@@ -235,6 +244,15 @@ def grouped_kth_smallest(
         .agg(F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi"))
         .collect()
     )
+    if len(init) > max_groups:
+        raise ValueError(
+            f"grouped_kth_smallest holds one (lo, hi, k) triple per group "
+            f"on the driver; got {len(init)} groups > max_groups="
+            f"{max_groups}. For high-cardinality grouping use the "
+            f"domain-bounded histogram strategy "
+            f"(see q_latency_histogram_quantiles) or raise max_groups "
+            f"explicitly if the driver can hold it."
+        )
     state = {
         r["_g"]: {"n": r["n"], "k": rank_of_n(r["n"]), "lo": r["lo"], "hi": r["hi"]}
         for r in init
@@ -244,19 +262,31 @@ def grouped_kth_smallest(
         if not open_groups:
             break
         spark = df.sparkSession
+        # explicit schema (group type taken from the input): a round
+        # whose only open group has a NULL key must not hit inference
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        g_type = df.schema[group_col].dataType
         bounds = spark.createDataFrame(
             [
                 (gr, s["lo"], s["hi"], (s["hi"] - s["lo"]) // buckets + 1)
                 for gr, s in open_groups.items()
             ],
-            ["_bg", "_lo", "_hi", "_w"],
+            StructType(
+                [
+                    StructField("_bg", g_type),
+                    StructField("_lo", LongType()),
+                    StructField("_hi", LongType()),
+                    StructField("_w", LongType()),
+                ]
+            ),
         )
         bucket = F.least(
             F.floor((v - F.col("_lo")) / F.col("_w")).cast("long"),
             F.lit(buckets - 1),
         )
         hist = (
-            df.join(F.broadcast(bounds), g == F.col("_bg"))
+            df.join(F.broadcast(bounds), g.eqNullSafe(F.col("_bg")))
             # k is relative to the current bracket: rows outside
             # [lo, hi] were already discounted when the bracket
             # narrowed, so they must not re-enter the histogram
@@ -284,9 +314,19 @@ def grouped_kth_smallest(
                 cum += row["c"]
     totals = {r["_g"]: r["n"] for r in init}
     out = []
-    for gr in sorted(state):
+    # sorted() with a NULL (None) group key present: order None first so
+    # the output order stays deterministic without comparing None to str
+    for gr in sorted(state, key=lambda x: (x is not None, x)):
         s = state[gr]
-        assert s["lo"] == s["hi"], f"group {gr} unresolved after {max_iter} rounds"
+        if s["lo"] != s["hi"]:
+            # not an assert: the resolved-bracket invariant must hold
+            # under `python -O` too — an unresolved bracket returning a
+            # wrong "exact" value would be silent data corruption
+            raise RuntimeError(
+                f"grouped_kth_smallest: group {gr!r} unresolved after "
+                f"{max_iter} refinement rounds (bracket [{s['lo']}, "
+                f"{s['hi']}]); raise max_iter or buckets"
+            )
         out.append((gr, totals[gr], rank_of_n(totals[gr]), s["lo"]))
     return out
 

@@ -463,6 +463,44 @@ def test_grouped_kth_smallest_matches_sorted_reference(spark, data, rank_kind):
     assert got == want, (got, want)
 
 
+def test_grouped_kth_smallest_group_cap_and_null_keys(spark):
+    """r5 guards (VERDICT item 6 / ADVICE): the driver-state group cap
+    raises a clear ValueError instead of accumulating unbounded driver
+    state, the resolved-bracket invariant raises (not a stripped-under
+    -O assert) when iterations are exhausted, and a NULL group key is a
+    real group (null-safe bounds join) rather than a guaranteed trip of
+    that invariant."""
+    import pytest as _pytest
+
+    from highload_kafka_streams_spark.operators.selection import (
+        grouped_kth_smallest,
+    )
+
+    median = lambda n: (n + 1) // 2  # noqa: E731
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 7), ("c", 9)], "g string, v long"
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        grouped_kth_smallest(df, "g", "v", median, max_groups=2)
+
+    # NULL group key: refines and resolves like any other group
+    dfn = spark.createDataFrame(
+        [(None, 10), (None, 30), (None, 20), ("a", 1), ("a", 100)],
+        "g string, v long",
+    )
+    got = grouped_kth_smallest(dfn, "g", "v", median, buckets=2)
+    assert got == [(None, 3, 2, 20), ("a", 2, 1, 1)], got
+
+    # exhausted iterations surface as RuntimeError, not silent wrongness
+    # median of {0, 1, 1e9}: round 1 narrows to bucket {0, 1} (lo≠hi),
+    # so one iteration cannot resolve the bracket
+    wide = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 10**9)], "g string, v long"
+    )
+    with _pytest.raises(RuntimeError, match="unresolved"):
+        grouped_kth_smallest(wide, "g", "v", median, buckets=2, max_iter=1)
+
+
 def test_interval_scheduling_matches_python_greedy_at_sf01(spark):
     """q_events_interval_scheduling vs a straight Python greedy at sf0.1
     density — the DuckDB oracle's recursive formulation is only

@@ -746,3 +746,68 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     assert got == want, (
         f"TWS-only: {list(got - want)[:3]}  AIPWS-only: {list(want - got)[:3]}"
     )
+
+
+def test_session_fold_pure_python():
+    """The shared session fold (fold_session_events) exercised WITHOUT
+    Spark — the TWS runtime can't start in this container (no
+    google.protobuf), so the fold itself carries the unit coverage for
+    both Processor-API sessionizers (ADVICE r4). Covers: empty input,
+    fresh-state start, continuation, exact-gap boundary (gap is
+    exclusive: t - last == gap continues the session), multi-split
+    chunks, state carry-over across calls, and fixed-point totals."""
+    from highload_kafka_streams_spark.streaming.stateful import (
+        fold_session_events,
+    )
+
+    GAP = 100
+
+    # empty input leaves state untouched
+    assert fold_session_events(None, [], GAP) == (None, [])
+    st = (0, 10, 2, 77)
+    assert fold_session_events(st, [], GAP) == (st, [])
+
+    # fresh start + continuation + fp accumulation
+    state, closed = fold_session_events(
+        None, [(1000, 5), (1050, 7), (1100, 9)], GAP
+    )
+    assert closed == []
+    assert state == (1000, 1100, 3, 21)
+
+    # exact gap boundary continues (split requires t - last > gap)
+    state2, closed2 = fold_session_events(state, [(1200, 1)], GAP)
+    assert closed2 == []
+    assert state2 == (1000, 1200, 4, 22)
+
+    # one past the gap closes the open session and starts a new one
+    state3, closed3 = fold_session_events(state2, [(1301, 2)], GAP)
+    assert closed3 == [(1000, 1200, 4, 22)]
+    assert state3 == (1301, 1301, 1, 2)
+
+    # several splits inside ONE chunk emit sessions in close order
+    state4, closed4 = fold_session_events(
+        None, [(0, 1), (500, 2), (1000, 3), (1001, 4)], GAP
+    )
+    assert closed4 == [(0, 0, 1, 1), (500, 500, 1, 2)]
+    assert state4 == (1000, 1001, 2, 7)
+
+
+def test_session_fold_chunking_invariance():
+    """Folding a sorted event list in ONE call must equal folding it in
+    arbitrary chunk splits with carried state — the property that makes
+    micro-batch boundaries invisible to session results."""
+    from highload_kafka_streams_spark.streaming.stateful import (
+        fold_session_events,
+    )
+
+    GAP = 50
+    events = [(t, t % 7) for t in
+              [0, 10, 20, 100, 110, 300, 301, 302, 500, 551, 601, 900]]
+    want_state, want_closed = fold_session_events(None, events, GAP)
+    for cut1 in range(len(events) + 1):
+        for cut2 in range(cut1, len(events) + 1):
+            st, closed = fold_session_events(None, events[:cut1], GAP)
+            st, c2 = fold_session_events(st, events[cut1:cut2], GAP)
+            st, c3 = fold_session_events(st, events[cut2:], GAP)
+            assert st == want_state, (cut1, cut2)
+            assert closed + c2 + c3 == want_closed, (cut1, cut2)
