@@ -753,3 +753,27 @@ def test_tpch_q16_complaints_is_broadcast_anti(spark, sf_smoke):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_rank_join_is_not_statically_broadcast(spark, sf_smoke):
+    """De-weak lock (VERDICT r4 item 2): the PageRank rank table is
+    |nodes|-sized — billions of rows at 100 TB — so the per-iteration
+    edges⋈ranks join must never carry a static broadcast. The persisted
+    edge table is already hash-partitioned on src (the out-degree
+    window put it there), so the unhinted join plans as a sort-merge
+    join reusing that partitioning; AQE may still promote at runtime
+    where ranks measure KBs, which is a size-gated decision, not a
+    plan-time assumption. The three rank joins are the only joins whose
+    right key is the rank id column."""
+    import re
+
+    plan = plan_of(get_queries()["q_graph_pagerank_fx"](spark, sf_smoke))
+    rank_joins = [
+        b for b in re.split(r"\n(?=\(\d+\) )", plan)
+        if re.search(r"Right keys \[1\]: \[id#", b)
+    ]
+    assert len(rank_joins) == 3, f"expected 3 rank joins, plan changed: {len(rank_joins)}"
+    for b in rank_joins:
+        head = b.splitlines()[0]
+        assert "BroadcastHashJoin" not in head, head
+        assert "SortMergeJoin" in head or "ShuffledHashJoin" in head, head
