@@ -95,6 +95,33 @@ TPCH = [
 ]
 
 
+def _prev_bench(here: str) -> tuple[int, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root, or None. Feeds the
+    `vs_prev` section (VERDICT r4 item 3): per-query drift ratios vs
+    the previous round, computed by the harness itself so >1.3x
+    regressions surface as data instead of a host-noise shrug."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        # the driver wraps our JSON line under a "parsed" key
+        if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if isinstance(data, dict) and (best is None or rnd > best[0]):
+            best = (rnd, data)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -127,19 +154,37 @@ def main() -> None:
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
     tpch_total = round(sum(timings[n] for n in TPCH if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extended_total_sec": extended_total,
-                "tpch_total_sec": tpch_total,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extended_total_sec": extended_total,
+        "tpch_total_sec": tpch_total,
+    }
+    prev = _prev_bench(_HERE)
+    if prev is not None:
+        rnd, data = prev
+        prev_q = data.get("queries", {})
+        ratios = {
+            n: round(t / prev_q[n], 2)
+            for n, t in timings.items()
+            if isinstance(prev_q.get(n), (int, float)) and prev_q[n] > 0
+        }
+        flagged = {n: r for n, r in sorted(ratios.items()) if r > 1.3}
+        prev_total = data.get("value")
+        out["vs_prev"] = {
+            "round": rnd,
+            "headline_ratio": (
+                round(total / prev_total, 3)
+                if isinstance(prev_total, (int, float)) and prev_total > 0
+                else None
+            ),
+            "flagged_over_1_3x": flagged,
+            "ratios": ratios,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
