@@ -164,7 +164,9 @@ def main() -> None:
         "tpch_total_sec": tpch_total,
     }
     prev = _prev_bench(_HERE)
-    if prev is not None:
+    # drift ratios only make sense against the same scale factor (a
+    # custom $SPARK_GRAFT_SF_DIR run must not "regress" vs sf0.1)
+    if prev is not None and prev[1].get("sf") == sf:
         rnd, data = prev
         prev_q = data.get("queries", {})
         ratios = {

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Empirical scale-linearity check (VERDICT r4 item 4): run the bench
+query sets at a base sf dir and at an N-times-larger derived fixture
+(tools/gen_scale_fixture.py), and report per-query time ratios.
+
+A query scaling ~linearly at 10x data on a fixed 32-thread box should
+show time ratio <= ~factor (plus amortized fixed overhead, so usually
+much less); a ratio well ABOVE the data factor flags super-linear work
+(quadratic candidate growth, driver-side accumulation, broadcast of a
+data-proportional table). Writes one JSON artifact.
+
+Usage:
+    python tools/scale_check.py --base /root/testdata/sf0.1 \
+        --big .scale/sf1 --factor 10 --out SCALE_r05.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(_HERE, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=_HERE,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", required=True)
+    ap.add_argument("--factor", type=float, default=10.0)
+    ap.add_argument("--out", default=None)
+    ns = ap.parse_args()
+
+    print(f"bench @ {ns.base} ...", file=sys.stderr)
+    base = run_bench(ns.base)
+    print(f"bench @ {ns.big} ...", file=sys.stderr)
+    big = run_bench(ns.big)
+
+    ratios = {
+        n: round(big["queries"][n] / t, 2)
+        for n, t in base["queries"].items()
+        if n in big["queries"] and t > 0
+    }
+    # super-linear = scaling worse than the data factor itself; the
+    # interesting band is ratio > factor (time grew MORE than the data)
+    superlinear = {n: r for n, r in sorted(ratios.items()) if r > ns.factor}
+    artifact = {
+        "metric": "scale_linearity",
+        "factor": ns.factor,
+        "base_sf_dir": ns.base,
+        "big_sf_dir": ns.big,
+        "base": {
+            "value": base["value"],
+            "extended_total_sec": base.get("extended_total_sec"),
+            "tpch_total_sec": base.get("tpch_total_sec"),
+            "queries": base["queries"],
+        },
+        "big": {
+            "value": big["value"],
+            "extended_total_sec": big.get("extended_total_sec"),
+            "tpch_total_sec": big.get("tpch_total_sec"),
+            "queries": big["queries"],
+        },
+        "time_ratio_per_query": ratios,
+        "superlinear_over_factor": superlinear,
+        "headline_ratio": round(big["value"] / base["value"], 2),
+    }
+    print(json.dumps(artifact))
+    if ns.out:
+        with open(os.path.join(_HERE, ns.out), "w") as f:
+            json.dump(artifact, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
