@@ -1288,3 +1288,98 @@ def q_eval_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_exact"),
         ).alias("recall"),
     )
+
+
+@query(
+    "q_graph_clustering_coeff",
+    oracle=_NGRAM_PAIRS_SQL
+    + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM base e1
+  JOIN base e2 ON e1.doc_b = e2.doc_a
+  JOIN base e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+node_tri AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT a AS x FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY x
+)
+SELECT deg.u AS doc_id, deg.d AS deg,
+       CAST(COALESCE(node_tri.t, 0) AS BIGINT) AS tri,
+       CASE WHEN deg.d >= 2
+            THEN (2000000 * COALESCE(node_tri.t, 0)) // (deg.d * (deg.d - 1))
+            ELSE 0 END AS coeff_fp
+FROM deg LEFT JOIN node_tri ON node_tri.x = deg.u
+ORDER BY doc_id
+""",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-duplicate
+    graph — the per-document density signal that separates a tight
+    template FAMILY (neighbors also near-duplicate each other,
+    coeff→1) from a boilerplate HUB (many neighbors, mutually
+    unrelated, coeff→0); dedup policy treats the two very differently
+    (collapse the family, keep the hub's spokes).
+
+    coeff(v) = 2·T(v) / (d(v)·(d(v)−1)) on a 1e6 integer scale —
+    T and d are exact BIGINTs and the single floor division matches
+    DuckDB's ``//``, so no float comparison exists anywhere.
+
+    Scale shape: node triangle counts reuse the same canonical-edge
+    (a<b<c) edge-iterator join as ``q_graph_triangles`` — bounded by
+    Σ deg² of the similarity-pruned PAIR graph, never the corpus —
+    then each triangle is exploded to its 3 corners and counted; the
+    degree table is one groupBy over the symmetrized edges. All
+    shuffles key on doc_id."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.persist()
+    pairs.count()  # feeds 3 triangle sides + the degree scan
+    sym = pairs.select(F.col("doc_a").alias("u")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        deg.join(node_tri, deg.u == node_tri.x, "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2000000 * COALESCE(tri, 0)) DIV (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1002,3 +1002,104 @@ def q_similarity_pq_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_fp", "vec_id")
         .limit(10)
     )
+
+
+_ANN_CAND_SQL = """
+fx AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+w AS (
+  SELECT p.p AS plane, d.d AS dim,
+         CASE WHEN ((strpos('0123456789abcdef',
+                substr(md5(CAST(p.p AS VARCHAR) || ':'
+                           || CAST(d.d AS VARCHAR)), 1, 1)) - 1) & 1) = 1
+              THEN 1 ELSE -1 END AS w
+  FROM (SELECT unnest(range(0, 16)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+),
+dots AS (
+  SELECT fx.vec_id, w.plane, sum(fx.q * w.w) AS dot
+  FROM fx JOIN w ON fx.dim - 1 = w.dim
+  GROUP BY fx.vec_id, w.plane
+),
+buckets AS (
+  SELECT vec_id, plane // 4 AS band,
+         sum(CASE WHEN dot >= 0 THEN 1 << (plane % 4) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, plane // 4
+),
+qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+)
+"""
+
+
+@query(
+    "q_eval_ann_recall",
+    oracle=f"""
+WITH {_ANN_CAND_SQL.strip()},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+exact_scored AS (
+  SELECT e.vec_id,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+exact_topk AS (
+  SELECT vec_id FROM exact_scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+ann_scored AS (
+  SELECT e.vec_id,
+         ({_DOT_SQL.format(a='e.embedding', b='q.qe')})
+         / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+            * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})) AS cos_sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q,
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY e.vec_id
+),
+ann_topk AS (
+  SELECT vec_id FROM ann_scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_topk),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+       FROM exact_topk e JOIN ann_topk a ON e.vec_id = a.vec_id)
+SELECT n_exact, n_found,
+       n_exact - n_found AS n_missed,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_found AS DOUBLE) / n_exact END AS recall
+FROM ne, nh
+""",
+)
+def q_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality measurement AS A QUERY — the embedding-side sibling
+    of ``q_eval_sketch_recall``: recall@10 of the md5-hyperplane LSH
+    ANN (``q_similarity_ann_md5`` — signatures → banded buckets →
+    candidate probe → exact re-rank) against the exact brute-force
+    top-10 (``q_similarity_topk_cosine``). This is the number an
+    engineer tunes bands×bits against before trusting bucketed ANN
+    over a 100 TB embedding store; both sides are this module's
+    already-verified pipelines, so the eval itself is oracle-checked
+    end to end. One row: n_exact, n_found, n_missed, recall (NULL, not
+    NaN, if the exact set were empty)."""
+    exact = q_similarity_topk_cosine(spark, sf_dir).select("vec_id")
+    found = q_similarity_ann_md5(spark, sf_dir).select("vec_id")
+    hit = exact.join(found, "vec_id", "left_semi")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nh = hit.agg(F.count("*").alias("n_found"))
+    return ne.crossJoin(F.broadcast(nh)).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_found").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )

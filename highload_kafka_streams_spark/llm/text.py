@@ -1507,3 +1507,105 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "q_text_heaps_law",
+    oracle="""
+WITH meta AS (
+  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS span FROM documents
+),
+term_first AS (
+  SELECT t.term, min(d.doc_id) AS first_doc
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY t.term
+),
+term_dec AS (
+  SELECT least(CAST((first_doc * 10) // (SELECT span FROM meta) AS BIGINT)
+               + 1, 10) AS decile,
+         CAST(count(*) AS BIGINT) AS new_terms
+  FROM term_first GROUP BY 1
+),
+doc_dec AS (
+  SELECT least(CAST((doc_id * 10) // (SELECT span FROM meta) AS BIGINT)
+               + 1, 10) AS decile,
+         CAST(count(*) AS BIGINT) AS new_docs
+  FROM documents GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT s.decile,
+       CAST(SUM(COALESCE(dd.new_docs, 0))
+              OVER (ORDER BY s.decile) AS BIGINT) AS n_docs,
+       CAST(COALESCE(td.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(td.new_terms, 0))
+              OVER (ORDER BY s.decile) AS BIGINT) AS vocab_size
+FROM spine s
+LEFT JOIN term_dec td ON td.decile = s.decile
+LEFT JOIN doc_dec dd ON dd.decile = s.decile
+ORDER BY s.decile
+""",
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over ingestion order — the
+    corpus-health statistic that tells a crawl pipeline whether new
+    data still brings new language (vocab still growing ~ K·n^β) or
+    has gone stale/duplicative (curve flattens): 10 ingestion deciles
+    (doc_id value ranges — the PK is assigned at ingest), cumulative
+    docs, per-decile NEW terms, cumulative vocabulary.
+
+    Scale shape: no global row_number anywhere — each term's first
+    occurrence is a min() aggregate keyed on the term, its decile is
+    pure arithmetic against a broadcast 1-row span, and the only
+    window is the 10-row decile spine. The term table (the only big
+    intermediate) shuffles once on the term itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.agg((F.max("doc_id") + 1).alias("span"))
+    # integer DIV on both sides (DuckDB `//`) — no double division near
+    # decile boundaries
+    dec = F.least(
+        F.expr("(first_doc * 10) DIV span") + 1, F.lit(10)
+    ).cast("long")
+    term_first = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    term_dec = (
+        term_first.crossJoin(F.broadcast(meta))
+        .select(dec.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    doc_dec = (
+        docs.crossJoin(F.broadcast(meta))
+        .select(
+            F.least(F.expr("(doc_id * 10) DIV span") + 1, F.lit(10))
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_docs"))
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(F.broadcast(term_dec), "decile", "left")
+        .join(F.broadcast(doc_dec), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("new_docs", F.lit(0)).alias("_nd"),
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "decile",
+            F.sum("_nd").over(w).cast("long").alias("n_docs"),
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+        )
+        .select("decile", "n_docs", "new_terms", "vocab_size")
+        .orderBy("decile")
+    )

@@ -299,6 +299,10 @@ _QUERY_LEDGER = (
     "q_agg_welch_ttest",
     "q_agg_chi_square",
     "q_survival_kaplan_meier",
+    # --- round-5 additions (appended chronologically as written) ---
+    "q_eval_ann_recall",
+    "q_graph_clustering_coeff",
+    "q_text_heaps_law",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
