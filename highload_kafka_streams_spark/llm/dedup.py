@@ -1383,3 +1383,101 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dedup_repeated_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+g AS (
+  SELECT t.doc_id, i.pos,
+         md5(array_to_string(toks[i.pos+1:i.pos+8], ' ')) AS digest
+  FROM t, unnest(range(len(toks) - 7)) AS i(pos)
+),
+rep AS (
+  SELECT digest FROM g GROUP BY digest
+  HAVING count(DISTINCT doc_id) >= 2
+),
+r AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (digest)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM r
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""",
+)
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact substring dedup — the operator from
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): find every maximal token span of length ≥ 8 that occurs
+    verbatim in MORE THAN ONE document, reported as (doc_id,
+    span_start, span_len). Document-level dedup (exact / near-dup)
+    keeps a doc that merely CONTAINS a famous boilerplate paragraph;
+    span dedup is what lets a pipeline cut the paragraph and keep the
+    document.
+
+    Pipeline: 8-token shingles by position → 16-byte md5 digests (the
+    shuffle/join key is the digest, never the text — house dedup rule)
+    → digests appearing in ≥2 distinct docs → back-join to positions
+    (candidates only) → consecutive positions merge into maximal spans
+    with the islands trick (pos − row_number is constant within a run).
+    The per-doc window orders ONLY the repeated positions of one doc —
+    a tiny fraction of the corpus. Everything else is shuffle-on-digest
+    groupBys, the exact shape of the chunk-dedup operator; no pairwise
+    join of documents exists anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 8
+    )
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 8)
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("pos") + 1, 8), " ")
+            ).alias("digest"),
+        )
+    )
+    grams = grams.persist()
+    grams.count()  # feeds both the repeat detection and the back-join
+    rep = (
+        grams.groupBy("digest")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("digest")
+    )
+    r = grams.join(rep, "digest", "left_semi").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = r.withColumn("island", F.col("pos") - F.row_number().over(w))
+    out = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + 8).cast("long").alias("span_len"),
+            F.count("*").cast("long").alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_shingles")
+        .orderBy("doc_id", "span_start")
+    )
+    return out

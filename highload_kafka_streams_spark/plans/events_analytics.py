@@ -1968,3 +1968,90 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+@query(
+    "q_anomaly_cusum",
+    oracle="""
+WITH f AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(CAST(SUM(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS mu_fp
+  FROM f GROUP BY event_type
+),
+p AS (
+  SELECT f.event_id, f.event_type, f.v, m.mu_fp,
+         CAST(SUM(f.v - m.mu_fp) OVER (
+                PARTITION BY f.event_type ORDER BY f.event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pfx
+  FROM f JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_id, event_type, v, mu_fp, pfx,
+         LEAST(CAST(MIN(pfx) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) AS runmin
+  FROM p
+)
+SELECT event_id, event_type,
+       CAST(pfx - runmin AS BIGINT) AS cusum_fp,
+       (pfx - runmin) / 10000.0 AS cusum,
+       CAST((pfx - runmin) > 1000 * mu_fp AS BOOLEAN) AS drift_alarm
+FROM s ORDER BY event_id
+""",
+)
+def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-sided CUSUM drift detector per event type — the
+    change-point monitor that catches a sustained small shift a rolling
+    z-score (q_anomaly_zscore) misses: S_t = max(0, S_{t-1} + x_t − μ)
+    accumulates deviation from the per-type reference mean and alarms
+    when it crosses h = 1000·μ.
+
+    The sequential recurrence is NOT folded row-by-row: the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) (prefix sum minus running minimum
+    of the prefix) turns it into two stock window passes — the same
+    trick that de-weaked q_stream_late_data_drop's running max. All
+    state is exact fixed-point BIGINT (μ is the integer floor of the
+    type mean; the alarm compares integers, never doubles), so both
+    engines agree digit-for-digit. Order is by event_id (the ingestion
+    PK) — no sub-µs timestamp tie hazard. At 100 TB the monitored
+    series key is a device/user (millions of partitions, each modest);
+    the 5-type fixture shape is the demo, and the prefix identities
+    bucket-decompose exactly like the packing prefix sum if one series
+    ever outgrows a task."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    mu = ev.groupBy("event_type").agg(
+        F.expr("CAST(SUM(v) DIV count(*) AS BIGINT)").alias("mu_fp")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        ev.join(F.broadcast(mu), "event_type")
+        .withColumn("pfx", F.sum(F.col("v") - F.col("mu_fp")).over(w))
+        .withColumn("runmin", F.least(F.min("pfx").over(w), F.lit(0).cast("long")))
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        (F.col("pfx") - F.col("runmin")).cast("long").alias("cusum_fp"),
+        ((F.col("pfx") - F.col("runmin")) / 10000.0).alias("cusum"),
+        ((F.col("pfx") - F.col("runmin")) > 1000 * F.col("mu_fp")).alias(
+            "drift_alarm"
+        ),
+    ).orderBy("event_id")

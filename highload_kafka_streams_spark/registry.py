@@ -303,6 +303,8 @@ _QUERY_LEDGER = (
     "q_eval_ann_recall",
     "q_graph_clustering_coeff",
     "q_text_heaps_law",
+    "q_anomaly_cusum",
+    "q_dedup_repeated_spans",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
