@@ -777,3 +777,29 @@ def test_pagerank_rank_join_is_not_statically_broadcast(spark, sf_smoke):
         head = b.splitlines()[0]
         assert "BroadcastHashJoin" not in head, head
         assert "SortMergeJoin" in head or "ShuffledHashJoin" in head, head
+
+
+def test_repeated_spans_no_pairwise_doc_join(spark, sf_smoke):
+    """Span dedup must never plan a document-pair join: its only joins
+    are the digest-keyed semi join (candidates) — no cartesian/nested-
+    loop anywhere, and the documents table is scanned once (shingle
+    table persisted and reused for repeat detection + back-join)."""
+    plan = plan_of(get_queries()["q_dedup_repeated_spans"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both consumers (repeat detection + back-join) must read the ONE
+    # persisted shingle table, not re-derive it from parquet (the
+    # rendered plan repeats the cache's origin subtree, so count cache
+    # READS, not the textual parquet nodes inside them)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+
+
+def test_cusum_single_series_shuffle(spark, sf_smoke):
+    """CUSUM's two window passes (prefix sum, running min) and its mean
+    join must all ride ONE hash exchange on the series key — the mean
+    table broadcasts, and the closed-form identity keeps everything
+    else windowed over the same partitioning."""
+    plan = plan_of(get_queries()["q_anomaly_cusum"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, "per-type mean must broadcast"
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, plan[:2000]
