@@ -1481,3 +1481,85 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "span_start")
     )
     return out
+
+
+@query(
+    "q_dedup_report",
+    oracle="""
+WITH d AS (
+  SELECT source, md5(text) AS digest FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique
+  FROM d GROUP BY source
+),
+xsrc AS (
+  SELECT digest, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM d GROUP BY digest
+),
+cross_counts AS (
+  SELECT d.source,
+         CAST(count(DISTINCT CASE WHEN x.n_sources >= 2
+                                  THEN d.digest END) AS BIGINT)
+           AS n_cross_source
+  FROM d JOIN xsrc x ON x.digest = d.digest
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs, p.n_unique,
+       p.n_docs - p.n_unique AS n_dups,
+       ((p.n_docs - p.n_unique) * 1000000) // p.n_docs AS dup_ppm,
+       c.n_cross_source
+FROM per_source p JOIN cross_counts c ON c.source = p.source
+ORDER BY p.source
+""",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability report per source — the table a curation run
+    publishes before anyone trusts it: docs ingested, unique digests,
+    exact duplicates removed, duplicate rate (ppm — integer, no float
+    percentage), and how many of the source's distinct texts ALSO
+    appear in other sources (cross-source syndication — the signal for
+    de-prioritizing a mirror-heavy crawl seed).
+
+    Shapes: two digest-keyed groupBys (within-source uniques and the
+    digest→source-count table) joined back on the digest — the same
+    16-byte-digest shuffle economy as every dedup operator here; the
+    final join is per-source (20 rows). Duplicate-rate division is a
+    single integer DIV."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest")
+    )
+    d = d.persist()
+    d.count()  # three digest consumers
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("digest").alias("n_unique"),
+    )
+    xsrc = d.groupBy("digest").agg(
+        F.count_distinct("source").alias("n_sources")
+    )
+    cross = (
+        d.join(xsrc, "digest")
+        .groupBy("source")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("n_sources") >= 2, F.col("digest"))
+            ).alias("n_cross_source")
+        )
+    )
+    return (
+        per_source.join(cross, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dups"),
+            F.expr("((n_docs - n_unique) * 1000000) DIV n_docs")
+            .cast("long")
+            .alias("dup_ppm"),
+            F.col("n_cross_source").cast("long").alias("n_cross_source"),
+        )
+        .orderBy("source")
+    )

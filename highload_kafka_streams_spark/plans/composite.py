@@ -2338,3 +2338,95 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "bal_c", "rev_fp")
         .orderBy("s_suppkey")
     )
+
+
+# Benford first-digit expected frequencies, parts-per-million. These are
+# MATH CONSTANTS (log10(1+1/d)·1e6, rounded) hardcoded identically in the
+# Spark plan and the oracle SQL — computing log10 at runtime in two
+# engines risks a last-ulp libm disagreement at the floor boundary.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+_BENFORD_SQL_VALUES = ", ".join(
+    f"({d + 1}, {ppm})" for d, ppm in enumerate(_BENFORD_PPM)
+)
+
+
+@query(
+    "q_audit_benford",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM digits),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+  FROM digits GROUP BY digit
+),
+bf(digit, benford_ppm) AS (VALUES {_BENFORD_SQL_VALUES})
+SELECT bf.digit,
+       CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST((COALESCE(obs.n_obs, 0) * 1000000) // n.total AS BIGINT)
+         AS obs_ppm,
+       CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST((COALESCE(obs.n_obs, 0) * 1000000) // n.total
+            - bf.benford_ppm AS BIGINT) AS dev_ppm
+FROM bf CROSS JOIN n LEFT JOIN obs ON obs.digit = bf.digit
+ORDER BY bf.digit
+""",
+)
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/synthetic-data screen an ingestion pipeline runs on any
+    money-like column: organic multiplicative amounts follow
+    P(d) = log10(1+1/d); fabricated or truncated feeds deviate.
+    Emits per digit 1-9: observed count, observed ppm, the Benford
+    expectation ppm, and the signed deviation.
+
+    Determinism: the first significant digit comes from the INTEGER
+    cents string (floor(x·100+0.5) then substr of the plain digit
+    rendering — identical in both engines), never from log10(x) whose
+    floor can disagree across libms at powers of ten; the Benford
+    expectations are hardcoded integer constants; ppm shares are single
+    integer floor-divisions. One map-side-combined groupBy on a
+    9-value key, one broadcast total — nothing here changes at
+    100 TB."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = digits.agg(F.count("*").alias("total"))
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    bf = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(_BENFORD_PPM)],
+        "digit long, benford_ppm long",
+    )
+    return (
+        bf.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("(COALESCE(n_obs, 0) * 1000000) DIV total")
+            .cast("long")
+            .alias("obs_ppm"),
+            F.col("benford_ppm").cast("long").alias("benford_ppm"),
+            F.expr(
+                "(COALESCE(n_obs, 0) * 1000000) DIV total - benford_ppm"
+            )
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -305,6 +305,8 @@ _QUERY_LEDGER = (
     "q_text_heaps_law",
     "q_anomaly_cusum",
     "q_dedup_repeated_spans",
+    "q_audit_benford",
+    "q_dedup_report",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
