@@ -1563,3 +1563,158 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(
+           list_transform(
+             range(len(string_split(text,' ')) - 2),
+             i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+           ))) AS grams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+),
+base AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) >= 2
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+mid AS (
+  SELECT deg.u AS w, CAST(FLOOR(1000000 / ln(d)) AS BIGINT) AS w_fx
+  FROM deg WHERE d BETWEEN 2 AND 32
+),
+cn AS (
+  SELECT s1.v AS a, s2.v AS b, m.w_fx
+  FROM mid m
+  JOIN sym s1 ON s1.u = m.w
+  JOIN sym s2 ON s2.u = m.w AND s1.v < s2.v
+),
+scored AS (
+  SELECT a, b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(SUM(w_fx) AS BIGINT) AS aa_fx
+  FROM cn GROUP BY a, b
+)
+SELECT a AS doc_a, b AS doc_b, n_common, aa_fx,
+       NOT EXISTS (SELECT 1 FROM base
+                   WHERE doc_a = a AND doc_b = b) AS is_new_link
+FROM scored
+ORDER BY doc_a, doc_b
+""",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-duplicate graph:
+    score non-adjacent document pairs by Σ 1/ln(deg(w)) over their
+    common neighbors w — the classic 'likely same template family even
+    though the direct similarity join missed the pair' signal, used to
+    close transitive gaps the pairwise threshold leaves open (a cheap
+    complement to the full connected-components pass).
+
+    Determinism: the only transcendental is ln(deg) for small-integer
+    degrees, fixed-pointed ONCE per node (⌊1e6/ln d⌋ — the same
+    one-floor-per-vocab-entry discipline as the unigram LM), after
+    which scores are exact integer sums.
+
+    Scale shape: common-neighbor enumeration is the per-middle-node
+    self-join of the symmetrized edge list — cost Σ deg(w)² — with the
+    production HUB CAP applied first (deg ≤ 32 here): boilerplate hubs
+    would otherwise contribute deg² pairs of near-zero weight
+    (1/ln(deg) → 0), so capping bounds the explosion at provably
+    negligible score loss. Every scored pair carries `is_new_link`
+    (computed with a left-semi-style join against the canonical edge
+    list, keyed on doc_id): false rows confirm existing edges, true
+    rows are the predictions — on a transitively-closed family graph
+    (this fixture) every pair with a common neighbor is already an
+    edge, and the flag proves it instead of silently emitting nothing.
+    The quadratic-free plan is the same one GraphFrames/production
+    link-prediction jobs run at billions of edges.
+
+    Edge definition: documents sharing ≥ 2 distinct word-3-grams
+    (language-blocked) — the AFFINITY graph one band below the ≥ 0.5
+    Jaccard dedup threshold, which on this fixture is a perfect
+    matching (every degree = 1, so common neighbors cannot exist);
+    the affinity graph has hubs and families, which is the regime
+    link prediction is for. Pairs come from the same inverted-index
+    shingle join as q_dedup_ngram_jaccard (hashed grams, Σ df(g)²
+    cost), just thresholded on the shared-gram COUNT."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    )
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    inv = tok_df.select(
+        "doc_id", "lang", F.explode(gram_h).alias("g")
+    )
+    ia, ib = inv.alias("ia"), inv.alias("ib")
+    pairs = (
+        ia.join(
+            ib,
+            (F.col("ia.g") == F.col("ib.g"))
+            & (F.col("ia.lang") == F.col("ib.lang"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    pairs = pairs.persist()
+    pairs.count()  # consumed by sym (twice), the anti-join, and degrees
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    mid = deg.filter(F.col("d").between(2, 32)).select(
+        F.col("u").alias("w"),
+        F.floor(F.lit(1000000) / F.log(F.col("d"))).cast("long").alias("w_fx"),
+    )
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        mid.join(s1, "w")
+        .join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "w_fx")
+    )
+    scored = cn.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum("w_fx").cast("long").alias("aa_fx"),
+    )
+    edge_flag = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(True).alias("adj")
+    )
+    return (
+        scored.join(edge_flag, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "aa_fx",
+            F.col("adj").isNull().alias("is_new_link"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

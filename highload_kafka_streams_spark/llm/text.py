@@ -1609,3 +1609,97 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("decile", "n_docs", "new_terms", "vocab_size")
         .orderBy("decile")
     )
+
+
+@query(
+    "q_text_zipf_slope",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+v AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS freq
+  FROM tok WHERE t <> '' GROUP BY t
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, t) AS rnk
+  FROM v
+),
+pts AS (
+  SELECT CAST(FLOOR(ln(rnk) * 100000) AS BIGINT) AS x,
+         CAST(FLOOR(ln(freq) * 100000) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS r,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT r AS n_terms,
+       r * sxy - sx * sy AS slope_num,
+       r * sxx - sx * sx AS slope_den,
+       CAST(r * sxy - sx * sy AS DOUBLE) / (r * sxx - sx * sx) AS slope
+FROM s
+""",
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) — the scale-free exponent every
+    corpus-health report tracks (natural language sits near −1;
+    boilerplate-heavy or template-generated corpora flatten it, so a
+    drifting slope is a contamination alarm, the frequency-spectrum
+    complement of the Heaps'-law vocabulary curve).
+
+    Determinism: both logs are fixed-pointed ONCE per vocabulary entry
+    (⌊ln·1e5⌋ — rank and frequency are exact integers first), after
+    which the OLS fit is the closed form on exact integer power sums:
+    slope = (R·Σxy − ΣxΣy) / (R·Σx² − (Σx)²), emitted as the exact
+    BIGINT numerator/denominator pair plus their one IEEE division.
+
+    Scale shape: the token count is the only corpus-sized shuffle
+    (map-side combinable); ranking runs on the VOCABULARY table — at
+    1e5 scale the products stay far inside BIGINT for vocabularies to
+    ~100M terms — and the rank window is the same vocabulary-bounded
+    global order q_text_rarity already plan-locks (at 100 TB you rank
+    the top-K spectrum, the fit's input is capped either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("t")))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 100000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 100000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("r").alias("n_terms"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den).alias("slope"),
+    )

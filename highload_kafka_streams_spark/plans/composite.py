@@ -2430,3 +2430,323 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "q_dq_constraint_suite",
+    oracle="""
+SELECT 'completeness_c_name' AS rule,
+       CAST(count(c_name) AS BIGINT) AS metric_num,
+       CAST(count(*) AS BIGINT) AS metric_den,
+       count(c_name) = count(*) AS passed
+FROM customer
+UNION ALL
+SELECT 'domain_c_mktsegment',
+       CAST(SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+                 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+                 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+           'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+           THEN 1 ELSE 0 END) = count(*)
+FROM customer
+UNION ALL
+SELECT 'unique_c_custkey',
+       CAST(count(DISTINCT c_custkey) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       count(DISTINCT c_custkey) = count(*)
+FROM customer
+UNION ALL
+SELECT 'fk_orders_custkey',
+       CAST(count(*) - SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'range_l_discount',
+       CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
+         = count(*)
+FROM lineitem
+UNION ALL
+SELECT 'min_rows_orders',
+       CAST(count(*) AS BIGINT), CAST(1000 AS BIGINT),
+       count(*) >= 1000
+FROM orders
+UNION ALL
+SELECT 'freshness_o_orderdate',
+       CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(1 AS BIGINT),
+       SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+           THEN 1 ELSE 0 END) >= 1
+FROM orders
+ORDER BY rule
+""",
+)
+def q_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ /
+    great-expectations shape): a fixed rule list — completeness,
+    domain membership, key uniqueness, FK coverage, value range,
+    minimum volume, freshness — evaluated in one report, one row per
+    rule with the exact integer evidence (`metric_num` / `metric_den`)
+    and the boolean verdict. Ratio rules pass when num == den;
+    threshold rules (min_rows, freshness) pass when num >= den, with
+    `metric_den` carrying the threshold. Every metric is a count, so
+    the report is engine-exact — no float tolerance anywhere.
+
+    Scale shape: each rule is a single aggregate over one scan (the
+    per-table rules against the same table share the scan via
+    Catalyst's exchange reuse), the FK rule is a left join counted on
+    the null side — 8-byte keys, map-side combinable — and the output
+    is bounded by the RULE COUNT, not the data. At 100 TB this is the
+    per-load gate you run before publishing a partition; a production
+    deploy would parameterize the rule list, not the plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+    def row(name, num, den, passed):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            num.cast("long").alias("metric_num"),
+            den.cast("long").alias("metric_den"),
+            passed.alias("passed"),
+        )
+
+    cust = c.agg(
+        F.count("c_name").alias("nn"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("c_mktsegment").isin(segs), 1).otherwise(0)).alias(
+            "nd"
+        ),
+        F.count_distinct("c_custkey").alias("nu"),
+    ).select(
+        F.explode(
+            F.array(
+                row(
+                    "completeness_c_name",
+                    F.col("nn"),
+                    F.col("n"),
+                    F.col("nn") == F.col("n"),
+                ),
+                row(
+                    "domain_c_mktsegment",
+                    F.col("nd"),
+                    F.col("n"),
+                    F.col("nd") == F.col("n"),
+                ),
+                row(
+                    "unique_c_custkey",
+                    F.col("nu"),
+                    F.col("n"),
+                    F.col("nu") == F.col("n"),
+                ),
+            )
+        ).alias("r")
+    )
+    fk = (
+        o.join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "orphans"
+            ),
+        )
+        .select(
+            row(
+                "fk_orders_custkey",
+                F.col("n") - F.col("orphans"),
+                F.col("n"),
+                F.col("orphans") == 0,
+            ).alias("r")
+        )
+    )
+    rng = li.agg(
+        F.sum(
+            F.when(F.col("l_discount").between(0, 0.1), 1).otherwise(0)
+        ).alias("ok"),
+        F.count("*").alias("n"),
+    ).select(
+        row(
+            "range_l_discount", F.col("ok"), F.col("n"), F.col("ok") == F.col("n")
+        ).alias("r")
+    )
+    vol = o.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"), 1)
+            .otherwise(0)
+        ).alias("fresh"),
+    ).select(
+        F.explode(
+            F.array(
+                row("min_rows_orders", F.col("n"), F.lit(1000), F.col("n") >= 1000),
+                row(
+                    "freshness_o_orderdate",
+                    F.col("fresh"),
+                    F.lit(1),
+                    F.col("fresh") >= 1,
+                ),
+            )
+        ).alias("r")
+    )
+    return (
+        cust.unionByName(fk).unionByName(rng).unionByName(vol)
+        .select("r.rule", "r.metric_num", "r.metric_den", "r.passed")
+        .orderBy("rule")
+    )
+
+
+@query(
+    "q_basket_triples_apriori",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+ms AS (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT o) AS BIGINT) * 35 // 10000 AS minsup
+  FROM ob
+),
+tri AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, e.b AS brand_c,
+         CAST(count(*) AS BIGINT) AS n_abc
+  FROM ob a
+  JOIN ob c ON a.o = c.o AND a.b < c.b
+  JOIN ob e ON a.o = e.o AND c.b < e.b
+  GROUP BY 1, 2, 3
+)
+SELECT brand_a, brand_b, brand_c, n_abc,
+       n_abc * 1000000 // ms.n_orders AS support_ppm
+FROM tri, ms
+WHERE n_abc >= ms.minsup
+ORDER BY brand_a, brand_b, brand_c
+""",
+)
+def q_basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-triple mining with the Apriori candidate-join step —
+    the level-3 pass of association-rule mining: frequent pairs L2
+    self-join on a shared prefix ((a,b)+(a,c) → candidate (a,b,c)),
+    candidates survive only if ALL their sub-pairs are frequent
+    (downward closure), and only then does the data get counted
+    against the candidate list. Support threshold is RELATIVE
+    (0.35% of baskets, floored to an exact integer both engines
+    compute identically), so the query is meaningful at every fixture
+    density and at 100 TB alike.
+
+    Scale shape: baskets distinct to (order, brand) first; L2 and the
+    candidate set C3 are bounded by the ITEM vocabulary, not the data,
+    so they broadcast; the 3-way within-basket self-join generates
+    combinations per basket (∝ basket³ of FREQUENT items only — each
+    leg is semi-joined against L1 and the first two legs against L2
+    before the third fans in, which is exactly Apriori's pruning
+    payoff), and the count shuffles on the candidate triple. The
+    oracle derives the same result with no Apriori at all — a direct
+    exhaustive triple count — so the hash proves the pruning loses
+    nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ob = ob.persist()
+    ms = ob.agg(
+        F.count_distinct("o").alias("n_orders"),
+        F.expr("count(DISTINCT o) * 35 DIV 10000").alias("minsup"),
+    )
+    # L1: frequent items
+    l1 = (
+        ob.groupBy("b")
+        .agg(F.count("*").alias("nb"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("nb") >= F.col("minsup"))
+        .select("b")
+    )
+    obf = ob.join(F.broadcast(l1), "b", "left_semi")
+    # L2: frequent pairs of frequent items
+    a1, a2 = obf.alias("a1"), obf.alias("a2")
+    l2 = (
+        a1.join(
+            a2,
+            (F.col("a1.o") == F.col("a2.o")) & (F.col("a1.b") < F.col("a2.b")),
+        )
+        .groupBy(F.col("a1.b").alias("x"), F.col("a2.b").alias("y"))
+        .agg(F.count("*").alias("nxy"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("nxy") >= F.col("minsup"))
+        .select("x", "y")
+    )
+    l2 = l2.persist()
+    # C3: Apriori candidate join — shared prefix + downward closure
+    p1, p2 = l2.alias("p1"), l2.alias("p2")
+    c3 = (
+        p1.join(
+            p2,
+            (F.col("p1.x") == F.col("p2.x")) & (F.col("p1.y") < F.col("p2.y")),
+        )
+        .select(
+            F.col("p1.x").alias("ca"),
+            F.col("p1.y").alias("cb"),
+            F.col("p2.y").alias("cc"),
+        )
+        .join(
+            l2,
+            (F.col("cb") == F.col("x")) & (F.col("cc") == F.col("y")),
+            "left_semi",
+        )
+    )
+    # count the data against the candidate list: first two legs are
+    # L2-pruned before the third fans in
+    t1, t2, t3 = obf.alias("t1"), obf.alias("t2"), obf.alias("t3")
+    pair_leg = (
+        t1.join(
+            t2,
+            (F.col("t1.o") == F.col("t2.o")) & (F.col("t1.b") < F.col("t2.b")),
+        )
+        .join(
+            F.broadcast(l2),
+            (F.col("t1.b") == F.col("x")) & (F.col("t2.b") == F.col("y")),
+            "left_semi",
+        )
+    )
+    counted = (
+        pair_leg.join(
+            t3,
+            (F.col("t1.o") == F.col("t3.o")) & (F.col("t2.b") < F.col("t3.b")),
+        )
+        .join(
+            F.broadcast(c3),
+            (F.col("t1.b") == F.col("ca"))
+            & (F.col("t2.b") == F.col("cb"))
+            & (F.col("t3.b") == F.col("cc")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("t1.b").alias("brand_a"),
+            F.col("t2.b").alias("brand_b"),
+            F.col("t3.b").alias("brand_c"),
+        )
+        .agg(F.count("*").alias("n_abc"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(ms))
+        .filter(F.col("n_abc") >= F.col("minsup"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            F.col("n_abc").cast("long").alias("n_abc"),
+            F.expr("n_abc * 1000000 DIV n_orders").cast("long").alias(
+                "support_ppm"
+            ),
+        )
+        .orderBy("brand_a", "brand_b", "brand_c")
+    )

@@ -2055,3 +2055,233 @@ def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_alarm"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "q_time_acf",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM hourly
+),
+ctr AS (SELECT h, x - (s - s % n) // n AS d FROM hourly, st),
+den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM ctr),
+lags AS (SELECT unnest(range(1, 7)) AS lag),
+pairs AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.d * b.d) AS BIGINT) AS num
+  FROM lags l
+  JOIN ctr a ON TRUE
+  JOIN ctr b ON epoch(b.h) = epoch(a.h) + 3600 * l.lag
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs, num, den.den AS den,
+       CAST(num AS DOUBLE) / den.den AS acf
+FROM pairs, den
+ORDER BY lag
+""",
+)
+def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-value series at
+    lags 1–6 — the seasonality detector (a 24h-periodic series shows
+    the comb in r_k) and the input to any Box-Jenkins-style model
+    selection. Exact by construction: hourly totals are fixed-point
+    BIGINTs, the series is centered on the FLOORED integer mean (the
+    convention both engines compute with one exact integer division),
+    and each r_k = Σ d_t·d_{t+k} / Σ d_t² is a ratio of exact BIGINTs
+    — the one double division of integers < 2^53 is IEEE-identical
+    cross-engine.
+
+    Scale shape: the hourly rollup is the only data-sized shuffle
+    (map-side combinable); everything after runs on the CALENDAR-
+    bounded series table (720 rows per month regardless of corpus
+    size — same argument as the SES forecast), the lag alignment is an
+    equi-join on the truncated epoch (never a global-order window),
+    and the 1-row stats table broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    hourly = hourly.persist()
+    st = hourly.agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    ctr = (
+        hourly.crossJoin(F.broadcast(st))
+        .select(
+            F.unix_timestamp("h").alias("hsec"),
+            (F.col("x") - F.expr("(s - s % n) DIV n")).alias("d"),
+        )
+    )
+    ctr = ctr.persist()
+    den = ctr.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    a = ctr.select(F.col("hsec"), F.col("d").alias("da"))
+    b = ctr.select(F.col("hsec").alias("hb"), F.col("d").alias("db"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("hb") == F.col("hsec") + 3600 * F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("da") * F.col("db")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            "den",
+            (F.col("num").cast("double") / F.col("den")).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "q_time_lttb_downsample",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           // 3600 AS x,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT x // 24 AS day, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+  FROM hourly GROUP BY 1
+),
+nb AS (
+  SELECT day,
+         lag(sx)  OVER w AS p_sx, lag(sv)  OVER w AS p_sv,
+         lag(n)   OVER w AS p_n,
+         lead(sx) OVER w AS n_sx, lead(sv) OVER w AS n_sv,
+         lead(n)  OVER w AS n_n
+  FROM daily WINDOW w AS (ORDER BY day)
+),
+scored AS (
+  SELECT nb.day, h.x, h.v,
+         ABS((p_sx * n_n - n_sx * p_n) * (h.v * p_n - p_sv)
+             - (p_sx - h.x * p_n) * (n_sv * p_n - p_sv * n_n)) AS a2
+  FROM hourly h JOIN nb ON h.x // 24 = nb.day
+  WHERE p_n IS NOT NULL AND n_n IS NOT NULL
+),
+sel AS (
+  SELECT day, x, v, a2,
+         row_number() OVER (PARTITION BY day ORDER BY a2 DESC, x) AS rn
+  FROM scored
+),
+ends AS (
+  SELECT x // 24 AS day, x, v, CAST(0 AS BIGINT) AS a2
+  FROM hourly
+  WHERE x = (SELECT min(x) FROM hourly)
+     OR x = (SELECT max(x) FROM hourly)
+)
+SELECT day, x AS x_hour, v AS v_fx, a2 AS area2 FROM sel WHERE rn = 1
+UNION ALL
+SELECT day, x, v, a2 FROM ends
+ORDER BY x_hour
+""",
+)
+def q_time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style series downsampling (largest-triangle, fixed bucket
+    anchors): keep ONE representative point per day — the one forming
+    the largest triangle against the previous and next day's mean
+    points — plus the global endpoints; the visually-faithful
+    downsampler every monitoring system runs before plotting a
+    million-point series.
+
+    This is the parallel 'means-anchored' LTTB variant: classic LTTB
+    anchors each bucket on the PREVIOUSLY SELECTED point (a sequential
+    dependency); anchoring on neighbor-bucket means instead makes every
+    bucket independent — the standard trick for distributed LTTB — at
+    negligible visual difference. Exactness: doubling the area and
+    multiplying through by n_prev·n_next clears every mean's division,
+    so the score is |integer cross product| on BIGINTs and the argmax
+    (ties → earliest hour) is total-ordered.
+
+    Scale shape: the hourly rollup is the only data-sized shuffle; the
+    per-day stats table is CALENDAR-bounded, so its lag/lead window is
+    over ~30 rows (same bounded-series argument as SES/ACF), scoring
+    is a broadcastable equi-join of hourly onto day stats, and the
+    per-day argmax window partitions by day (≤ 24 rows each)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    hourly = hourly.persist()
+    daily = hourly.groupBy(F.expr("x DIV 24").alias("day")).agg(
+        F.sum("x").alias("sx"), F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    nb = daily.select(
+        "day",
+        F.lag("sx").over(w).alias("p_sx"),
+        F.lag("sv").over(w).alias("p_sv"),
+        F.lag("n").over(w).alias("p_n"),
+        F.lead("sx").over(w).alias("n_sx"),
+        F.lead("sv").over(w).alias("n_sv"),
+        F.lead("n").over(w).alias("n_n"),
+    ).filter(F.col("p_n").isNotNull() & F.col("n_n").isNotNull())
+    a2 = F.abs(
+        (F.col("p_sx") * F.col("n_n") - F.col("n_sx") * F.col("p_n"))
+        * (F.col("v") * F.col("p_n") - F.col("p_sv"))
+        - (F.col("p_sx") - F.col("x") * F.col("p_n"))
+        * (F.col("n_sv") * F.col("p_n") - F.col("p_sv") * F.col("n_n"))
+    )
+    scored = (
+        hourly.join(
+            F.broadcast(nb), F.expr("x DIV 24") == F.col("day")
+        )
+        .select("day", "x", "v", a2.alias("a2"))
+    )
+    wd = Window.partitionBy("day").orderBy(F.desc("a2"), F.asc("x"))
+    sel = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("day", "x", "v", "a2")
+    )
+    ext = hourly.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    ends = (
+        hourly.join(
+            F.broadcast(ext),
+            (F.col("x") == F.col("lo")) | (F.col("x") == F.col("hi")),
+        )
+        .select(
+            F.expr("x DIV 24").alias("day"),
+            "x",
+            "v",
+            F.lit(0).cast("long").alias("a2"),
+        )
+    )
+    return (
+        sel.unionByName(ends)
+        .select(
+            "day",
+            F.col("x").alias("x_hour"),
+            F.col("v").alias("v_fx"),
+            F.col("a2").alias("area2"),
+        )
+        .orderBy("x_hour")
+    )

