@@ -1703,3 +1703,106 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("slope_den"),
         (num.cast("double") / den).alias("slope"),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT t.doc_id, toks[i.pos + 1] AS a, toks[i.pos + 2] AS b
+  FROM t, unnest(range(len(toks) - 1)) AS i(pos)
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY a),
+lp AS (
+  SELECT cab.a, cab.b,
+         CAST(FLOOR(ln(cab.c) * 1000000) AS BIGINT)
+         - CAST(FLOOR(ln(ca.c) * 1000000) AS BIGINT) AS lp
+  FROM cab JOIN ca ON ca.a = cab.a
+),
+ds AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(lp.lp) AS BIGINT) AS nll_fx_sum
+  FROM bg JOIN lp ON lp.a = bg.a AND lp.b = bg.b
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, nll_fx_sum,
+       CAST(nll_fx_sum AS DOUBLE) / (n_bigrams * 1000000.0) AS avg_nll
+FROM ds
+ORDER BY avg_nll DESC, doc_id
+LIMIT 20
+""",
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — the conditional
+    upgrade of the unigram-LM quality proxy: every consecutive token
+    pair scores −ln P(b|a) with P estimated from the corpus itself
+    (c_ab / c_a·), and the 20 highest average-surprisal documents
+    surface as incoherent / shuffled / out-of-domain text — the CCNet
+    perplexity-filter shape one model order up.
+
+    Determinism: ln is fixed-pointed ONCE per bigram/prefix TYPE
+    (⌊ln·1e6⌋ over exact integer counts), so each bigram's logprob is
+    a difference of two integers and document scores are exact integer
+    sums; the only float is one division of exact values, and the
+    top-20 is total-ordered (avg DESC, doc_id).
+
+    Scale shape: bigram extraction is a zero-shuffle narrow pass over
+    the token arrays; the count tables are VOCABULARY-bounded (corpus
+    bigram types), the score join keys on the bigram, and the top-20
+    plans as TakeOrderedAndProject. Identical to the unigram-LM plan
+    but with the conditional join added."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_df = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    tk = F.col("toks")
+    bg = tok_df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("a"),
+                    F.element_at(tk, i + 1).alias("b"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = bg.groupBy("a").agg(F.count("*").alias("cuni"))
+    lp = cab.join(ca, "a").select(
+        "a",
+        "b",
+        (
+            F.floor(F.log(F.col("cab").cast("double")) * 1000000)
+            - F.floor(F.log(F.col("cuni").cast("double")) * 1000000)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    ds = (
+        bg.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.sum("lp")).cast("long").alias("nll_fx_sum"),
+        )
+    )
+    return (
+        ds.select(
+            "doc_id",
+            "n_bigrams",
+            "nll_fx_sum",
+            (
+                F.col("nll_fx_sum").cast("double")
+                / (F.col("n_bigrams") * 1000000.0)
+            ).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), F.asc("doc_id"))
+        .limit(20)
+    )

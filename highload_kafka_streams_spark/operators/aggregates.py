@@ -1123,3 +1123,114 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_stat, 9).alias("t_stat"),
         F.round(df, 9).alias("welch_df"),
     )
+
+
+@query(
+    "q_agg_ks_test",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, CAST(SUM(p) AS BIGINT) AS c1, CAST(SUM(1 - p) AS BIGINT) AS c2
+  FROM pts GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM g
+),
+sc AS (SELECT v, ABS(cum1 * n2 - cum2 * n1) AS d_num FROM cum, tot)
+SELECT tot.n1, tot.n2, sc.d_num, tot.n1 * tot.n2 AS d_den,
+       CAST(sc.d_num AS DOUBLE) / (tot.n1 * tot.n2) AS ks_stat,
+       sc.v AS at_value_fx
+FROM sc, tot
+ORDER BY sc.d_num DESC, sc.v
+LIMIT 1
+""",
+)
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — are purchase values
+    drawn from the same distribution as click values? D = max over the
+    merged support of |F₁(v) − F₂(v)|, the standard drift/AB
+    distribution test. Exact end-to-end: values fix-point to integers,
+    both ECDFs stay as integer counts, and the sup runs over
+    |cum1·n2 − cum2·n1| — the cross-multiplied form that never forms a
+    float until the single final division of exact BIGINTs. The argmax
+    is total-ordered (D DESC, value ASC).
+
+    Scale shape: the global-order ECDF is the classic single-task
+    window trap; here it runs as the same TWO-PHASE prefix sum as
+    q_eval_auc — per-distinct-value counts, in-bucket cumulative
+    windows partitioned on ⌊v/256⌋, and one ordered pass over the
+    DOMAIN-bounded bucket-total table broadcast back as offsets. The
+    top-1 is a TakeOrdered, not a sort. The oracle uses DuckDB's plain
+    global window; identical integers prove the decomposition."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    g = pts.groupBy("v").agg(
+        F.sum("p").alias("c1"), F.sum(1 - F.col("p")).alias("c2")
+    )
+    g = g.withColumn("b", F.expr("v DIV 256")).persist()
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = g.select(
+        "v",
+        "b",
+        F.sum("c1").over(w_in).alias("in1"),
+        F.sum("c2").over(w_in).alias("in2"),
+    )
+    btot = g.groupBy("b").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "b",
+        F.coalesce(F.sum("b1").over(w_b), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(w_b), F.lit(0)).alias("off2"),
+    )
+    tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    sc = (
+        within.join(F.broadcast(off), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            "v",
+            F.abs(
+                (F.col("off1") + F.col("in1")) * F.col("n2")
+                - (F.col("off2") + F.col("in2")) * F.col("n1")
+            ).alias("d_num"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("d_num"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (F.col("n1") * F.col("n2")).alias("d_den"),
+            (
+                F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+            ).alias("ks_stat"),
+            F.col("v").alias("at_value_fx"),
+        )
+    )

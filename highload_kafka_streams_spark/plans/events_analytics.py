@@ -2285,3 +2285,203 @@ def q_time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x_hour")
     )
+
+
+@query(
+    "q_time_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_fp
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, v_fp,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+n AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days FROM idx GROUP BY 1),
+rec AS (
+  SELECT i1.event_type, CAST(1 AS BIGINT) AS t,
+         i1.v_fp AS l, i2.v_fp - i1.v_fp AS b
+  FROM idx i1 JOIN idx i2
+    ON i1.event_type = i2.event_type AND i1.rn = 1 AND i2.rn = 2
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         ((3 * i.v_fp + 7 * (r.l + r.b))
+          - (((3 * i.v_fp + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10,
+         ((2 * (((3 * i.v_fp + 7 * (r.l + r.b))
+                 - (((3 * i.v_fp + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10
+                - r.l) + 8 * r.b)
+          - (((2 * (((3 * i.v_fp + 7 * (r.l + r.b))
+                     - (((3 * i.v_fp + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10
+                    - r.l) + 8 * r.b) % 10) + 10) % 10) // 10
+  FROM rec r JOIN idx i
+    ON i.event_type = r.event_type AND i.rn = r.t + 1
+)
+SELECT rec.event_type, n.n_days, rec.l AS level_fp, rec.b AS trend_fp,
+       (rec.l + rec.b) / 10000.0 AS forecast_next
+FROM rec JOIN n ON n.event_type = rec.event_type AND rec.t = n.n_days
+ORDER BY 1
+""",
+)
+def q_time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per event type
+    (α = 0.3, β = 0.2): the two-state recurrence
+    lₜ = ⌊(3xₜ + 7(l+b))/10⌋, bₜ = ⌊(2(lₜ−l) + 8b)/10⌋ over the
+    date-ordered daily totals — the trend-aware upgrade of the SES
+    forecast, initialized the standard way (l₁ = x₁, b₁ = x₂−x₁).
+
+    Determinism: the inherently sequential fold runs in INTEGER
+    fixed-point with an explicit floored division that is exact for
+    NEGATIVE trend values too — `s DIV 10` truncates toward zero on
+    Spark but `//` floors on DuckDB, so both sides compute
+    (s − ((s mod 10)+10) mod 10)/10, which is floor division under
+    either remainder-sign convention. The oracle intentionally does
+    NOT use list_reduce with a struct accumulator (a real DuckDB bug
+    q_events_interval_scheduling documented) — it re-derives the fold
+    as a recursive CTE, making the agreement a genuine cross-engine
+    check of the recurrence.
+
+    Scale shape: identical to the SES query — one map-side-combinable
+    daily rollup, then a per-key fold whose array is CALENDAR-bounded
+    (thousands of elements per key at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("v_fp")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v_fp"))),
+            lambda s: s["v_fp"],
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+    )
+
+    def _fdiv10(s):
+        # exact floor division by 10 for either sign, identical on both
+        # engines regardless of the % sign convention
+        return ((s - ((s % 10) + 10) % 10) / 10).cast("long")
+
+    def _step(acc, x):
+        new_l = _fdiv10(3 * x + 7 * (acc["l"] + acc["b"]))
+        new_b = _fdiv10(2 * (new_l - acc["l"]) + 8 * acc["b"])
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.element_at(F.col("xs"), 1).alias("l"),
+        (F.element_at(F.col("xs"), 2) - F.element_at(F.col("xs"), 1)).alias(
+            "b"
+        ),
+    )
+    state = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1), init, _step
+    )
+    return (
+        series.filter(F.size(F.col("xs")) >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            state["l"].alias("level_fp"),
+            state["b"].alias("trend_fp"),
+            ((state["l"] + state["b"]) / 10000.0).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_time_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_fp
+  FROM events GROUP BY 1, 2
+),
+lvl AS (
+  SELECT event_type, day,
+         CAST(SUM(v_fp) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT event_type, day, cum,
+         CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS peak,
+         CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day) - cum
+              AS BIGINT) AS drawdown
+  FROM lvl
+),
+best AS (
+  SELECT event_type, day, cum, peak, drawdown,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY drawdown DESC, day) AS rn
+  FROM dd
+)
+SELECT event_type, day AS trough_day, peak AS peak_fp, cum AS trough_fp,
+       drawdown AS max_drawdown_fp
+FROM best WHERE rn = 1
+ORDER BY event_type
+""",
+)
+def q_time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series per event
+    type — the risk statistic every financial/SLA dashboard carries:
+    the deepest peak-to-trough fall of the running total, reported
+    with the peak level, the trough level, and the (earliest) trough
+    day. Exact: daily totals are fixed-point BIGINTs, the cumulative
+    and running-max windows are integer, and the argmax is a total
+    order (drawdown DESC, day ASC).
+
+    Scale shape: one map-side-combinable daily rollup shuffles; the
+    three window passes and the argmax all partition by event_type
+    over the CALENDAR-bounded daily series (≤ thousands of rows per
+    key at any corpus size — the same bounded-series argument as
+    SES/Holt/ACF), riding a single hash exchange on the series key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("v_fp")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        F.sum("v_fp").over(w).alias("cum"),
+    ).select(
+        "event_type",
+        "day",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+        (F.max("cum").over(w) - F.col("cum")).alias("drawdown"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("drawdown"), F.asc("day")
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            F.col("peak").cast("long").alias("peak_fp"),
+            F.col("cum").cast("long").alias("trough_fp"),
+            F.col("drawdown").cast("long").alias("max_drawdown_fp"),
+        )
+        .orderBy("event_type")
+    )

@@ -315,6 +315,10 @@ _QUERY_LEDGER = (
     "q_graph_adamic_adar",
     "q_time_lttb_downsample",
     "q_basket_triples_apriori",
+    "q_time_holt_linear",
+    "q_time_max_drawdown",
+    "q_agg_ks_test",
+    "q_text_bigram_lm",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

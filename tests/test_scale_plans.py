@@ -899,3 +899,65 @@ def test_apriori_candidates_broadcast_and_prune(spark, sf_smoke):
         if "BroadcastNestedLoopJoin" in line and "Build" in line:
             assert "Cross" in line, line
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_holt_fold_matches_python_reference(spark, sf_smoke):
+    """The Holt recurrence (with its cross-engine floor division) must
+    agree with a plain Python replay of the same fold over the same
+    daily series — guards the fdiv10 arithmetic against either
+    engine's division convention drifting."""
+    from highload_kafka_streams_spark.io import load_table as lt
+
+    df = get_queries()["q_time_holt_linear"](spark, sf_smoke)
+    got = {r.event_type: (r.level_fp, r.trend_fp) for r in df.collect()}
+    ev = lt(spark, sf_smoke, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("v"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r.v)
+    import math
+
+    for et, xs in series.items():
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            nl = math.floor((3 * x + 7 * (l + b)) / 10)
+            nb = math.floor((2 * (nl - l) + 8 * b) / 10)
+            l, b = nl, nb
+        assert got[et] == (l, b), (et, got[et], (l, b))
+
+
+def test_max_drawdown_invariants(spark, sf_smoke):
+    """Drawdown is nonnegative, peak ≥ trough, and all windows ride the
+    event_type partitioning (series key) — never a global data order."""
+    df = get_queries()["q_time_max_drawdown"](spark, sf_smoke)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown_fp >= 0
+        assert r.peak_fp - r.trough_fp == r.max_drawdown_fp
+
+
+def test_ks_test_is_two_phase_with_take_ordered(spark, sf_smoke):
+    """KS's sup must plan as a TakeOrderedAndProject over the bucketed
+    two-phase prefix — not a global sort of the score table."""
+    df = get_queries()["q_agg_ks_test"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    r = df.collect()[0]
+    assert 0 <= r.d_num <= r.d_den
+    assert abs(r.ks_stat - r.d_num / r.d_den) == 0.0
+
+
+def test_bigram_lm_topk_is_take_ordered(spark, sf_smoke):
+    """The top-20 surprisal cut must be a distributed limit-sort."""
+    df = get_queries()["q_text_bigram_lm"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r.nll_fx_sum >= 0 for r in rows)
