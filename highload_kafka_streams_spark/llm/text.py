@@ -1806,3 +1806,73 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "q_text_mattr",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 10
+),
+w AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(toks) - 9 AS BIGINT) AS n_windows,
+         CAST(list_sum(list_transform(
+             range(len(toks) - 9),
+             i -> len(list_distinct(toks[i+1:i+10]))
+         )) AS BIGINT) AS distinct_sum
+  FROM t
+)
+SELECT doc_id, n_tokens, n_windows, distinct_sum,
+       CAST(distinct_sum AS DOUBLE) / (10.0 * n_windows) AS mattr
+FROM w
+ORDER BY doc_id
+""",
+)
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (moving-average type-token ratio,
+    window 10): mean distinct-token fraction over every sliding
+    10-token window — the length-robust vocabulary-richness signal
+    (plain TTR collapses as documents grow; MATTR doesn't), a standard
+    text-quality feature next to repetition and unigram surprisal.
+    Repetitive / template text scores low, varied prose high.
+
+    Exact: per-window distinct counts are integers summed per document
+    and divided once (exact BIGINTs, IEEE-identical). The whole
+    computation is a ZERO-SHUFFLE narrow projection — the window
+    enumeration, slicing, and distinct counts all run inside one
+    higher-order expression over the token array, so at 100 TB this is
+    a pure map stage limited only by scan bandwidth; the only exchange
+    is the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_df = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 10)
+    tk = F.col("toks")
+    counts = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 9),
+        lambda i: F.size(F.array_distinct(F.slice(tk, i, 10))),
+    )
+    dsum = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        tok_df.select(
+            "doc_id",
+            F.size(tk).cast("long").alias("n_tokens"),
+            (F.size(tk) - 9).cast("long").alias("n_windows"),
+            dsum.alias("distinct_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            "distinct_sum",
+            (
+                F.col("distinct_sum").cast("double")
+                / (10.0 * F.col("n_windows"))
+            ).alias("mattr"),
+        )
+        .orderBy("doc_id")
+    )

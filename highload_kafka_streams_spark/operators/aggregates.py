@@ -1234,3 +1234,103 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("at_value_fx"),
         )
     )
+
+
+@query(
+    "q_agg_count_min_sketch",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+v AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY t
+),
+rows_ AS (SELECT unnest(range(4)) AS r),
+hashed AS (
+  SELECT r, t, c,
+         CAST((instr('0123456789abcdef',
+                     substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 1)) - 1)
+              * 16
+              + instr('0123456789abcdef',
+                      substr(md5(CAST(r AS VARCHAR) || ':' || t), 2, 1)) - 1
+              AS BIGINT) AS bucket
+  FROM v, rows_
+),
+cms AS (
+  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS counter
+  FROM hashed GROUP BY r, bucket
+),
+probes AS (
+  SELECT t, c FROM v ORDER BY c DESC, t LIMIT 10
+),
+est AS (
+  SELECT p.t, p.c AS exact_n, CAST(min(cms.counter) AS BIGINT) AS cms_est
+  FROM probes p
+  JOIN hashed h ON h.t = p.t
+  JOIN cms ON cms.r = h.r AND cms.bucket = h.bucket
+  GROUP BY p.t, p.c
+)
+SELECT t AS term, exact_n, cms_est, cms_est - exact_n AS overcount
+FROM est
+ORDER BY exact_n DESC, term
+""",
+)
+def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 256) over the corpus term
+    stream, probed at the 10 true heavy hitters — the mergeable
+    frequency sketch that completes the family (HLL for cardinality,
+    MinHash for similarity, Bloom for membership, CMS for counts):
+    counters are pure sums, so per-partition sketches OR together by
+    addition and re-aggregate to any coarser grouping without
+    re-touching raw data. The estimate min-over-rows can only
+    OVERcount (`overcount` ≥ 0 — the CMS guarantee, visible in the
+    output), never under.
+
+    The hash family is the portable md5-nibble construction the
+    simhash twin uses (two hex nibbles → bucket 0..255), so DuckDB
+    rebuilds the ENTIRE sketch digest-for-digest and the value hash
+    covers build + probe, not just the estimates.
+
+    Scale shape: the token count is the only corpus-sized shuffle;
+    the sketch build runs over the VOCABULARY table (4 rows × 256
+    buckets of BIGINT = 8 KB total state), and probing joins the
+    heavy-hitter list against the 1,024-row counter table — both
+    broadcast-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    v = v.persist()
+    rows = spark.range(4).select(F.col("id").alias("r"))
+    hx = "0123456789abcdef"
+    bucket = F.expr(
+        "(locate(substr(md5(CAST(r AS STRING) || ':' || t), 1, 1),"
+        f" '{hx}') - 1) * 16"
+        " + locate(substr(md5(CAST(r AS STRING) || ':' || t), 2, 1),"
+        f" '{hx}') - 1"
+    ).cast("long")
+    hashed = v.crossJoin(F.broadcast(rows)).select(
+        "r", "t", "c", bucket.alias("bucket")
+    )
+    hashed = hashed.persist()
+    cms = hashed.groupBy("r", "bucket").agg(
+        F.sum("c").cast("long").alias("counter")
+    )
+    probes = v.orderBy(F.desc("c"), F.asc("t")).limit(10)
+    est = (
+        probes.withColumnRenamed("c", "exact_n")
+        .join(hashed.select("r", "t", "bucket"), "t")
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("counter").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), F.asc("term"))

@@ -2485,3 +2485,97 @@ def q_time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MARKOV_PATHS_SPARK_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events_rec_src
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type
+),
+p AS (
+  SELECT t.prev_type, t.next_type,
+         CAST(t.n * 1000000 DIV tot.row_total AS BIGINT) AS p_ppm
+  FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+),
+paths (start_type, path, last_type, score_ppm, depth) AS (
+  SELECT prev_type, prev_type, prev_type, CAST(1000000 AS BIGINT), 0
+  FROM (SELECT DISTINCT prev_type FROM p)
+  UNION ALL
+  SELECT pa.start_type, CONCAT(pa.path, '>', p.next_type), p.next_type,
+         CAST(pa.score_ppm * p.p_ppm DIV 1000000 AS BIGINT), pa.depth + 1
+  FROM paths pa JOIN p ON p.prev_type = pa.last_type
+  WHERE pa.depth < 4
+)
+SELECT path, score_ppm FROM paths WHERE depth = 4
+ORDER BY score_ppm DESC, path
+LIMIT 25
+"""
+
+
+@query(
+    "q_sql_recursive_paths",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY prev_type
+),
+p AS (
+  SELECT t.prev_type, t.next_type,
+         CAST(t.n * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+  FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+),
+paths (start_type, path, last_type, score_ppm, depth) AS (
+  SELECT prev_type, prev_type, prev_type, CAST(1000000 AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT prev_type FROM p) b
+  UNION ALL
+  SELECT pa.start_type, pa.path || '>' || p.next_type, p.next_type,
+         CAST(pa.score_ppm * p.p_ppm // 1000000 AS BIGINT), pa.depth + 1
+  FROM paths pa JOIN p ON p.prev_type = pa.last_type
+  WHERE pa.depth < 4
+)
+SELECT path, score_ppm FROM paths WHERE depth = 4
+ORDER BY score_ppm DESC, path
+LIMIT 25
+""",
+)
+def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely 4-step Markov paths through the event-type graph,
+    computed with a RECURSIVE CTE executed by Spark's own SQL engine
+    (`WITH RECURSIVE`, new in Spark 4) — the SQL-surface parity proof
+    for iterative queries: the same shape DuckDB runs as the oracle
+    (and that q_dedup_clusters' driver loop implements by hand for the
+    unbounded case). Scores are integer ppm products floored at every
+    step, so the recursion is exact cross-engine; the top-25 has a
+    total order (score DESC, path ASC).
+
+    Scale shape: the event stream is touched ONCE (the lag window on
+    the user key); everything recursive runs on the |event types|²
+    transition matrix — 25 rows here, vocabulary-bounded forever —
+    with depth capped at 4, so the path table is ≤ |types|·|types|⁴
+    rows regardless of corpus size. Spark's recursion limit
+    (cteRecursionLevelLimit, default 100) is far above the cap."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rec_src")
+    return spark.sql(_MARKOV_PATHS_SPARK_SQL)

@@ -319,6 +319,9 @@ _QUERY_LEDGER = (
     "q_time_max_drawdown",
     "q_agg_ks_test",
     "q_text_bigram_lm",
+    "q_agg_count_min_sketch",
+    "q_text_mattr",
+    "q_sql_recursive_paths",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -961,3 +961,34 @@ def test_bigram_lm_topk_is_take_ordered(spark, sf_smoke):
     rows = df.collect()
     assert len(rows) == 20
     assert all(r.nll_fx_sum >= 0 for r in rows)
+
+
+def test_cms_overcount_invariant_and_bounded_state(spark, sf_smoke):
+    """CMS estimates can only overcount (the sketch guarantee), and the
+    build aggregates into a fixed 4×256 counter table — bounded state
+    regardless of corpus size."""
+    df = get_queries()["q_agg_count_min_sketch"](spark, sf_smoke)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.overcount >= 0 for r in rows), rows
+    assert all(r.cms_est >= r.exact_n for r in rows)
+
+
+def test_mattr_is_zero_shuffle_projection(spark, sf_smoke):
+    """MATTR must be a pure narrow pass: no join, no aggregation
+    exchange — only the output-sort range partitioning."""
+    plan = plan_of(get_queries()["q_text_mattr"](spark, sf_smoke))
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Exchange") <= 2, plan[:1500]  # rangepartition + AQE
+
+
+def test_recursive_paths_runs_on_sparks_own_recursion(spark, sf_smoke):
+    """The Markov-path query must execute through Spark's recursive CTE
+    (UnionLoop/CTERelation in the plan) and yield exactly the bounded
+    path table's top-25 with a deterministic total order."""
+    df = get_queries()["q_sql_recursive_paths"](spark, sf_smoke)
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r.path.count(">") == 4 for r in rows)
+    scores = [r.score_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
