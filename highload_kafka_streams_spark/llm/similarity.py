@@ -1103,3 +1103,72 @@ def q_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_exact"),
         ).alias("recall"),
     )
+
+
+@query(
+    "q_embed_outlier_distance",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i.pos AS d,
+         CAST(FLOOR(CAST(embedding[i.pos + 1] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS i(pos)
+),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cent AS (SELECT d, CAST(SUM(x) AS BIGINT) AS s FROM ex GROUP BY d),
+dist AS (
+  SELECT ex.vec_id,
+         CAST(SUM((nrow.n * ex.x - cent.s) * (nrow.n * ex.x - cent.s))
+              AS BIGINT) AS dist2n2
+  FROM ex JOIN cent ON cent.d = ex.d, nrow
+  GROUP BY ex.vec_id
+)
+SELECT dist.vec_id, e.label, dist.dist2n2, nrow.n
+FROM dist JOIN embeddings e ON e.vec_id = dist.vec_id, nrow
+ORDER BY dist.dist2n2 DESC, dist.vec_id
+LIMIT 10
+""",
+)
+def q_embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: the 10 vectors farthest from
+    the corpus centroid — the cheap first-pass anomaly screen of an
+    embedding pipeline (mislabeled shards, encoder glitches, and
+    off-distribution inputs all surface here before any clustering).
+
+    Exactness: coordinates fix-point once per (vector, dim); the
+    centroid's division never happens — distances multiply through by
+    n² (Σ_d (n·x_d − S_d)², exact BIGINTs), and the top-10 is a
+    total order (distance DESC, vec_id).
+
+    Scale shape: one posexplode pass shuffles (vec_id, dim) terms only
+    for the DIMENSION-bounded centroid table (64 rows — broadcast
+    back), the per-vector reduction shuffles on vec_id, and the top-10
+    plans as TakeOrderedAndProject. No N×N anything — this is the
+    linear-scan complement of the ANN family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xr")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("xr").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    ex = ex.persist()
+    nrow = emb.agg(F.count("*").alias("n"))
+    cent = ex.groupBy("d").agg(F.sum("x").alias("s"))
+    term = F.col("n") * F.col("x") - F.col("s")
+    dist = (
+        ex.join(F.broadcast(cent), "d")
+        .crossJoin(F.broadcast(nrow))
+        .groupBy("vec_id", "n")
+        .agg(F.sum(term * term).cast("long").alias("dist2n2"))
+    )
+    lab = emb.select("vec_id", "label")
+    return (
+        dist.join(lab, "vec_id")
+        .select("vec_id", "label", "dist2n2", "n")
+        .orderBy(F.desc("dist2n2"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1334,3 +1334,63 @@ def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
     ).orderBy(F.desc("exact_n"), F.asc("term"))
+
+
+@query(
+    "q_agg_herfindahl",
+    oracle="""
+WITH rev AS (
+  SELECT s_nationkey AS nation, l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              // 1000 AS BIGINT) AS v
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(v) AS BIGINT) AS total_kusd,
+       CAST(1000000 * SUM(v * v) // (SUM(v) * SUM(v)) AS BIGINT) AS hhi_ppm
+FROM rev
+GROUP BY nation
+HAVING SUM(v) > 0
+ORDER BY nation
+""",
+)
+def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: HHI = Σ shareᵢ² over each supplier's revenue share —
+    the antitrust/concentration metric (10000 ppm ≈ perfectly even
+    across 100 suppliers; 1e6 ppm = monopoly). Exactness: revenue
+    floors to whole thousands per supplier FIRST (the declared unit of
+    the metric), then HHI is one integer expression
+    1e6·Σv² ÷ (Σv)² with a single floor — no float shares ever exist,
+    and the kUSD unit keeps (Σv)² far inside BIGINT at 100 TB group
+    sizes.
+
+    Scale shape: one supplier-keyed rollup of the fact table
+    (map-side combinable, broadcast supplier dim), then a
+    nation-keyed aggregate over the SUPPLIER-bounded table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))"
+                " AS BIGINT)) DIV 1000 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    return (
+        rev.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("v").cast("long").alias("total_kusd"),
+            F.expr(
+                "CAST(1000000 * SUM(v * v) DIV (SUM(v) * SUM(v)) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+        .filter(F.col("total_kusd") > 0)
+        .orderBy("nation")
+    )

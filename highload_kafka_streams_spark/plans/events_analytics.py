@@ -2579,3 +2579,129 @@ def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_rec_src")
     return spark.sql(_MARKOV_PATHS_SPARK_SQL)
+
+
+@query(
+    "q_events_user_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY user_id),
+e AS (
+  SELECT c.user_id,
+         CAST(SUM(c.c * (CAST(FLOOR(ln(n.n) * 1000000) AS BIGINT)
+                         - CAST(FLOOR(ln(c.c) * 1000000) AS BIGINT)))
+              AS BIGINT) AS ent_num
+  FROM c JOIN n ON n.user_id = c.user_id
+  GROUP BY c.user_id
+)
+SELECT e.user_id, n.n AS n_events, e.ent_num,
+       CAST(e.ent_num AS DOUBLE) / (n.n * 1000000.0) AS entropy_nats
+FROM e JOIN n ON n.user_id = e.user_id
+ORDER BY e.user_id
+""",
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user — Shannon entropy of each user's
+    event-type distribution, the classic bot/power-user separator
+    (a bot hammering one action scores ~0; an engaged human spreads
+    across types). Exact: H·n = Σ c·(ln n − ln c) with every ln
+    fixed-pointed ONCE per integer count (⌊ln·1e6⌋, the same
+    one-floor-per-entry discipline as the LM queries), so per-user
+    scores are exact integer sums and the single division is of exact
+    BIGINTs.
+
+    Scale shape: one (user, type)-keyed count (map-side combinable) —
+    a table bounded by users×types — then two user-keyed aggregates
+    riding the same partitioning; no window, no global order except
+    the output sort."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    c = c.persist()
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    lnfx = lambda col: F.floor(
+        F.log(F.col(col).cast("double")) * 1000000
+    ).cast("long")
+    e = (
+        c.join(n, "user_id")
+        .select(
+            "user_id",
+            "n",
+            (F.col("c") * (lnfx("n") - lnfx("c"))).alias("t"),
+        )
+        .groupBy("user_id", "n")
+        .agg(F.sum("t").cast("long").alias("ent_num"))
+    )
+    return e.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "ent_num",
+        (F.col("ent_num").cast("double") / (F.col("n") * 1000000.0)).alias(
+            "entropy_nats"
+        ),
+    ).orderBy("user_id")
+
+
+@query(
+    "q_events_time_to_convert",
+    oracle="""
+WITH su AS (
+  SELECT user_id,
+         min(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         CAST(min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+           AS purchase_us,
+         CAST(su.signup_us AS BIGINT) AS signup_us
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > su.signup_us
+  GROUP BY e.user_id, su.signup_us
+)
+SELECT user_id, signup_us, purchase_us,
+       purchase_us - signup_us AS delta_us,
+       (purchase_us - signup_us) // 1000000 AS delta_sec
+FROM conv
+ORDER BY user_id
+""",
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per user: first signup, first
+    subsequent purchase, and the exact µs gap — the product-analytics
+    funnel-timing primitive (its distribution feeds activation
+    dashboards and the cohort views). Timestamps compare as
+    unix_micros on BOTH engines (the ns-fixture hazard: DuckDB keeps
+    ns, Spark truncates to µs — casting to TIMESTAMP first makes the
+    comparison µs-exact on both sides, per the sessionization
+    convention).
+
+    Scale shape: two filtered user-keyed min-aggregates (map-side
+    combinable) and one user-keyed join — everything rides the user
+    partitioning; the conditional 'first purchase AFTER signup' stays
+    inside the aggregate (min over the filtered join), no window."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.unix_micros("ts") > F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min(F.unix_micros("ts")).cast("long").alias("purchase_us"))
+    )
+    return conv.select(
+        "user_id",
+        F.col("signup_us").cast("long").alias("signup_us"),
+        "purchase_us",
+        (F.col("purchase_us") - F.col("signup_us")).alias("delta_us"),
+        F.expr("(purchase_us - signup_us) DIV 1000000").alias("delta_sec"),
+    ).orderBy("user_id")

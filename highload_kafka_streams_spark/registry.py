@@ -322,6 +322,10 @@ _QUERY_LEDGER = (
     "q_agg_count_min_sketch",
     "q_text_mattr",
     "q_sql_recursive_paths",
+    "q_agg_herfindahl",
+    "q_embed_outlier_distance",
+    "q_events_user_entropy",
+    "q_events_time_to_convert",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

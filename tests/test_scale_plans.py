@@ -992,3 +992,24 @@ def test_recursive_paths_runs_on_sparks_own_recursion(spark, sf_smoke):
     assert all(r.path.count(">") == 4 for r in rows)
     scores = [r.score_ppm for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_embed_outlier_centroid_broadcasts_and_topk_is_take_ordered(
+    spark, sf_smoke
+):
+    """The 64-row centroid table must broadcast back against the term
+    stream and the top-10 must plan as TakeOrderedAndProject."""
+    plan = plan_of(get_queries()["q_embed_outlier_distance"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_user_entropy_bounds(spark, sf_smoke):
+    """Entropy is within [0, ln(5)] for a 5-type alphabet (fixed-point
+    floors can dip a hair under 0 only if the ln ledger broke)."""
+    import math
+
+    rows = get_queries()["q_events_user_entropy"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy_nats <= math.log(5) + 1e-6, r
