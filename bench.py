@@ -63,10 +63,13 @@ EXTENDED = [
     "q_graph_pagerank_fx",      # 3 fixed-point power iterations
     "q_similarity_ann_md5",     # LSH signatures + probe + re-rank
     "q_shard_packing",          # distributed two-pass prefix sum
-    # r5 additions (extended_total_sec gains these two entries vs r4 —
+    # r5 additions (extended_total_sec gains these entries vs r4 —
     # compare per-query, not the series total, across that boundary)
     "q_dedup_repeated_spans",   # span-level exact substring dedup
     "q_graph_clustering_coeff", # triangle-corner counts + degrees
+    "q_graph_adamic_adar",      # hub-capped common-neighbor scoring
+    "q_er_symspell_match",      # delete-neighborhood fuzzy linkage
+    "q_graph_bfs_distance",     # 6-hop frontier loop (iterative)
 ]
 
 

@@ -1565,9 +1565,48 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_graph_adamic_adar",
-    oracle="""
+def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (doc_a < doc_b) edges of the shared-shingle AFFINITY
+    graph: documents sharing ≥ 2 distinct word-3-grams, blocked by
+    language — one similarity band below the ≥ 0.5 Jaccard dedup
+    threshold. Same inverted-index join as q_dedup_ngram_jaccard
+    (hashed grams, Σ df(g)² cost); consumers persist as needed."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    )
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    inv = tok_df.select("doc_id", "lang", F.explode(gram_h).alias("g"))
+    ia, ib = inv.alias("ia"), inv.alias("ib")
+    return (
+        ia.join(
+            ib,
+            (F.col("ia.g") == F.col("ib.g"))
+            & (F.col("ia.lang") == F.col("ib.lang"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 2)
+        .select("doc_a", "doc_b")
+    )
+
+
+_AFFINITY_PAIRS_SQL = """
 WITH sh AS (
   SELECT doc_id, lang,
          list_sort(list_distinct(
@@ -1583,7 +1622,14 @@ base AS (
   FROM sh a JOIN sh b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.grams, b.grams)) >= 2
-),
+)
+"""
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle=_AFFINITY_PAIRS_SQL
+    + """,
 sym AS (
   SELECT doc_a AS u, doc_b AS v FROM base
   UNION ALL SELECT doc_b, doc_a FROM base
@@ -1647,42 +1693,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     link prediction is for. Pairs come from the same inverted-index
     shingle join as q_dedup_ngram_jaccard (hashed grams, Σ df(g)²
     cost), just thresholded on the shared-gram COUNT."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    tok_df = d.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
-    )
-    tk = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
-    gram_h = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.element_at(tk, i + k + 1) for k in range(3)]
-            ),
-        )
-    )
-    inv = tok_df.select(
-        "doc_id", "lang", F.explode(gram_h).alias("g")
-    )
-    ia, ib = inv.alias("ia"), inv.alias("ib")
-    pairs = (
-        ia.join(
-            ib,
-            (F.col("ia.g") == F.col("ib.g"))
-            & (F.col("ia.lang") == F.col("ib.lang"))
-            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
-        )
-        .groupBy(
-            F.col("ia.doc_id").alias("doc_a"),
-            F.col("ib.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .filter(F.col("inter") >= 2)
-        .select("doc_a", "doc_b")
-    )
-    pairs = pairs.persist()
+    pairs = _affinity_pairs(spark, sf_dir).persist()
     pairs.count()  # consumed by sym (twice), the anti-join, and degrees
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -1718,3 +1729,81 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_graph_bfs_distance",
+    oracle=_AFFINITY_PAIRS_SQL
+    + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+src AS (SELECT CAST(min(u) AS BIGINT) AS s FROM sym),
+walk AS (
+  WITH RECURSIVE w(v, d) AS (
+    SELECT s, CAST(0 AS BIGINT) FROM src
+    UNION
+    SELECT sym.v, w.d + 1 FROM w JOIN sym ON sym.u = w.v WHERE w.d < 6
+  )
+  SELECT v, d FROM w
+)
+SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
+FROM walk
+GROUP BY v
+ORDER BY doc_id
+""",
+)
+def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first distances (≤ 6 hops) from the lowest-id node of
+    the affinity graph — the traversal primitive the graph family was
+    missing (PageRank ranks, CC partitions, triangles count; BFS
+    answers 'how far is everything from here', the neighborhood-radius
+    question behind contamination tracing: 'which documents sit within
+    k similarity hops of this known-bad seed').
+
+    Engine plan: the canonical driver-side frontier loop (6 bounded
+    iterations, each a distributed step): frontier ⋈ edges → new
+    frontier, anti-join visited, union — the textbook Pregel-without-
+    Pregel recipe, every step keyed on doc_id. The single driver
+    value is the source id (one scalar, bounded metadata like the
+    selection-histogram collects). The oracle re-derives distances
+    with a recursive-CTE reachability closure and min(d) — a genuinely
+    different algorithm, so the hash checks the BFS, not the loop.
+
+    At 100 TB: frontier/visited stay partitioned on doc_id, each hop
+    is one shuffle join, and the 6-hop cap bounds both work and the
+    recursion (production contamination sweeps cap radius the same
+    way)."""
+    pairs = _affinity_pairs(spark, sf_dir).persist()
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    sym = sym.persist()
+    sym.count()
+    src = sym.agg(F.min("u")).collect()[0][0]  # one scalar: the seed id
+    frontier = spark.createDataFrame(
+        [(int(src), 0)], "doc_id long, dist long"
+    )
+    visited = frontier
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(sym, frontier.doc_id == sym.u)
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+        )
+        # localCheckpoint truncates lineage: without it the plan tree
+        # doubles per hop (visited feeds both the anti-join and the
+        # union) and plan construction itself OOMs the driver — the
+        # standard iterative-DataFrame recipe, same as checkpointing
+        # in the CC loop
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("doc_id")

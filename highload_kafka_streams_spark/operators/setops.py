@@ -126,3 +126,89 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
     ).select("user_id")
     return a.subtract(b).orderBy("user_id")  # subtract == EXCEPT DISTINCT
+
+
+def _morton_sql(x: str, y: str, dialect: str) -> str:
+    """16+16-bit Morton (Z-order) interleave as a flat bit expression.
+
+    Bit positions are disjoint so `+` ≡ `|`; generated per dialect
+    because Spark SQL spells shifts as functions while DuckDB uses
+    operators. Identical integer semantics on both engines.
+    """
+    parts = []
+    for i in range(16):
+        if dialect == "spark":
+            parts.append(f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i}))")
+            parts.append(f"(shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1}))")
+        else:
+            parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(parts)
+
+
+_Z_X = "CAST(o_custkey % 65536 AS BIGINT)"
+_Z_Y = (
+    "CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)"
+)
+_Z_Y_SPARK = "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)"
+
+
+@query(
+    "q_sort_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT {_Z_X} AS x, {_Z_Y} AS y FROM orders
+),
+z AS (
+  SELECT x, y, CAST({_morton_sql('x', 'y', 'duckdb')} AS BIGINT) AS zcode
+  FROM keyed
+)
+SELECT CAST(zcode >> 18 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM z
+GROUP BY 1
+ORDER BY zbucket
+""",
+)
+def q_sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics over (customer, order
+    day) — the multidimensional clustering technique behind
+    Delta/Iceberg `OPTIMIZE ZORDER`: interleaving the two keys' bits
+    makes one sort order cluster BOTH dimensions, so per-file min/max
+    stats prune scans for either predicate. The output is exactly the
+    skipping index such a layout yields: per z-bucket (a contiguous
+    2¹⁸-codepoint curve segment ≈ one target file) the row count and
+    the x/y bounding rectangle — tight rectangles are the whole point,
+    and the locality test asserts them.
+
+    Exact: the interleave is pure integer bit arithmetic (32 disjoint
+    bit positions, `+` ≡ `|`), identical on both engines.
+
+    Scale shape: computing zcode is a zero-shuffle projection; at
+    100 TB you'd `repartitionByRange(zcode)` + write — this query's
+    group-by-bucket is that layout's manifest, shuffling only
+    (bucket, stats) pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.selectExpr(
+        f"{_Z_X} AS x",
+        f"{_Z_Y_SPARK} AS y",
+    )
+    z = keyed.selectExpr(
+        "x",
+        "y",
+        f"CAST({_morton_sql('x', 'y', 'spark')} AS BIGINT) AS zcode",
+    )
+    return (
+        z.selectExpr("CAST(shiftright(zcode, 18) AS BIGINT) AS zbucket", "x", "y")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("zbucket")
+    )

@@ -326,6 +326,9 @@ _QUERY_LEDGER = (
     "q_embed_outlier_distance",
     "q_events_user_entropy",
     "q_events_time_to_convert",
+    "q_graph_bfs_distance",
+    "q_sort_zorder_layout",
+    "q_source_schema_evolution",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -132,3 +132,65 @@ def q_source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
         .orderBy("day")
     )
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey < 2500 THEN NULL ELSE o_orderstatus END
+         AS o_orderstatus,
+       count(*) AS n_orders,
+       {dsum_sql("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY 1
+ORDER BY o_orderstatus NULLS FIRST
+""",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset: an old batch written
+    WITHOUT `o_orderstatus` and a new batch written WITH it land in the
+    same table directory; `mergeSchema` reads the union schema and the
+    old batch's missing column surfaces as NULLs — the append-only
+    lake-evolution contract (add a column, never rewrite history) that
+    a 100 TB table depends on. The aggregate groups by the evolved
+    column, so the NULL row IS the old batch and the value-hash proves
+    column back-fill semantics, not just readability.
+
+    Scale note: mergeSchema unions footers at planning time — cost ∝
+    file count, not data; production tables pin the merged schema in a
+    catalog and this query is the migration-time check."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = os.path.join(
+        _SCRATCH,
+        f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        src.filter(F.col("o_orderkey") < 2500)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=old"))
+    )
+    (
+        src.filter(F.col("o_orderkey") >= 2500)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=new"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=old"), os.path.join(path, "batch=new")
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )

@@ -1013,3 +1013,38 @@ def test_user_entropy_bounds(spark, sf_smoke):
     assert rows
     for r in rows:
         assert -1e-6 <= r.entropy_nats <= math.log(5) + 1e-6, r
+
+
+def test_bfs_levels_are_consistent(spark, sf_smoke):
+    """BFS output must be a valid level assignment: the source at 0,
+    every other reached node's distance = 1 + min over its reached
+    neighbors — checked against an independently collected edge list."""
+    df = get_queries()["q_graph_bfs_distance"](spark, sf_smoke)
+    dist = {r.doc_id: r.dist for r in df.collect()}
+    assert dist
+    from highload_kafka_streams_spark.llm.dedup import _affinity_pairs
+
+    edges = _affinity_pairs(spark, sf_smoke).collect()
+    adj = {}
+    for e in edges:
+        adj.setdefault(e.doc_a, set()).add(e.doc_b)
+        adj.setdefault(e.doc_b, set()).add(e.doc_a)
+    src = min(adj)
+    assert dist[src] == 0
+    for node, d in dist.items():
+        if node == src:
+            continue
+        nb = [dist[m] for m in adj[node] if m in dist]
+        assert d == 1 + min(nb), (node, d, nb)
+
+
+def test_zorder_buckets_are_local_rectangles(spark, sf_smoke):
+    """The Morton property: a contiguous 2^18-codepoint curve segment
+    covers a bounded rectangle — each bucket's x-span × y-span must be
+    ≤ 2^20 (the 4× worst case of the 2^9×2^9 ideal square), which is
+    what makes min/max file stats prunable for BOTH dimensions."""
+    rows = get_queries()["q_sort_zorder_layout"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        area = (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
+        assert area <= 1 << 20, (r.zbucket, area)
