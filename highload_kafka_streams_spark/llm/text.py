@@ -1876,3 +1876,79 @@ def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_burstiness",
+    oracle="""
+WITH perdoc AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+c AS (
+  SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM perdoc WHERE t <> '' GROUP BY t, doc_id
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+st AS (
+  SELECT t,
+         CAST(SUM(c) AS BIGINT) AS total_n,
+         CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM c GROUP BY t
+)
+SELECT t AS term, total_n, doc_freq,
+       nd.n * sum_c2 - total_n * total_n AS vmr_num,
+       nd.n * total_n AS vmr_den,
+       CAST(nd.n * sum_c2 - total_n * total_n AS DOUBLE)
+         / (nd.n * total_n) AS vmr
+FROM st, nd
+ORDER BY total_n DESC, term
+LIMIT 30
+""",
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor / variance-to-mean ratio of
+    per-document occurrence counts, zeros included): uniform 'function
+    word' terms score ≈ 1−p, topical content terms burst ≫ 1 — the
+    dispersion signal corpus linguistics uses to separate vocabulary
+    strata, and a cheap topical-keyword detector for curation.
+
+    Exact: VMR = (n·Σc² − (Σc)²) / (n·Σc) on population variance over
+    ALL n documents (absent docs contribute 0 to every sum, so the
+    zero rows never materialize) — an exact BIGINT rational plus its
+    one IEEE division. Top-30 is total-ordered (count DESC, term).
+
+    Scale shape: one (term, doc) count (map-side combinable), one
+    term-keyed moment rollup, a 1-row broadcast for n — vocabulary-
+    bounded after the first shuffle, TakeOrdered for the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nd = docs.agg(F.count("*").alias("n"))
+    st = c.groupBy("t").agg(
+        F.sum("c").cast("long").alias("total_n"),
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    num = F.col("n") * F.col("sum_c2") - F.col("total_n") * F.col("total_n")
+    den = F.col("n") * F.col("total_n")
+    return (
+        st.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("t").alias("term"),
+            "total_n",
+            "doc_freq",
+            num.cast("long").alias("vmr_num"),
+            den.cast("long").alias("vmr_den"),
+            (num.cast("double") / den).alias("vmr"),
+        )
+        .orderBy(F.desc("total_n"), F.asc("term"))
+        .limit(30)
+    )

@@ -1394,3 +1394,130 @@ def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_kusd") > 0)
         .orderBy("nation")
     )
+
+
+@query(
+    "q_agg_kruskal_wallis",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, event_type
+  FROM events
+),
+g AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM pts GROUP BY v
+),
+ordered AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM g
+),
+pg AS (
+  SELECT v, event_type, CAST(count(*) AS BIGINT) AS cg
+  FROM pts GROUP BY v, event_type
+),
+rsum AS (
+  SELECT pg.event_type,
+         CAST(SUM(pg.cg) AS BIGINT) AS n_g,
+         CAST(SUM(pg.cg * (2 * o.c + o.cnt + 1)) AS BIGINT) AS rank2_sum
+  FROM pg JOIN ordered o ON o.v = pg.v
+  GROUP BY pg.event_type
+),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM rsum),
+terms AS (
+  SELECT event_type, n_g, rank2_sum,
+         SUM(CAST(rank2_sum AS DOUBLE) * CAST(rank2_sum AS DOUBLE)
+             / (4.0 * CAST(n_g AS DOUBLE)))
+           OVER (ORDER BY event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+  FROM rsum
+),
+h AS (
+  SELECT 12.0 * max(s_cum) / (tot.n * (tot.n + 1.0)) - 3.0 * (tot.n + 1.0)
+           AS h_stat
+  FROM terms, tot GROUP BY tot.n
+)
+SELECT t.event_type, t.n_g, t.rank2_sum, tot.n AS n_total, h.h_stat
+FROM terms t, tot, h
+ORDER BY t.event_type
+""",
+)
+def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across ALL five event types on `value`
+    (the k-group generalization of the Mann-Whitney/AUC rank-sum):
+    per-group doubled rank sums with average-rank ties stay exact
+    BIGINTs end-to-end; the H statistic's Σ R²/n cannot stay integer
+    (R² overflows at corpus scale), so it folds in a PINNED order —
+    a cumulative window over event_type — making the float sum
+    reproducible cross-engine (unordered 5-term float addition is the
+    hazard this avoids; both engines fold the identical sequence of
+    correctly-rounded doubles). Uncorrected-for-ties H, documented.
+
+    Scale shape: identical to q_eval_auc's two-phase decomposition on
+    the Spark side — per-distinct-value counts, bucketed in-window
+    cumulatives, domain-bounded bucket offsets broadcast back; the
+    per-group fold then runs on a 5-row table. The oracle uses the
+    plain global window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        "event_type",
+    )
+    g = pts.groupBy("v").agg(F.count("*").alias("cnt"))
+    g = g.withColumn("b", F.expr("v DIV 256")).persist()
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = g.select(
+        "v", "b", "cnt", F.coalesce(F.sum("cnt").over(w_in), F.lit(0)).alias("c_in")
+    )
+    btot = g.groupBy("b").agg(F.sum("cnt").alias("bc"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "b", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("c_off")
+    )
+    ordered = within.join(F.broadcast(off), "b").select(
+        "v", "cnt", (F.col("c_off") + F.col("c_in")).alias("c")
+    )
+    pg = pts.groupBy("v", "event_type").agg(F.count("*").alias("cg"))
+    rank2 = 2 * F.col("c") + F.col("cnt") + 1
+    rsum = (
+        pg.join(ordered, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg") * rank2).cast("long").alias("rank2_sum"),
+        )
+    )
+    tot = rsum.agg(F.sum("n_g").alias("n"))
+    w_t = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    term = (
+        F.col("rank2_sum").cast("double")
+        * F.col("rank2_sum").cast("double")
+        / (4.0 * F.col("n_g").cast("double"))
+    )
+    terms = rsum.select(
+        "event_type", "n_g", "rank2_sum", F.sum(term).over(w_t).alias("s_cum")
+    )
+    h = (
+        terms.agg(F.max("s_cum").alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                12.0 * F.col("s") / (F.col("n") * (F.col("n") + 1.0))
+                - 3.0 * (F.col("n") + 1.0)
+            ).alias("h_stat")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot.select(F.col("n").alias("n_total"))))
+        .crossJoin(F.broadcast(h))
+        .select("event_type", "n_g", "rank2_sum", "n_total", "h_stat")
+        .orderBy("event_type")
+    )

@@ -329,6 +329,8 @@ _QUERY_LEDGER = (
     "q_graph_bfs_distance",
     "q_sort_zorder_layout",
     "q_source_schema_evolution",
+    "q_text_burstiness",
+    "q_agg_kruskal_wallis",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

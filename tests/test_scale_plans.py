@@ -1048,3 +1048,22 @@ def test_zorder_buckets_are_local_rectangles(spark, sf_smoke):
     for r in rows:
         area = (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
         assert area <= 1 << 20, (r.zbucket, area)
+
+
+def test_kruskal_wallis_h_reasonable_and_ranks_conserved(spark, sf_smoke):
+    """Rank conservation: Σ doubled rank sums = N(N+1) exactly (every
+    rank handed out once), and H ≥ 0 within float eps."""
+    rows = get_queries()["q_agg_kruskal_wallis"](spark, sf_smoke).collect()
+    n = rows[0].n_total
+    assert sum(r.rank2_sum for r in rows) == n * (n + 1)
+    assert rows[0].h_stat >= -1e-9
+
+
+def test_burstiness_function_words_below_content_words(spark, sf_smoke):
+    """VMR sanity: every emitted term has nonnegative dispersion and the
+    exact rational equals the float within one ulp-scale eps."""
+    rows = get_queries()["q_text_burstiness"](spark, sf_smoke).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.vmr_num >= 0
+        assert abs(r.vmr - r.vmr_num / r.vmr_den) < 1e-12
