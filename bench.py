@@ -141,10 +141,15 @@ def main() -> None:
     if missing:
         print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
 
-    # warm-up: prime codegen/JIT, Python workers, parquet footer caches
+    # warm-up: prime codegen/JIT, Python workers, parquet footer caches.
+    # Clear after EVERY query, not once at the end: each call persists its
+    # own frames, and at 10× fixtures the accumulated caches of ~45
+    # queries exhaust unified memory mid-warm-up (BytesToBytesMap
+    # allocation failure, observed at sf1) long before any single query
+    # is at fault.
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()  # warm-up must not pre-fill persisted tables
+        spark.catalog.clearCache()  # warm-up must not pre-fill persisted tables
 
     timings: dict[str, float] = {}
     for name in names:

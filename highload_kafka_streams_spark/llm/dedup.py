@@ -1804,6 +1804,20 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # free superseded checkpoint blocks NOW: they live in the unified
+        # storage pool outside the catalog cache (clearCache can't reach
+        # them), and stacking one copy per hop per run starves execution
+        # memory in long sessions (BytesToBytesMap allocation failures
+        # observed in the 10× bench before this)
+        for stale in (visited, frontier):
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
+        visited = new_visited
         frontier = nxt
+    # the result is fully checkpointed — the edge caches can go too
+    sym.unpersist()
+    pairs.unpersist()
     return visited.orderBy("doc_id")

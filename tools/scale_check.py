@@ -35,8 +35,19 @@ def run_bench(sf_dir: str) -> dict:
         cwd=_HERE,
         timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    # the JVM can interleave GC warnings into stdout under memory
+    # pressure — take the last line that parses as the bench JSON
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            return parsed
+    raise RuntimeError(
+        f"bench.py produced no JSON line (rc={out.returncode}); "
+        f"stderr tail: {out.stderr[-500:]}"
+    )
 
 
 def main() -> None:
