@@ -1952,3 +1952,115 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_n"), F.asc("term"))
         .limit(30)
     )
+
+
+@query(
+    "q_text_js_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+c AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY source, t
+),
+tt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY t),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY source),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+terms AS (
+  SELECT c.source, c.c, tt.ct - c.c AS cr, ns.n_s, nn.n - ns.n_s AS n_r
+  FROM c JOIN tt ON tt.t = c.t
+  JOIN ns ON ns.source = c.source, nn
+),
+own AS (
+  SELECT source, n_s, n_r,
+         CAST(SUM(c * (CAST(FLOOR(ln(2 * c * n_r) * 1000000) AS BIGINT)
+                       - CAST(FLOOR(ln(c * n_r + cr * n_s) * 1000000)
+                              AS BIGINT))) AS BIGINT) AS num_own,
+         CAST(SUM(CASE WHEN cr > 0 THEN
+                  cr * (CAST(FLOOR(ln(2 * cr * n_s) * 1000000) AS BIGINT)
+                        - CAST(FLOOR(ln(c * n_r + cr * n_s) * 1000000)
+                               AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS num_rest_seen
+  FROM terms GROUP BY source, n_s, n_r
+)
+SELECT source, n_s AS n_tokens, num_own, num_rest_seen,
+       (CAST(num_own AS DOUBLE) / n_s
+        + CAST(num_rest_seen AS DOUBLE) / n_r) / 2000000.0 AS jsd_nats
+FROM own
+ORDER BY source
+""",
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the REST of the corpus — the distribution-shift monitor a
+    training-data pipeline runs per ingestion source (a source whose
+    JSD jumps is off-distribution: different domain, language mix, or
+    contamination; feeds the mixture-balancing decisions).
+
+    Determinism: both KL parts reduce to logs of INTEGER arguments —
+    ln(p/m) = ln(2·c·n_r) − ln(c·n_r + c_rest·n_s), every operand an
+    exact BIGINT — fixed-pointed once per (source, term) and summed as
+    integers; the two final divisions of exact values are written
+    identically on both engines. Terms a side has never seen
+    contribute 0 to that side's sum (the 0·ln 0 convention), exactly
+    as in the closed form. One caveat folded in deliberately: terms
+    the REST has seen but the source hasn't still contribute to the
+    rest-side sum only through documents where they occur — both
+    engines compute the identical restriction, and the emitted parts
+    are labeled as such.
+
+    Scale shape: one (source, term) count (map-side combinable), a
+    term-keyed total join, then a source-keyed reduction — all
+    vocabulary-bounded after the first shuffle; output = one row per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    c = c.persist()
+    tt = c.groupBy("t").agg(F.sum("c").alias("ct"))
+    ns = c.groupBy("source").agg(F.sum("c").alias("n_s"))
+    nn = c.agg(F.sum("c").alias("n"))
+    terms = (
+        c.join(tt, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "c",
+            (F.col("ct") - F.col("c")).alias("cr"),
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+        )
+    )
+    lnfx = lambda col: F.floor(F.log(col.cast("double")) * 1000000).cast(
+        "long"
+    )
+    mix = lnfx(F.col("c") * F.col("n_r") + F.col("cr") * F.col("n_s"))
+    own_term = F.col("c") * (lnfx(2 * F.col("c") * F.col("n_r")) - mix)
+    rest_term = F.when(
+        F.col("cr") > 0,
+        F.col("cr") * (lnfx(2 * F.col("cr") * F.col("n_s")) - mix),
+    ).otherwise(F.lit(0))
+    own = terms.groupBy("source", "n_s", "n_r").agg(
+        F.sum(own_term).cast("long").alias("num_own"),
+        F.sum(rest_term).cast("long").alias("num_rest_seen"),
+    )
+    return own.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "num_own",
+        "num_rest_seen",
+        (
+            (
+                F.col("num_own").cast("double") / F.col("n_s")
+                + F.col("num_rest_seen").cast("double") / F.col("n_r")
+            )
+            / 2000000.0
+        ).alias("jsd_nats"),
+    ).orderBy("source")

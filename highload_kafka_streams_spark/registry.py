@@ -331,6 +331,7 @@ _QUERY_LEDGER = (
     "q_source_schema_evolution",
     "q_text_burstiness",
     "q_agg_kruskal_wallis",
+    "q_text_js_divergence",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1067,3 +1067,14 @@ def test_burstiness_function_words_below_content_words(spark, sf_smoke):
     for r in rows:
         assert r.vmr_num >= 0
         assert abs(r.vmr - r.vmr_num / r.vmr_den) < 1e-12
+
+
+def test_js_divergence_nonnegative_and_bounded(spark, sf_smoke):
+    """JSD(p, rest) ∈ [0, ln 2] up to fixed-point slack: each source's
+    divergence must be nonnegative and below the JSD upper bound."""
+    import math
+
+    rows = get_queries()["q_text_js_divergence"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1e-4 <= r.jsd_nats <= math.log(2) + 1e-4, r
