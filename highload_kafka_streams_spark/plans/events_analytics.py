@@ -2705,3 +2705,118 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purchase_us") - F.col("signup_us")).alias("delta_us"),
         F.expr("(purchase_us - signup_us) DIV 1000000").alias("delta_sec"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_time_sax_motifs",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           // 3600 AS x,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM hourly
+),
+qs AS (
+  SELECT
+    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS q2,
+    max(CASE WHEN rn = (3 * n + 1) // 4 THEN v END) AS q3
+  FROM rk
+),
+seg AS (
+  SELECT x // 24 AS day, (x % 24) // 6 AS s,
+         CAST(SUM(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+  FROM hourly GROUP BY 1, 2
+),
+sym AS (
+  SELECT day, s,
+         CASE WHEN sv < cnt * qs.q1 THEN 'a'
+              WHEN sv < cnt * qs.q2 THEN 'b'
+              WHEN sv < cnt * qs.q3 THEN 'c'
+              ELSE 'd' END AS c
+  FROM seg, qs
+),
+words AS (
+  SELECT day, string_agg(c, '' ORDER BY s) AS sax_word
+  FROM sym GROUP BY day
+)
+SELECT sax_word, CAST(count(*) AS BIGINT) AS n_days
+FROM words
+GROUP BY sax_word
+ORDER BY n_days DESC, sax_word
+""",
+)
+def q_time_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization + daily motif discovery: each day's hourly
+    series compresses to a 4-symbol word (PAA over four 6-hour
+    segments, symbols from the series' own exact quartiles), and the
+    word-frequency table surfaces recurring intraday shapes — the
+    classic time-series-mining pipeline (Lin et al.'s SAX) that turns
+    pattern matching into string matching at 100 TB.
+
+    Determinism: quartiles are type-1 (value at an exact rank — well
+    defined under ties because the VALUE at rank k doesn't depend on
+    tie order), segment means never divide (segment sum compares
+    against cnt·quartile by integer cross-multiplication), and the
+    word is an ordered concat of 4 symbols.
+
+    Scale shape: the hourly rollup is the only corpus-sized shuffle;
+    ranking runs on the CALENDAR-bounded series table (≤ thousands of
+    rows — the ACF/SES argument), thresholds broadcast as one row, and
+    the segment/word/motif aggregates key on the day."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    hourly = hourly.persist()
+    rk = hourly.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    qs = rk.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("v"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v"))).alias("q2"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 1) DIV 4"), F.col("v"))
+        ).alias("q3"),
+    )
+    seg = hourly.groupBy(
+        F.expr("x DIV 24").alias("day"), F.expr("(x % 24) DIV 6").alias("s")
+    ).agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+    sym = seg.crossJoin(F.broadcast(qs)).select(
+        "day",
+        "s",
+        F.when(F.col("sv") < F.col("cnt") * F.col("q1"), "a")
+        .when(F.col("sv") < F.col("cnt") * F.col("q2"), "b")
+        .when(F.col("sv") < F.col("cnt") * F.col("q3"), "c")
+        .otherwise("d")
+        .alias("c"),
+    )
+    words = sym.groupBy("day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "c"))),
+                lambda t: t["c"],
+            ),
+        ).alias("sax_word")
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(F.count("*").cast("long").alias("n_days"))
+        .orderBy(F.desc("n_days"), F.asc("sax_word"))
+    )

@@ -332,6 +332,7 @@ _QUERY_LEDGER = (
     "q_text_burstiness",
     "q_agg_kruskal_wallis",
     "q_text_js_divergence",
+    "q_time_sax_motifs",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

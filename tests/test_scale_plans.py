@@ -1078,3 +1078,13 @@ def test_js_divergence_nonnegative_and_bounded(spark, sf_smoke):
     assert rows
     for r in rows:
         assert -1e-4 <= r.jsd_nats <= math.log(2) + 1e-4, r
+
+
+def test_sax_words_cover_every_day(spark, sf_smoke):
+    """Motif counts must partition the calendar: Σ n_days = number of
+    distinct days in the fixture, and every word is 4 symbols a-d."""
+    rows = get_queries()["q_time_sax_motifs"](spark, sf_smoke).collect()
+    assert sum(r.n_days for r in rows) == 30
+    assert all(
+        len(r.sax_word) == 4 and set(r.sax_word) <= set("abcd") for r in rows
+    )
