@@ -1521,3 +1521,75 @@ def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_g", "rank2_sum", "n_total", "h_stat")
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_gini_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT c_nationkey AS nation, c_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, s,
+         row_number() OVER (PARTITION BY nation ORDER BY s, c_custkey)
+           AS i
+  FROM spend
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(s) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(i * s) - (count(*) + 1) * SUM(s) AS BIGINT)
+         AS gini_num,
+       CAST(count(*) * SUM(s) AS BIGINT) AS gini_den,
+       CAST(2 * SUM(i * s) - (count(*) + 1) * SUM(s) AS DOUBLE)
+         / (count(*) * SUM(s)) AS gini
+FROM rk
+GROUP BY nation
+ORDER BY nation
+""",
+)
+def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality
+    complement of the Herfindahl index (HHI asks 'how concentrated are
+    the sellers', Gini asks 'how unequal are the buyers'): from the
+    rank form G = (2Σᵢ i·sᵢ − (n+1)Σs) / (n·Σs) over per-customer
+    spend sorted ascending. Exact: spend is integer cents, ranks come
+    from a total order (spend, custkey), and the whole expression
+    stays BIGINT until one final division of exact values.
+
+    Scale shape: the fact rollup shuffles on the customer key
+    (map-side combinable); the rank window partitions BY NATION over
+    the customer-bounded spend table — no global order anywhere — and
+    the closing aggregate rides the same nation partitioning."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("s", "c_custkey")
+    rk = spend.select("nation", "s", F.row_number().over(w).alias("i"))
+    num = 2 * F.sum(F.col("i") * F.col("s")) - (F.count("*") + 1) * F.sum("s")
+    den = F.count("*") * F.sum("s")
+    return (
+        rk.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("s").cast("long").alias("total_cents"),
+            num.cast("long").alias("gini_num"),
+            den.cast("long").alias("gini_den"),
+            (num.cast("double") / den).alias("gini"),
+        )
+        .orderBy("nation")
+    )

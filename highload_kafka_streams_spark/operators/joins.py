@@ -967,3 +967,72 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+         max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+)
+SELECT c.click_id, c.user_id, c.c_us,
+       p.p_us AS r_us, p.purchase_id AS r_purchase_id,
+       p.p_value AS r_p_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.c_us <= p.p_us
+ORDER BY click_id
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's EARLIEST
+    at-or-after purchase — the 'next event' direction (time-to-action
+    enrichment), completing the as-of family's direction matrix
+    (backward / backward+tolerance / nearest / forward).
+
+    Implementation is a pure REDUCTION onto the existing merge-form
+    operator: negate both µs timestamps and run the backward as-of —
+    'latest right with −r ≤ −l' IS 'earliest right with r ≥ l'. Zero
+    new operator code, same single (key, ts) shuffle+sort; timestamps
+    travel as exact unix-micros BIGINTs (ns-fixture-safe). Right-side
+    ties keep the max purchase_id, identical to the backward query's
+    convention (the oracle pre-dedups with arg_max to express the same
+    choice in DuckDB's native ASOF, which joins on c_us <= p_us for
+    the forward direction)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        (-F.unix_micros("ts")).alias("neg_l"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.unix_micros("ts")).alias("neg_r"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="neg_l",
+        right_ts="neg_r",
+        right_tiebreak="purchase_id",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "c_us",
+        F.col("r_p_us").alias("r_us"),
+        "r_purchase_id",
+        "r_p_value",
+    ).orderBy("click_id")

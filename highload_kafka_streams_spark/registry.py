@@ -333,6 +333,8 @@ _QUERY_LEDGER = (
     "q_agg_kruskal_wallis",
     "q_text_js_divergence",
     "q_time_sax_motifs",
+    "q_agg_gini_concentration",
+    "q_join_asof_forward",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

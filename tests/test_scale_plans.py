@@ -1088,3 +1088,25 @@ def test_sax_words_cover_every_day(spark, sf_smoke):
     assert all(
         len(r.sax_word) == 4 and set(r.sax_word) <= set("abcd") for r in rows
     )
+
+
+def test_gini_bounds_and_rank_form(spark, sf_smoke):
+    """Gini ∈ [0, 1) for positive spends; numerator/denominator exact."""
+    rows = get_queries()["q_agg_gini_concentration"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_num < r.gini_den, r
+        assert abs(r.gini - r.gini_num / r.gini_den) == 0.0
+
+
+def test_asof_forward_is_single_merge_shuffle(spark, sf_smoke):
+    """The forward direction must reuse the merge-form plan: one window
+    over the (key, negated-ts) union — no range join, no cartesian."""
+    plan = plan_of(get_queries()["q_join_asof_forward"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    rows = get_queries()["q_join_asof_forward"](spark, sf_smoke).collect()
+    matched = [r for r in rows if r.r_us is not None]
+    assert matched
+    assert all(r.r_us >= r.c_us for r in matched)
