@@ -1172,3 +1172,130 @@ def q_embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist2n2"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_eval_cluster_separation",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, i.pos AS d,
+         CAST(FLOOR(CAST(embedding[i.pos + 1] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS i(pos)
+),
+cent AS (
+  SELECT label, d, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, d
+),
+intra AS (
+  SELECT ex.label,
+         CAST(SUM((cent.n * ex.x - cent.s) * (cent.n * ex.x - cent.s))
+              AS BIGINT) AS intra_num,
+         CAST(max(cent.n) AS BIGINT) AS n_vecs
+  FROM ex JOIN cent ON cent.label = ex.label AND cent.d = ex.d
+  GROUP BY ex.label
+),
+inter AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+              AS BIGINT) AS inter_num,
+         CAST(max(a.n) AS BIGINT) AS na, CAST(max(b.n) AS BIGINT) AS nb
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+nearest AS (
+  SELECT la, lb, inter_num, na, nb,
+         row_number() OVER (
+           PARTITION BY la
+           ORDER BY CAST(inter_num AS DOUBLE) / (na * na * nb * nb), lb
+         ) AS rn
+  FROM inter
+)
+SELECT i.label, i.n_vecs, i.intra_num,
+       n.lb AS nearest_label, n.inter_num AS nearest_inter_num
+FROM intra i JOIN nearest n ON n.la = i.label AND n.rn = 1
+ORDER BY i.label
+""",
+)
+def q_eval_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation audit of the labeled embedding space
+    (Davies-Bouldin's ingredients): per label, the exact
+    within-cluster scatter (Σ‖x − centroid‖² with the centroid
+    division multiplied through: Σ_d (n·x − S_d)²) and the NEAREST
+    other centroid with its exact squared-distance numerator
+    (Σ_d (S_a·n_b − S_b·n_a)²) — tight intra + far inter = healthy
+    clusters; a label whose nearest centroid is closer than its own
+    scatter is a merge candidate. The nearest-centroid ranking divides
+    exact integers once per candidate (correctly-rounded, identical
+    cross-engine) with a label tie-break.
+
+    Scale shape: one posexplode pass rolls up to the (label × dim)
+    centroid table — bounded at |labels|·64 rows forever — the intra
+    join broadcasts it back against the term stream, and the inter
+    comparison is |labels|² over that tiny table. Coordinates
+    fix-point at 1e3 so the inter cross-terms stay inside BIGINT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "xr")
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("xr").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    ex = ex.persist()
+    cent = ex.groupBy("label", "d").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    cent = cent.persist()
+    term = F.col("n") * F.col("x") - F.col("s")
+    intra = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum(term * term).cast("long").alias("intra_num"),
+            F.max("n").cast("long").alias("n_vecs"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "d",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "d",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    cross = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    inter = a.join(b, "d").filter(F.col("la") != F.col("lb"))
+    inter = inter.groupBy("la", "lb").agg(
+        F.sum(cross * cross).cast("long").alias("inter_num"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("la").orderBy(
+        F.col("inter_num").cast("double")
+        / (F.col("na") * F.col("na") * F.col("nb") * F.col("nb")),
+        F.col("lb"),
+    )
+    nearest = (
+        inter.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("inter_num").alias("nearest_inter_num"),
+        )
+    )
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label", "n_vecs", "intra_num", "nearest_label",
+            "nearest_inter_num",
+        )
+        .orderBy("label")
+    )

@@ -335,6 +335,7 @@ _QUERY_LEDGER = (
     "q_time_sax_motifs",
     "q_agg_gini_concentration",
     "q_join_asof_forward",
+    "q_eval_cluster_separation",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

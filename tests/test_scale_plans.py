@@ -1110,3 +1110,13 @@ def test_asof_forward_is_single_merge_shuffle(spark, sf_smoke):
     matched = [r for r in rows if r.r_us is not None]
     assert matched
     assert all(r.r_us >= r.c_us for r in matched)
+
+
+def test_cluster_separation_covers_all_labels(spark, sf_smoke):
+    """One row per label; scatter and distances nonnegative; nearest
+    label differs from its own."""
+    rows = get_queries()["q_eval_cluster_separation"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.intra_num >= 0 and r.nearest_inter_num > 0
+        assert r.nearest_label != r.label
