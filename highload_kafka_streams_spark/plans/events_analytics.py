@@ -2820,3 +2820,188 @@ def q_time_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_days"))
         .orderBy(F.desc("n_days"), F.asc("sax_word"))
     )
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 1000000 AS t,
+         lag(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 1000000)
+           OVER (PARTITION BY event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+  FROM events
+),
+gaps AS (
+  SELECT event_type, t - prev_t AS d
+  FROM seq WHERE prev_t IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(d) AS BIGINT) AS sum_sec,
+       CAST(SUM(d * d) AS BIGINT) AS sumsq_sec,
+       CAST(count(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT)
+         AS cv2_num,
+       CAST(SUM(d) * SUM(d) AS BIGINT) AS cv2_den,
+       CAST(count(*) * SUM(d * d) - SUM(d) * SUM(d) AS DOUBLE)
+         / (SUM(d) * SUM(d)) AS cv2
+FROM gaps
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time dispersion per event type: the squared
+    coefficient of variation of whole-second gaps — the Poisson test
+    for traffic (CV² ≈ 1 memoryless, ≫ 1 bursty, ≪ 1 paced/batched);
+    the shape statistic capacity planning and bot detection both read
+    first. Exact: gaps are integer seconds off the µs-exact timeline
+    (ns-fixture-safe ordering with the event_id tie-break), CV² is the
+    cross-multiplied form n·Σd² − (Σd)² over (Σd)² — BIGINTs end to
+    end, one final division of exact values.
+
+    Scale shape: one lag window per event_type partition (the series
+    key shuffle), then a per-type moment rollup riding the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 1000000")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", t.alias("t"), F.lag(t).over(w).alias("prev_t")
+    ).filter(F.col("prev_t").isNotNull())
+    gaps = seq.select("event_type", (F.col("t") - F.col("prev_t")).alias("d"))
+    n = F.count("*")
+    sd = F.sum("d")
+    sdd = F.sum(F.col("d") * F.col("d"))
+    num = n * sdd - sd * sd
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            n.alias("n_gaps"),
+            sd.cast("long").alias("sum_sec"),
+            sdd.cast("long").alias("sumsq_sec"),
+            num.cast("long").alias("cv2_num"),
+            (sd * sd).cast("long").alias("cv2_den"),
+            (num.cast("double") / (sd * sd)).alias("cv2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_stream_lateness_histogram",
+    oracle="""
+WITH feed AS (
+  SELECT event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+         event_id + CASE WHEN event_id % 13 = 0 THEN 500 ELSE 0 END
+           AS arrival_key
+  FROM events
+),
+arr AS (
+  SELECT t_us,
+         max(t_us) OVER (ORDER BY arrival_key, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_us
+  FROM feed
+),
+late AS (
+  SELECT CASE WHEN seen_us IS NULL OR seen_us <= t_us THEN 0
+              ELSE (seen_us - t_us) // 1000000 END AS l_sec
+  FROM arr
+),
+banded AS (
+  SELECT CASE WHEN l_sec = 0 THEN '0_on_time'
+              WHEN l_sec < 60 THEN '1_under_1m'
+              WHEN l_sec < 900 THEN '2_under_15m'
+              WHEN l_sec < 3600 THEN '3_under_1h'
+              WHEN l_sec < 21600 THEN '4_under_6h'
+              ELSE '5_over_6h' END AS band,
+         l_sec
+  FROM late
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(l_sec) AS BIGINT) AS min_sec,
+       CAST(max(l_sec) AS BIGINT) AS max_sec
+FROM banded
+GROUP BY band
+ORDER BY band
+""",
+)
+def q_stream_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness histogram against the global high-watermark — the
+    observability panel that DRIVES watermark configuration
+    (`withWatermark`'s delay should sit above the bulk of this
+    distribution; the top band is what that grace period would drop).
+    The fixture's feed is perfectly ordered (verified: zero inversions
+    in event_id order), so the arrival sequence delays every 13th
+    event by 500 positions — the deterministic no-broker stand-in for
+    network-delayed delivery, computed identically on both engines.
+    Lateness measures in exact whole seconds off the µs-exact
+    timeline; bands use integer thresholds only.
+
+    Scale shape: the running max in arrival order is the same
+    distributed two-phase prefix max as q_stream_late_data_drop —
+    arrival positions bucket by ``arrival_key div 65536`` (monotone in
+    arrival order), per-bucket maxima roll up to a tiny table whose
+    exclusive prefix max broadcasts back, and the within-bucket
+    exclusive running max is partitioned by bucket — no unpartitioned
+    data window anywhere; then a 6-row banded aggregate bounded by the
+    band list."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(
+            "event_id + CASE WHEN event_id % 13 = 0 THEN 500 ELSE 0 END"
+        ).alias("arrival_key"),
+    ).withColumn("bucket", F.expr("arrival_key DIV 65536"))
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_bucket_max = (
+        feed.groupBy("bucket")
+        .agg(F.max("t_us").alias("bmax"))
+        .select("bucket", F.max("bmax").over(bucket_w).alias("carry_us"))
+    )
+    in_w = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = (
+        feed.withColumn("in_max", F.max("t_us").over(in_w))
+        .join(F.broadcast(prev_bucket_max), "bucket")
+        .select(
+            "t_us",
+            F.greatest(F.col("in_max"), F.col("carry_us")).alias("seen_us"),
+        )
+    )
+    l_sec = F.when(
+        F.col("seen_us").isNull() | (F.col("seen_us") <= F.col("t_us")),
+        F.lit(0),
+    ).otherwise(F.expr("(seen_us - t_us) DIV 1000000"))
+    banded = arr.select(l_sec.alias("l_sec")).select(
+        F.when(F.col("l_sec") == 0, "0_on_time")
+        .when(F.col("l_sec") < 60, "1_under_1m")
+        .when(F.col("l_sec") < 900, "2_under_15m")
+        .when(F.col("l_sec") < 3600, "3_under_1h")
+        .when(F.col("l_sec") < 21600, "4_under_6h")
+        .otherwise("5_over_6h")
+        .alias("band"),
+        "l_sec",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_sec").cast("long").alias("min_sec"),
+            F.max("l_sec").cast("long").alias("max_sec"),
+        )
+        .orderBy("band")
+    )

@@ -336,6 +336,8 @@ _QUERY_LEDGER = (
     "q_agg_gini_concentration",
     "q_join_asof_forward",
     "q_eval_cluster_separation",
+    "q_events_interarrival",
+    "q_stream_lateness_histogram",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1120,3 +1120,15 @@ def test_cluster_separation_covers_all_labels(spark, sf_smoke):
     for r in rows:
         assert r.intra_num >= 0 and r.nearest_inter_num > 0
         assert r.nearest_label != r.label
+
+
+def test_lateness_histogram_has_no_unpartitioned_data_window(spark, sf_smoke):
+    """The running watermark must be the bucketed two-phase prefix max:
+    every Window over the event stream partitions by the bucket (the
+    only unpartitioned window runs on the bucket-total table), and the
+    bands partition the full stream."""
+    df = get_queries()["q_stream_lateness_histogram"](spark, sf_smoke)
+    rows = df.collect()
+    assert sum(r.n for r in rows) == 1000  # sf0.001 events row count
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
