@@ -1821,3 +1821,87 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     pairs.unpersist()
     return visited.orderBy("doc_id")
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=_AFFINITY_PAIRS_SQL
+    + """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ed AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n AS n_directed_edges,
+       n * sxy - sx * sy AS r_num,
+       n * sxx - sx * sx AS r_den_x,
+       n * syy - sy * sy AS r_den_y,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM m
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the affinity graph — Pearson correlation
+    of endpoint degrees over all directed edges: positive = hubs link
+    hubs (a syndication core), negative = hubs link leaves (hub-and-
+    spoke boilerplate), the one-number structural summary next to the
+    clustering coefficient. Exact ingredients: every moment is an
+    integer power sum over edge endpoint degrees; the only floats are
+    one correctly-rounded product, one IEEE sqrt, and one division —
+    each deterministic given the exact BIGINT inputs (emitted
+    alongside for the hash to pin).
+
+    Scale shape: degrees are one groupBy over the symmetrized edges;
+    decorating each edge with both endpoint degrees is two doc_id-
+    keyed joins; the moment rollup is a 1-row aggregate. Nothing
+    beyond the similarity-pruned edge list is ever touched."""
+    pairs = _affinity_pairs(spark, sf_dir).persist()
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    sym = sym.persist()
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("vv"), F.col("d").alias("y"))
+    ed = (
+        sym.join(du, F.col("u") == F.col("uu"))
+        .join(dv, F.col("v") == F.col("vv"))
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        num.cast("long").alias("r_num"),
+        den_x.cast("long").alias("r_den_x"),
+        den_y.cast("long").alias("r_den_y"),
+        (
+            num.cast("double")
+            / F.sqrt(den_x.cast("double") * den_y.cast("double"))
+        ).alias("assortativity"),
+    )

@@ -338,6 +338,7 @@ _QUERY_LEDGER = (
     "q_eval_cluster_separation",
     "q_events_interarrival",
     "q_stream_lateness_histogram",
+    "q_graph_assortativity",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
