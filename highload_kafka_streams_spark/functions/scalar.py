@@ -618,3 +618,72 @@ def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surrogate_int"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_null_semantics",
+    oracle="""
+WITH lo AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+           AS st,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END
+           AS price_c
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT st,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(price_c) AS BIGINT) AS n_priced,
+       CAST(SUM(price_c) AS BIGINT) AS sum_priced,
+       CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS nullsafe_f,
+       CAST(SUM(CASE WHEN price_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_price,
+       CAST(count(DISTINCT price_c) AS BIGINT) AS n_distinct_priced
+FROM lo
+GROUP BY st
+ORDER BY st NULLS FIRST
+""",
+)
+def q_fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity suite in one aggregate: grouping BY a
+    nullable key (the NULL group is a real group on both engines),
+    count(*) vs count(col) (aggregates skip NULLs), SUM over a
+    partially-NULL column, null-safe equality (`IS NOT DISTINCT FROM`
+    ↔ Spark's `<=>`), explicit IS NULL counting, and DISTINCT over a
+    nullable column (NULL is not a distinct value for count(DISTINCT)
+    on either engine). These are the cross-engine edges that silently
+    corrupt reports when an engine swap changes one of them — pinned
+    here by the value hash rather than assumed.
+
+    Scale note: one scan, one grouped aggregate — the semantics are
+    the payload, the plan is trivial by design."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    lo = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .alias("price_c"),
+    )
+    return (
+        lo.groupBy("st")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("price_c").alias("n_priced"),
+            F.sum("price_c").cast("long").alias("sum_priced"),
+            F.sum(
+                F.when(F.col("st").eqNullSafe(F.lit("F")), 1).otherwise(0)
+            ).cast("long").alias("nullsafe_f"),
+            F.sum(F.when(F.col("price_c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_price"),
+            F.count_distinct("price_c").alias("n_distinct_priced"),
+        )
+        .orderBy(F.col("st").asc_nulls_first())
+    )

@@ -339,6 +339,7 @@ _QUERY_LEDGER = (
     "q_events_interarrival",
     "q_stream_lateness_histogram",
     "q_graph_assortativity",
+    "q_fn_null_semantics",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
