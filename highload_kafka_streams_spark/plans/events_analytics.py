@@ -3005,3 +3005,103 @@ def q_stream_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "q_time_bollinger",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000000
+           AS x,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+roll AS (
+  SELECT x, v,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(v) OVER w AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT x, v, n, s, ss,
+         n * ss - s * s AS var_n2,
+         CASE WHEN (n * v - s) > 0
+                   AND CAST((n * v - s) AS DOUBLE) * (n * v - s)
+                       > 4.0 * (n * ss - s * s) THEN 1
+              WHEN (n * v - s) < 0
+                   AND CAST((n * v - s) AS DOUBLE) * (n * v - s)
+                       > 4.0 * (n * ss - s * s) THEN -1
+              ELSE 0 END AS breach
+  FROM roll WHERE n = 24
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN breach = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_up,
+       CAST(SUM(CASE WHEN breach = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_down,
+       CAST(max(var_n2) AS BIGINT) AS max_var_n2,
+       CAST(min(var_n2) AS BIGINT) AS min_var_n2
+FROM scored
+""",
+)
+def q_time_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection over the hourly series: a point
+    breaches when it sits more than 2 rolling standard deviations from
+    the 24-hour rolling mean — the volatility-envelope alarm every
+    monitoring/trading stack runs. Exact despite the σ: the breach
+    test |v − mean| > 2σ squares and clears every division —
+    (n·v − s)² > 4·(n·ss − s²) — so the decision compares one
+    correctly-rounded product against exact BIGINTs, sign-split to
+    tell up-breaches from down (squaring would otherwise lose the
+    side). Only full 24-point windows score.
+
+    Scale shape: the hourly rollup shuffles once; the rolling window
+    runs over the CALENDAR-bounded series (the SES/ACF argument), and
+    the output is a 1-row summary."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("x")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    w = Window.orderBy("x").rowsBetween(-23, 0)
+    roll = hourly.select(
+        "x",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("ss"),
+    ).filter(F.col("n") == 24)
+    dev = F.col("n") * F.col("v") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    breach = (
+        F.when(
+            (dev > 0)
+            & (dev.cast("double") * dev > 4.0 * var_n2),
+            1,
+        )
+        .when(
+            (dev < 0)
+            & (dev.cast("double") * dev > 4.0 * var_n2),
+            -1,
+        )
+        .otherwise(0)
+    )
+    scored = roll.select(var_n2.alias("var_n2"), breach.alias("breach"))
+    return scored.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("breach") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_breach_up"),
+        F.sum(F.when(F.col("breach") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_breach_down"),
+        F.max("var_n2").cast("long").alias("max_var_n2"),
+        F.min("var_n2").cast("long").alias("min_var_n2"),
+    )

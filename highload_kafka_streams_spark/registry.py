@@ -340,6 +340,7 @@ _QUERY_LEDGER = (
     "q_stream_lateness_histogram",
     "q_graph_assortativity",
     "q_fn_null_semantics",
+    "q_time_bollinger",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
