@@ -2064,3 +2064,94 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2000000.0
         ).alias("jsd_nats"),
     ).orderBy("source")
+
+
+@query(
+    "q_text_cooccurrence_pmi",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+dtf AS (SELECT doc_id, t FROM dt WHERE t <> ''),
+cw AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM dtf GROUP BY t),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dtf),
+pairs AS (
+  SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS cab
+  FROM dtf a JOIN dtf b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+scored AS (
+  SELECT p.w1, p.w2, p.cab, ca.c AS c1, cb.c AS c2,
+         CAST(FLOOR(ln(p.cab * nd.n) * 1000000) AS BIGINT)
+         - CAST(FLOOR(ln(ca.c * cb.c) * 1000000) AS BIGINT) AS pmi_fx
+  FROM pairs p
+  JOIN cw ca ON ca.t = p.w1
+  JOIN cw cb ON cb.t = p.w2, nd
+  WHERE p.cab >= 5
+)
+SELECT w1, w2, cab, c1, c2, pmi_fx
+FROM scored
+ORDER BY pmi_fx DESC, w1, w2
+LIMIT 20
+""",
+)
+def q_text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of document-level word
+    co-occurrence — the collocation score underlying everything from
+    phrase detection to the PPMI matrices word embeddings factorize:
+    PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over document presence, with a
+    min-support floor (c_ab ≥ 5) so rare-pair noise never ranks.
+
+    Determinism: the log of a ratio becomes a difference of two logs
+    of INTEGER arguments — ⌊ln(c_ab·N)·1e6⌋ − ⌊ln(c_a·c_b)·1e6⌋ —
+    fixed-pointed once per surviving pair; ranking and the top-20 cut
+    are total-ordered on the integer score.
+
+    Scale shape: presence lists distinct per (doc, term) first; the
+    pair join is the inverted-index self-join WITHIN the doc key
+    (pairs ∝ doc-vocabulary², never corpus²); marginals are
+    vocabulary-bounded and broadcast; top-20 is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    dtf = dtf.persist()
+    cw = dtf.groupBy("t").agg(F.count("*").alias("c"))
+    nd = dtf.agg(F.count_distinct("doc_id").alias("n"))
+    a, b = dtf.alias("a"), dtf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("w1"), F.col("b.t").alias("w2"))
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    ca = cw.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    cb = cw.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    lnfx = lambda col: F.floor(F.log(col.cast("double")) * 1000000).cast(
+        "long"
+    )
+    return (
+        pairs.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").cast("long").alias("cab"),
+            "c1",
+            "c2",
+            (
+                lnfx(F.col("cab") * F.col("n"))
+                - lnfx(F.col("c1") * F.col("c2"))
+            ).alias("pmi_fx"),
+        )
+        .orderBy(F.desc("pmi_fx"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

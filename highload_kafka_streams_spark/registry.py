@@ -341,6 +341,7 @@ _QUERY_LEDGER = (
     "q_graph_assortativity",
     "q_fn_null_semantics",
     "q_time_bollinger",
+    "q_text_cooccurrence_pmi",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
