@@ -2750,3 +2750,67 @@ def q_basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b", "brand_c")
     )
+
+
+@query(
+    "q_sla_ship_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS d
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_30d,
+       CAST(SUM(CASE WHEN d <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_60d,
+       CAST(SUM(CASE WHEN d <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_90d,
+       CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS sla30_ppm,
+       CAST(max(d) AS BIGINT) AS worst_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_sla_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA attainment: order→ship latency banded at
+    30/60/90 days per order priority — the operations report behind
+    every 'are URGENT orders actually faster' review, with the
+    attainment ratio as exact integer ppm and the worst-case straggler
+    alongside. Day arithmetic runs on the DATE boundary both engines
+    share (timestamp-typed fixture columns truncate identically).
+
+    Scale shape: one fact join keyed on the order (orders side is the
+    smaller input — at 100 TB this is the bucketed fact-fact join the
+    TPC-H suite plan-locks), one 5-group aggregate, map-side
+    combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("d"),
+    )
+    c30 = F.sum(F.when(F.col("d") <= 30, 1).otherwise(0))
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            c30.cast("long").alias("within_30d"),
+            F.sum(F.when(F.col("d") <= 60, 1).otherwise(0))
+            .cast("long")
+            .alias("within_60d"),
+            F.sum(F.when(F.col("d") <= 90, 1).otherwise(0))
+            .cast("long")
+            .alias("within_90d"),
+            F.expr(
+                "CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("sla30_ppm"),
+            F.max("d").cast("long").alias("worst_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -342,6 +342,7 @@ _QUERY_LEDGER = (
     "q_fn_null_semantics",
     "q_time_bollinger",
     "q_text_cooccurrence_pmi",
+    "q_sla_ship_latency",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
