@@ -3105,3 +3105,92 @@ def q_time_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("var_n2").cast("long").alias("max_var_n2"),
         F.min("var_n2").cast("long").alias("min_var_n2"),
     )
+
+
+@query(
+    "q_events_hill_tail_index",
+    oracle="""
+WITH fx AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, event_id
+  FROM events
+),
+topk AS (
+  SELECT v, row_number() OVER (ORDER BY v DESC, event_id) AS rk
+  FROM fx
+  QUALIFY rk <= 51
+),
+kth AS (SELECT v AS vk FROM topk WHERE rk = 51),
+s AS (
+  SELECT CAST(SUM(CAST(FLOOR(ln(topk.v) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(kth.vk) * 1000000) AS BIGINT)) AS BIGINT)
+           AS hill_num,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(kth.vk) AS BIGINT) AS threshold_fx
+  FROM topk, kth WHERE topk.rk <= 50
+)
+SELECT k_used, threshold_fx, hill_num,
+       CAST(hill_num AS DOUBLE) / (k_used * 1000000.0) AS hill_inv_alpha,
+       k_used * 1000000.0 / hill_num AS alpha_hat
+FROM s
+""",
+)
+def q_events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index over the
+    top-50 order statistics: 1/α̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — THE
+    heavy-tail detector (α < 2 means infinite variance: percentile
+    SLOs and mean-based capacity plans stop working; every latency/
+    spend distribution audit starts here).
+
+    Determinism: the log-ratio is a difference of integer-argument
+    fixed-point logs (values are exact cents), the order statistics
+    come from a total order (value DESC, event_id), and the two final
+    divisions are of exact values. The k+1st value is the threshold,
+    reported in fixed-point.
+
+    Scale shape: the top-51 cut is a TakeOrderedAndProject (per-task
+    k-heap — never a global sort), the 51-row table broadcasts, and
+    everything after is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    topk = (
+        fx.orderBy(F.desc("v"), F.asc("event_id"))
+        .limit(51)
+        .select(
+            "v",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("event_id")))
+            .alias("rk"),
+        )
+    )
+    kth = topk.filter(F.col("rk") == 51).select(F.col("v").alias("vk"))
+    lnfx = lambda col: F.floor(F.log(col.cast("double")) * 1000000).cast(
+        "long"
+    )
+    s = (
+        topk.filter(F.col("rk") <= 50)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.sum(lnfx(F.col("v")) - lnfx(F.col("vk")))
+            .cast("long")
+            .alias("hill_num"),
+            F.count("*").alias("k_used"),
+            F.max("vk").cast("long").alias("threshold_fx"),
+        )
+    )
+    return s.select(
+        "k_used",
+        "threshold_fx",
+        "hill_num",
+        (
+            F.col("hill_num").cast("double")
+            / (F.col("k_used") * 1000000.0)
+        ).alias("hill_inv_alpha"),
+        (
+            F.col("k_used") * 1000000.0 / F.col("hill_num")
+        ).alias("alpha_hat"),
+    )

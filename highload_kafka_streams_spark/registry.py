@@ -343,6 +343,7 @@ _QUERY_LEDGER = (
     "q_time_bollinger",
     "q_text_cooccurrence_pmi",
     "q_sla_ship_latency",
+    "q_events_hill_tail_index",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
