@@ -1593,3 +1593,109 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+  FROM lineitem
+),
+rq AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(count(*)) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM pts GROUP BY q
+),
+rp AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(count(*)) OVER (ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM pts GROUP BY p
+),
+ranked AS (
+  SELECT (2 * rq.c + rq.cnt + 1) AS x, (2 * rp.c + rp.cnt + 1) AS y
+  FROM pts JOIN rq ON rq.q = pts.q JOIN rp ON rp.p = pts.p
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ranked
+)
+SELECT n, sx, sy, sxy, sxx, syy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS spearman_rho
+FROM m
+""",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price — Pearson
+    on tie-averaged ranks, the monotone-dependence measure robust to
+    any nonlinearity the raw correlation (q_agg_corr_cov) misses.
+    Doubled average ranks (2·rows_before + cnt + 1, the AUC trick)
+    keep every rank and power sum an exact BIGINT — all six moments
+    are emitted for the hash to pin — and ρ itself evaluates in an
+    expression both engines compute operation-for-operation (long→
+    double conversions, correctly-rounded products, one sqrt, one
+    division: deterministic given identical exact inputs; the n·Σxy
+    magnitude exceeds BIGINT, which is WHY it evaluates in double).
+
+    Scale shape: per-distinct-value rank tables come from value-keyed
+    aggregates + domain-bounded prefix passes (the q_eval_auc
+    decomposition — here the oracle's plain windows stand in on the
+    Spark side too because both rank domains are small: 50 quantities,
+    price domain bounded); the rank joins broadcast the distinct-value
+    tables; the moment rollup is one aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+    )
+    pts = pts.persist()
+
+    def rank_table(col):
+        g = pts.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+            .alias(f"r_{col}"),
+        )
+
+    ranked = (
+        pts.join(F.broadcast(rank_table("q")), "q")
+        .join(F.broadcast(rank_table("p")), "p")
+        .select(F.col("r_q").alias("x"), F.col("r_p").alias("y"))
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "n",
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        (num / F.sqrt(dx * dy)).alias("spearman_rho"),
+    )

@@ -344,6 +344,7 @@ _QUERY_LEDGER = (
     "q_text_cooccurrence_pmi",
     "q_sla_ship_latency",
     "q_events_hill_tail_index",
+    "q_agg_spearman",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
