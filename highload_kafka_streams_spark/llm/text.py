@@ -2155,3 +2155,63 @@ def q_text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_fx"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "q_text_hapax_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+c AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY source, t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM c
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: the fraction of each source's
+    vocabulary seen exactly once (plus the twice-seen dis legomena) —
+    the lexical-freshness dial corpus linguistics pairs with Heaps'
+    law (natural text runs ~40-60% hapax; template/boilerplate
+    sources collapse toward 0, OCR-noise sources explode toward 1 —
+    both directions are curation flags). Exact integer counts and one
+    ppm floor division.
+
+    Scale shape: one (source, term) count (map-side combinable), one
+    source-keyed rollup — vocabulary-bounded after the first
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dis"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -345,6 +345,7 @@ _QUERY_LEDGER = (
     "q_sla_ship_latency",
     "q_events_hill_tail_index",
     "q_agg_spearman",
+    "q_text_hapax_ratio",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
