@@ -1699,3 +1699,205 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("long").alias("syy"),
         (num / F.sqrt(dx * dy)).alias("spearman_rho"),
     )
+
+
+@query(
+    "q_agg_ols_regression",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY flag
+)
+SELECT flag, n, sx, sy, sxy, sxx, syy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+            * sx) / n AS intercept,
+       ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2
+FROM m ORDER BY flag
+""",
+)
+def q_agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of price on quantity —
+    slope, intercept and R² per return flag, the one-pass streaming
+    regression every metric pipeline runs (unit-price drift per
+    segment). Everything reduces to the five cross-moments, all exact
+    BIGINTs (quantity is an integer, price exact cents); the closing
+    slope/intercept/R² evaluate in operation-for-operation identical
+    double expressions over those exact inputs (n·Σxy exceeds BIGINT
+    range at scale — same argument as q_agg_spearman — which is WHY
+    the division lives in double).
+
+    Scale shape: ONE map-side-combinable aggregate over the fact scan
+    (the moments are commutative sums), 3-row output — the textbook
+    'regression as an aggregate' shape that needs no second pass and
+    no driver math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    dx = nd * F.col("sxx") - sxd * F.col("sx")
+    dy = nd * F.col("syy") - syd * F.col("sy")
+    slope = num / dx
+    return m.select(
+        "flag",
+        "n",
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        slope.alias("slope"),
+        ((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        ((num * num) / (dx * dy)).alias("r2"),
+    ).orderBy("flag")
+
+
+@query(
+    "q_agg_mann_whitney",
+    oracle="""
+WITH pts AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+rv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(count(*)) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM pts GROUP BY v
+),
+ranked AS (
+  SELECT pts.grp, (2 * rv.c + rv.cnt + 1) AS r2x
+  FROM pts JOIN rv ON rv.v = pts.v
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN grp = 1 THEN r2x ELSE 0 END) AS BIGINT) AS r1_x2
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum FROM rv
+)
+SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2,
+       2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+       tie_sum,
+       (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+         / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+              * ((n1 + n2 + 1)
+                 - CAST(tie_sum AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))) AS z
+FROM m, ties
+""",
+)
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: do URGENT and LOW priority orders
+    draw from the same spend distribution? The nonparametric two-sample
+    location test (the two-group special case the Kruskal–Wallis query
+    generalizes), with tie-corrected normal approximation. Values are
+    floored to integer dollars deliberately — that CREATES rank ties so
+    the tie-handling path (averaged ranks + Σ(t³−t) variance
+    correction) is exercised, not skipped. Doubled ranks
+    (2·rows_before + cnt + 1) keep U exact: 2·U₁ = 2·R₁ − 2·n₁(n₁+1)/2
+    stays BIGINT throughout; the z-score evaluates in one
+    operation-for-operation double expression over exact longs. Tie
+    counts t are per-dollar frequencies (≤ thousands), so t³ sums are
+    far inside BIGINT range — the docstring bound that keeps tie_sum
+    exact where a per-cent domain could not be guaranteed to.
+
+    Scale shape: the per-distinct-value rank table is a value-keyed
+    aggregate + one prefix pass over the BOUNDED dollar domain
+    (broadcast back to the fact rows — the q_eval_auc decomposition);
+    the closing moments are one map-side-combinable aggregate, 1-row
+    output."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    g = pts.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rv = g.select(
+        "v",
+        "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+        .alias("r2x"),
+    )
+    ranked = pts.join(F.broadcast(rv.select("v", "r2x")), "v")
+    m = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("r2x")).otherwise(0))
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    ties = rv.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    j = m.crossJoin(F.broadcast(ties))
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    nt = F.col("n1") + F.col("n2")
+    var = (n1d * F.col("n2") / 12.0) * (
+        (nt + 1)
+        - F.col("tie_sum").cast("double")
+        / (nt.cast("double") * (nt - 1))
+    )
+    return j.select(
+        "n1",
+        "n2",
+        u1_x2.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).cast("long").alias("u2_x2"),
+        "tie_sum",
+        (
+            (u1_x2.cast("double") - (F.col("n1") * F.col("n2")).cast("double"))
+            / (2.0 * F.sqrt(var))
+        ).alias("z"),
+    )

@@ -256,3 +256,83 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "q_shuffle_skew_audit",
+    oracle="""
+WITH freq AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM freq
+),
+ranked AS (
+  SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, k) AS BIGINT) AS cum
+  FROM freq
+)
+SELECT ranked.rk, ranked.k, ranked.cnt,
+       (ranked.cnt * 1000000) // tot.total AS share_ppm,
+       (ranked.cum * 1000000) // tot.total AS cum_share_ppm,
+       (ranked.cnt * tot.n_keys * 1000) // tot.total AS x1000_vs_mean,
+       tot.n_keys, tot.total
+FROM ranked, tot
+WHERE ranked.rk <= 10
+ORDER BY ranked.rk
+""",
+)
+def q_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew audit over the orders→customer key: the
+    10 heaviest keys with their exact row share (ppm), cumulative
+    share, and hotness-vs-mean multiple — the diagnosis report that
+    decides WHETHER the salted plans in this module (salted_agg_sum /
+    salted_join) are worth their second shuffle, and what
+    ``n_salt`` should be (≈ the x1000_vs_mean multiple / 1000). All
+    ratios are exact integer floor-divisions (nonnegative, so DuckDB's
+    ``//`` and Spark's ``DIV`` agree bit-for-bit); no doubles anywhere.
+
+    Scale shape: the frequency rollup is the map-side-combinable
+    shuffle every skew probe costs; the top-10 cut is a
+    TakeOrderedAndProject (per-task heap); the cumulative window runs
+    over ONLY the 10 surviving rows after a domain-bounded rank — at
+    100 TB a production audit samples the fact scan first, which
+    changes the counts but not this plan."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    freq = freq.persist()
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("k")).limit(10)
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rk"),
+        "k",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "k",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+            F.expr("(cum * 1000000) DIV total").alias("cum_share_ppm"),
+            F.expr("(cnt * n_keys * 1000) DIV total").alias("x1000_vs_mean"),
+            "n_keys",
+            "total",
+        )
+        .orderBy("rk")
+    )

@@ -2814,3 +2814,166 @@ def q_sla_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         o_orderdate
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+delta AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         o_orderdate
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+merged AS (
+  SELECT COALESCE(d.o_custkey, b.o_custkey) AS k,
+         COALESCE(d.price_c, b.price_c) AS price_c,
+         CASE WHEN b.o_custkey IS NULL THEN 'insert'
+              WHEN d.o_custkey IS NULL THEN 'unchanged'
+              ELSE 'update' END AS action
+  FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM merged GROUP BY action ORDER BY action
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 MERGE (upsert) semantics: apply a late batch of
+    per-customer latest-order states onto a base snapshot, classifying
+    every output key as insert (new key), update (key replaced) or
+    unchanged — the change-data-capture apply step every lakehouse
+    runs (Delta/Iceberg MERGE INTO re-expressed as full-outer +
+    classify). The emitted per-action counts + exact checksums pin the
+    merged state without emitting every row.
+
+    Scale shape: both sides reduce to latest-per-key via one
+    partitioned window each (shuffle on the merge key — exactly the
+    partitioning MERGE needs), then ONE co-keyed full-outer join; at
+    100 TB both windows and the join share a single hash partitioning
+    on o_custkey, so AQE plans one exchange per side and the classify
+    + rollup is map-side. The delta side is dwarfed by base in real
+    CDC, making it broadcast-able — here both stay shuffled to
+    exercise the general plan."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def latest(df):
+        return (
+            df.select(
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("price_c"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(o.filter(F.col("o_orderdate") < cut))
+    delta = latest(o.filter(F.col("o_orderdate") >= cut))
+    merged = base.alias("b").join(
+        delta.alias("d"),
+        F.col("b.o_custkey") == F.col("d.o_custkey"),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("d.o_custkey"), F.col("b.o_custkey")).alias("k"),
+        F.coalesce(F.col("d.price_c"), F.col("b.price_c")).alias("price_c"),
+        F.when(F.col("b.o_custkey").isNull(), "insert")
+        .when(F.col("d.o_custkey").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("action")
+    )
+
+
+@query(
+    "q_ivm_merge_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_c,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by mergeable partial aggregates:
+    the 'materialized' slice (shipped before 1998-01-01) and the
+    'delta' slice are aggregated INDEPENDENTLY, then merged by
+    re-aggregating the partials — sum-of-sums, count-as-sum,
+    min-of-mins — and the oracle is the FULL recompute, proving
+    merge(partial(A), partial(B)) ≡ total(A∪B). This is the algebraic
+    property that makes streaming/materialized aggregates possible at
+    all (every accumulator here is a commutative monoid; a
+    non-mergeable stat like an exact median would force the recompute).
+
+    Scale shape: in production the materialized side is a tiny stored
+    summary (|groups| rows) read back instead of recomputed — the
+    delta aggregation is the only fact-scan work, which is the entire
+    point of IVM at 100 TB: cost tracks the CHANGE, not the table.
+    Both partials are map-side-combinable single-shuffle aggregates;
+    the merge re-agg runs over 2×|groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sum_price_c"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+
+    mat = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    return (
+        mat.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_qty").cast("long").alias("sum_qty"),
+            F.sum("sum_price_c").cast("long").alias("sum_price_c"),
+            F.min("min_ship").alias("min_ship"),
+            F.max("max_ship").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -3194,3 +3194,252 @@ def q_events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k_used") * 1000000.0 / F.col("hill_num")
         ).alias("alpha_hat"),
     )
+
+
+@query(
+    "q_time_rsi",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000000
+           AS x,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+delta AS (
+  SELECT x, v, v - lag(v) OVER (ORDER BY x) AS d
+  FROM hourly
+),
+gl AS (
+  SELECT x,
+         CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+         CASE WHEN d < 0 THEN -d ELSE 0 END AS loss,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM delta WHERE d IS NOT NULL
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+roll AS (
+  SELECT x,
+         CAST(SUM(gain) OVER w AS BIGINT) AS g,
+         CAST(SUM(loss) OVER w AS BIGINT) AS l,
+         n
+  FROM gl
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT x, g, l,
+       100.0 * g / (g + l) AS rsi
+FROM roll WHERE n = 24 AND g + l > 0
+ORDER BY x
+""",
+)
+def q_time_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's simple-average form) over the
+    hourly value series: RSI = 100·G/(G+L) where G/L are 24-hour sums
+    of up-moves and down-moves — the mean-reversion oscillator form
+    whose SMA basis (unlike Wilder's recursive EWMA) is expressible as
+    a plain frame aggregate, hence exactly distributable. Deltas,
+    gains, losses and their rolling sums are all exact BIGINT cents;
+    the single closing division of two exact longs is the only double.
+    Only full 24-delta windows with at least one move score.
+
+    Scale shape: one shuffle to the hourly rollup, then an ordered
+    frame window over the calendar-bounded series (≤ a few thousand
+    rows regardless of fact scale — the q_time_bollinger argument); at
+    100 TB the same query runs per-key (partitionBy symbol/tenant) with
+    identical frame logic and no global order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("x")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    wo = Window.orderBy("x")
+    delta = hourly.select(
+        "x", (F.col("v") - F.lag("v").over(wo)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    wf = Window.orderBy("x").rowsBetween(-23, 0)
+    roll = delta.select(
+        "x",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(wf)
+        .alias("g"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(wf)
+        .alias("l"),
+        F.count("*").over(wf).alias("n"),
+    )
+    return (
+        roll.filter((F.col("n") == 24) & (F.col("g") + F.col("l") > 0))
+        .select(
+            "x",
+            F.col("g").cast("long").alias("g"),
+            F.col("l").cast("long").alias("l"),
+            (
+                100.0 * F.col("g").cast("double")
+                / (F.col("g") + F.col("l")).cast("double")
+            ).alias("rsi"),
+        )
+        .orderBy("x")
+    )
+
+
+@query(
+    "q_time_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000000
+           AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+seq AS (
+  SELECT x, c,
+         CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+         CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS s
+  FROM hourly
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t, CAST(SUM(c) AS BIGINT) AS st
+  FROM hourly
+),
+scored AS (
+  SELECT seq.x, seq.i, seq.s, tot.t, tot.st,
+         CAST(seq.s AS DOUBLE) * seq.s / seq.i
+           + CAST(tot.st - seq.s AS DOUBLE) * (tot.st - seq.s)
+             / (tot.t - seq.i) AS fit
+  FROM seq, tot WHERE seq.i < tot.t
+),
+best AS (
+  SELECT x, i, s, t, st, fit,
+         row_number() OVER (ORDER BY fit DESC, i) AS rk
+  FROM scored
+)
+SELECT x AS split_x, i AS n_left, t - i AS n_right, s AS sum_left,
+       st - s AS sum_right,
+       CAST(s AS DOUBLE) / i AS mean_left,
+       CAST(st - s AS DOUBLE) / (t - i) AS mean_right
+FROM best WHERE rk = 1
+""",
+)
+def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection over the hourly event-count
+    series: the split k maximizing the between-segment fit
+    S_k²/k + (S_T−S_k)²/(T−k) — equivalently the first step of binary
+    segmentation / CUSUM-style level-shift localization (the offline
+    twin of q_anomaly_cusum, which only FLAGS drift; this one LOCATES
+    it). Prefix sums and counts are exact BIGINTs; the fit score
+    evaluates per-candidate in one operation-for-operation double
+    expression over exact longs (casting S before the square because
+    S² exceeds BIGINT at scale), and the argmax breaks double ties on
+    the candidate index — fully deterministic.
+
+    Scale shape: one shuffle to the hourly rollup; the candidate scan
+    is a prefix window + 1-row broadcast of the totals over the
+    calendar-bounded series; output is one row. At 100 TB the same
+    plan runs partitioned per series key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("x")
+    ).agg(F.count("*").alias("c"))
+    wo = Window.orderBy("x")
+    seq = hourly.select(
+        "x",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("c").over(wo).cast("long").alias("s"),
+    )
+    tot = hourly.agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("c").cast("long").alias("st"),
+    )
+    scored = (
+        seq.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("t"))
+        .select(
+            "x",
+            "i",
+            "s",
+            "t",
+            "st",
+            (
+                F.col("s").cast("double") * F.col("s") / F.col("i")
+                + (F.col("st") - F.col("s")).cast("double")
+                * (F.col("st") - F.col("s"))
+                / (F.col("t") - F.col("i"))
+            ).alias("fit"),
+        )
+    )
+    wr = Window.orderBy(F.desc("fit"), F.asc("i"))
+    return (
+        scored.select(
+            "*", F.row_number().over(wr).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("x").alias("split_x"),
+            F.col("i").alias("n_left"),
+            (F.col("t") - F.col("i")).alias("n_right"),
+            F.col("s").alias("sum_left"),
+            (F.col("st") - F.col("s")).alias("sum_right"),
+            (F.col("s").cast("double") / F.col("i")).alias("mean_left"),
+            (
+                (F.col("st") - F.col("s")).cast("double")
+                / (F.col("t") - F.col("i"))
+            ).alias("mean_right"),
+        )
+    )
+
+
+@query(
+    "q_power_user_curve",
+    oracle="""
+WITH ud AS (
+  SELECT user_id,
+         CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+              AS BIGINT) AS active_days
+  FROM events GROUP BY user_id
+)
+SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(count(*)) OVER (ORDER BY active_days DESC) AS BIGINT)
+         AS n_users_at_least
+FROM ud GROUP BY active_days
+ORDER BY active_days
+""",
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the 'L30 histogram'): how many users were
+    active on exactly d distinct days, with the cumulative ≥d count —
+    THE engagement-depth report (its shape — smile vs decay —
+    diagnoses a product's habit formation). Exact by construction:
+    distinct-day counts are integers from calendar truncation, the
+    cumulative rides a window over the ≤31-row histogram.
+
+    Scale shape: the user×day dedup is one shuffle on (user, day)
+    (map-side combinable via partial distinct), the per-user rollup
+    rides the same user keying, and the histogram + cumulative run
+    over a day-bounded few-dozen-row table — no per-user window
+    anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("active_days"))
+    )
+    hist = ud.groupBy("active_days").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    w = Window.orderBy(F.desc("active_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "active_days",
+        "n_users",
+        F.sum("n_users").over(w).cast("long").alias("n_users_at_least"),
+    ).orderBy("active_days")

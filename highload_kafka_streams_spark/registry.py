@@ -346,6 +346,14 @@ _QUERY_LEDGER = (
     "q_events_hill_tail_index",
     "q_agg_spearman",
     "q_text_hapax_ratio",
+    "q_agg_ols_regression",
+    "q_agg_mann_whitney",
+    "q_time_rsi",
+    "q_time_changepoint",
+    "q_power_user_curve",
+    "q_merge_upsert",
+    "q_ivm_merge_agg",
+    "q_shuffle_skew_audit",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
