@@ -1132,3 +1132,101 @@ def test_lateness_histogram_has_no_unpartitioned_data_window(spark, sf_smoke):
     assert sum(r.n for r in rows) == 1000  # sf0.001 events row count
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_ols_regression_is_one_aggregate_no_join(spark, sf_smoke):
+    """Regression-as-aggregate: the five moments must reduce in a single
+    partial+final HashAggregate pair — no join, no window, no second
+    pass over the fact."""
+    df = get_queries()["q_agg_ols_regression"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan, plan[:1500]
+    assert plan.count("+- HashAggregate") == 2, plan[:1500]
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        # R² well-formed and slope consistent with exact moments
+        assert 0.0 <= r.r2 <= 1.0
+        num = r.n * r.sxy - r.sx * r.sy
+        dx = r.n * r.sxx - r.sx * r.sx
+        assert abs(r.slope - num / dx) == 0.0
+
+
+def test_mann_whitney_rank_table_broadcasts(spark, sf_smoke):
+    """The per-distinct-value rank table must broadcast back onto the
+    sample rows (domain-bounded dollar values) — a shuffled join here
+    would re-key the whole fact for a dimension-sized table."""
+    df = get_queries()["q_agg_mann_whitney"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    r = df.collect()[0]
+    # U1 + U2 = n1·n2 (doubled: u1_x2 + u2_x2 = 2·n1·n2), exact
+    assert r.u1_x2 + r.u2_x2 == 2 * r.n1 * r.n2
+
+
+def test_merge_upsert_shares_partitioning_across_window_and_join(
+    spark, sf_smoke
+):
+    """Latest-per-key windows and the full-outer merge must ride ONE
+    hash partitioning per side: exactly one exchange under each window
+    branch, none between window and join, and the rank pushes down as
+    WindowGroupLimit."""
+    df = get_queries()["q_merge_upsert"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "SortMergeJoin FullOuter" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # 2 side exchanges + 1 for the closing 3-row rollup + 1 final sort
+    assert plan.count("+- Exchange") <= 4, plan[:2000]
+    actions = {r.action for r in df.collect()}
+    assert actions <= {"insert", "update", "unchanged"}
+
+
+def test_ivm_merge_agg_partials_merge_without_reshuffle(spark, sf_smoke):
+    """Both slices pre-aggregate on the group key, so the merge re-agg
+    must NOT add an exchange (the partials are already co-partitioned);
+    the slice filters must push to the parquet scan."""
+    df = get_queries()["q_ivm_merge_agg"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan[:1500]
+    # 2 partial-pipeline exchanges + 1 final sort; NOT 4+
+    assert plan.count("+- Exchange") <= 3, plan[:2000]
+    rows = df.collect()
+    assert sum(r.n for r in rows) > 0
+
+
+def test_skew_audit_topk_is_take_ordered(spark, sf_smoke):
+    """The heavy-key cut must plan TakeOrderedAndProject (per-task heap
+    over the key-frequency rollup), and shares must be exact integers."""
+    df = get_queries()["q_shuffle_skew_audit"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    rows = df.collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.cum_share_ppm <= 1_000_000 for r in rows)
+    assert all(r.share_ppm == r.cnt * 1_000_000 // r.total for r in rows)
+
+
+def test_power_user_curve_windows_only_the_histogram(spark, sf_smoke):
+    """No per-user window anywhere: the single Window must run over the
+    day-bounded histogram, after both aggregations."""
+    df = get_queries()["q_power_user_curve"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert plan.count("(") > 0 and plan.count(" Window") <= 2, plan[:1500]
+    rows = df.collect()
+    # cumulative ≥d count must be monotone nonincreasing in d
+    cums = [r.n_users_at_least for r in rows]
+    assert cums == sorted(cums, reverse=True)
+
+
+def test_rsi_and_changepoint_series_are_calendar_bounded(spark, sf_smoke):
+    """Both run their ordered windows over the hourly rollup (bounded by
+    the calendar), never over raw events; the changepoint split must
+    partition the series exactly."""
+    rsi = get_queries()["q_time_rsi"](spark, sf_smoke)
+    assert "CartesianProduct" not in plan_of(rsi)
+    rows = rsi.collect()
+    assert all(0.0 <= r.rsi <= 100.0 for r in rows)
+    cp = get_queries()["q_time_changepoint"](spark, sf_smoke).collect()[0]
+    assert cp.n_left > 0 and cp.n_right > 0
+    assert abs(cp.mean_left - cp.sum_left / cp.n_left) == 0.0
