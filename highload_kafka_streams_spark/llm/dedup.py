@@ -1905,3 +1905,97 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(den_x.cast("double") * den_y.cast("double"))
         ).alias("assortativity"),
     )
+
+
+@query(
+    "q_graph_kcore_peel",
+    oracle="""
+WITH cop AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS u, pb AS v FROM cop
+  UNION ALL SELECT pb, pa FROM cop
+),
+n1 AS (SELECT u FROM sym GROUP BY u HAVING count(*) >= 4),
+e1 AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN n1 a ON s.u = a.u JOIN n1 b ON s.v = b.u
+),
+n2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 4),
+e2 AS (
+  SELECT s.u, s.v FROM e1 s
+  JOIN n2 a ON s.u = a.u JOIN n2 b ON s.v = b.u
+),
+n3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 4),
+e3 AS (
+  SELECT s.u, s.v FROM e2 s
+  JOIN n3 a ON s.u = a.u JOIN n3 b ON s.v = b.u
+)
+SELECT u AS partkey, CAST(count(*) AS BIGINT) AS core_deg
+FROM e3 GROUP BY u ORDER BY partkey
+""",
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core extraction from the part co-purchase graph by THREE
+    unrolled peel rounds: repeatedly drop nodes of degree < 4 together
+    with their edges — the density-core step that isolates the
+    strongly cross-sold assortment from long-tail parts whose few
+    co-purchase links vanish once their neighbors peel away (the same
+    op that, on a near-dup graph, separates template families from
+    incidental pair chains). The round count is FIXED at 3 so the
+    Spark loop and the unrolled-CTE oracle compute the identical
+    partial fixpoint — peeling is monotone, extra rounds only shrink
+    further; the fixed-round form keeps the operator oracle-checkable
+    where a run-to-convergence loop would not be.
+
+    Scale shape: the co-purchase edge list is LINEAR in the fact table
+    (pairs within an order, ~C(4,2) per order — an equi-self-join on
+    the order key, never all-pairs over parts); each peel round is a
+    degree rollup plus two semi-joins back onto the shrinking edge
+    list, all keyed on partkey and persisted once per round — the
+    q_dedup_clusters driver-loop recipe with bounded depth."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    sym = cop.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(cop.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    edges = sym.persist()
+    edges.count()
+    for _ in range(3):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 4)
+            .select("u")
+        )
+        nxt = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        nxt.count()
+        edges.unpersist()
+        edges = nxt
+    return (
+        edges.groupBy(F.col("u").alias("partkey"))
+        .agg(F.count("*").cast("long").alias("core_deg"))
+        .orderBy("partkey")
+    )

@@ -1901,3 +1901,99 @@ def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.sqrt(var))
         ).alias("z"),
     )
+
+
+@query(
+    "q_agg_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate)) AS mo,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.mo,
+         (a.y - b.y) * 1000000 AS dy6,
+         (a.x - b.x) AS dx
+  FROM daily a JOIN daily b ON a.mo = b.mo AND b.x < a.x
+),
+slopes AS (
+  SELECT mo,
+         ((dy6 - ((dy6 % dx) + dx) % dx) // dx) AS slope_fx
+  FROM pairs
+),
+ranked AS (
+  SELECT mo, slope_fx,
+         row_number() OVER (PARTITION BY mo ORDER BY slope_fx) AS rn,
+         CAST(count(*) OVER (PARTITION BY mo) AS BIGINT) AS n_pairs
+  FROM slopes
+)
+SELECT mo, n_pairs, slope_fx AS sen_slope_fx,
+       CAST(slope_fx AS DOUBLE) / 1000000.0 AS sen_slope
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+ORDER BY mo
+""",
+)
+def q_agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per month: the (lower) median of all
+    pairwise day-to-day slopes of daily revenue — the estimator with a
+    29% breakdown point that one promo-day outlier cannot bend the way
+    it bends q_agg_ols_regression's least-squares line. Slopes go
+    fixed-point BEFORE ranking: slope_fx = ⌊10⁶·Δy/Δx⌋ via the
+    sign-safe integer floor division (a − pmod(a,b))/b — Spark's DIV
+    truncates and DuckDB's // floors, which disagree on negative
+    slopes, so the pmod subtraction makes the numerator exactly
+    divisible first; the median is then a rank over exact BIGINTs.
+
+    Scale shape: the pairwise join is per-GROUP quadratic, explicitly
+    bounded by the docstring contract ≤31 points/group → ≤465 pairs
+    (the q_dedup_containment argument: quadratic in the bounded
+    calendar, never in the data); one shuffle keys the self-join on
+    the month, the rank window rides the same partitioning."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("x"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.mo") == F.col("b.mo")) & (F.col("b.x") < F.col("a.x")),
+    ).select(
+        F.col("a.mo").alias("mo"),
+        ((F.col("a.y") - F.col("b.y")) * 1000000).alias("dy6"),
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+    )
+    slopes = pairs.select(
+        "mo",
+        F.expr("(dy6 - ((dy6 % dx) + dx) % dx) DIV dx").alias("slope_fx"),
+    )
+    w = Window.partitionBy("mo").orderBy("slope_fx")
+    wc = Window.partitionBy("mo")
+    ranked = slopes.select(
+        "mo",
+        "slope_fx",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).cast("long").alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "mo",
+            "n_pairs",
+            F.col("slope_fx").alias("sen_slope_fx"),
+            (F.col("slope_fx").cast("double") / 1000000.0).alias(
+                "sen_slope"
+            ),
+        )
+        .orderBy("mo")
+    )

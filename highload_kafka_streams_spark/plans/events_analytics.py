@@ -3443,3 +3443,176 @@ def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.sum("n_users").over(w).cast("long").alias("n_users_at_least"),
     ).orderBy("active_days")
+
+
+@query(
+    "q_time_stl_additive",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT d, v,
+         CAST(SUM(v) OVER w AS BIGINT) AS trend7,
+         CAST(count(*) OVER w AS BIGINT) AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT d, d % 7 AS dow, v, trend7, 7 * v - trend7 AS det7
+  FROM tr WHERE n7 = 7
+),
+seas AS (
+  SELECT dow, CAST(SUM(det7) AS BIGINT) AS s_num,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM det GROUP BY dow
+)
+SELECT det.d, det.dow, det.v, det.trend7, det.det7,
+       seas.s_num, seas.s_cnt,
+       CAST(seas.s_num AS DOUBLE) / (7.0 * seas.s_cnt) AS seasonal,
+       CAST(det.det7 AS DOUBLE) / 7.0
+         - CAST(seas.s_num AS DOUBLE) / (7.0 * seas.s_cnt) AS remainder
+FROM det JOIN seas ON seas.dow = det.dow
+ORDER BY det.d
+""",
+)
+def q_time_stl_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (the classical
+    decompose / moving-average STL ancestor): trend = centered 7-day
+    moving average, seasonal = per-day-of-week mean of the detrended
+    series, remainder = what's left — the series triage every capacity
+    planner and anomaly gate runs before picking a model. Exactness:
+    the trend is kept as the 7-day SUM (detrended ×7: det7 = 7v −
+    Σ₇v, all BIGINT cents), day-of-week is d mod 7 on epoch days (no
+    engine dayofweek() convention involved), and the only doubles are
+    two final divisions of exact longs in operation-for-operation
+    identical expressions. Only full 7-day windows decompose.
+
+    Scale shape: one shuffle to the daily rollup; the trend frame runs
+    over the calendar-bounded series; the 7-row seasonal table
+    broadcasts back. At 100 TB the identical plan runs per series key
+    with the frame window partitioned."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "d",
+            "v",
+            F.sum("v").over(w7).cast("long").alias("trend7"),
+            F.count("*").over(w7).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .select(
+            "d",
+            (F.col("d") % 7).alias("dow"),
+            "v",
+            "trend7",
+            (7 * F.col("v") - F.col("trend7")).alias("det7"),
+        )
+    )
+    det = det.persist()
+    seas = det.groupBy("dow").agg(
+        F.sum("det7").cast("long").alias("s_num"),
+        F.count("*").cast("long").alias("s_cnt"),
+    )
+    seasonal = F.col("s_num").cast("double") / (7.0 * F.col("s_cnt"))
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "dow",
+            "v",
+            "trend7",
+            "det7",
+            "s_num",
+            "s_cnt",
+            seasonal.alias("seasonal"),
+            (F.col("det7").cast("double") / 7.0 - seasonal).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_eval_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 101 AS p_pct,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT p_pct // 10 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(p_pct) AS BIGINT) AS sum_p_pct,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+)
+SELECT bin, n, sum_p_pct, n_pos,
+       CAST(sum_p_pct AS DOUBLE) / (100.0 * n) AS mean_p,
+       CAST(n_pos AS DOUBLE) / n AS pos_rate,
+       CAST(sum_p_pct AS DOUBLE) / (100.0 * n)
+         - CAST(n_pos AS DOUBLE) / n AS gap,
+       CAST(n AS DOUBLE)
+         * (CAST(sum_p_pct AS DOUBLE) / (100.0 * n)
+            - CAST(n_pos AS DOUBLE) / n)
+         * (CAST(sum_p_pct AS DOUBLE) / (100.0 * n)
+            - CAST(n_pos AS DOUBLE) / n) AS reliability_term
+FROM bins ORDER BY bin
+""",
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve bins for a probabilistic classifier (the
+    reliability diagram + per-bin reliability term of the Brier
+    decomposition): bucket predictions by decile, compare mean
+    predicted probability against the empirical positive rate — the
+    companion diagnostic to q_eval_auc (AUC measures RANKING,
+    calibration measures whether 0.8 MEANS 80%). The pseudo-predictor
+    derives deterministically from the value column (fixed-point
+    cents mod 101 → an exact integer percent); every bin statistic is
+    an exact BIGINT, and mean_p / pos_rate / gap / n·gap² evaluate in
+    identical double expressions over those longs.
+
+    Scale shape: ONE map-side-combinable aggregate over the scored
+    scan into ≤11 bins — the same single-shuffle reduction as
+    q_agg_ols_regression; no ranking pass, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 101)
+        .alias("p_pct"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(
+        F.expr("p_pct DIV 10").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p_pct").cast("long").alias("sum_p_pct"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    mean_p = F.col("sum_p_pct").cast("double") / (100.0 * F.col("n"))
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    gap = mean_p - pos_rate
+    return bins.select(
+        "bin",
+        "n",
+        "sum_p_pct",
+        "n_pos",
+        mean_p.alias("mean_p"),
+        pos_rate.alias("pos_rate"),
+        gap.alias("gap"),
+        (F.col("n").cast("double") * gap * gap).alias("reliability_term"),
+    ).orderBy("bin")

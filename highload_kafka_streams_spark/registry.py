@@ -354,6 +354,10 @@ _QUERY_LEDGER = (
     "q_merge_upsert",
     "q_ivm_merge_agg",
     "q_shuffle_skew_audit",
+    "q_agg_theil_sen",
+    "q_time_stl_additive",
+    "q_eval_calibration_bins",
+    "q_graph_kcore_peel",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1230,3 +1230,57 @@ def test_rsi_and_changepoint_series_are_calendar_bounded(spark, sf_smoke):
     cp = get_queries()["q_time_changepoint"](spark, sf_smoke).collect()[0]
     assert cp.n_left > 0 and cp.n_right > 0
     assert abs(cp.mean_left - cp.sum_left / cp.n_left) == 0.0
+
+
+def test_theil_sen_pair_join_is_keyed_not_cartesian(spark, sf_smoke):
+    """The pairwise-slope self-join must key on the month (bounded
+    ≤465 pairs per group by the calendar) — never a cartesian — and
+    the median rank must ride the same month partitioning."""
+    df = get_queries()["q_agg_theil_sen"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert abs(r.sen_slope - r.sen_slope_fx / 1e6) == 0.0
+
+
+def test_stl_additive_broadcasts_seasonal_table(spark, sf_smoke):
+    """The 7-row day-of-week seasonal table must broadcast back onto
+    the daily series; trend+seasonal+remainder must reassemble the
+    detrended value exactly in double."""
+    df = get_queries()["q_time_stl_additive"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    rows = df.collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.det7 == 7 * r.v - r.trend7
+        assert abs((r.seasonal + r.remainder) - r.det7 / 7.0) <= 1e-8 * max(
+            1.0, abs(r.det7 / 7.0)
+        )
+
+
+def test_calibration_bins_is_one_aggregate(spark, sf_smoke):
+    """Reliability bins must reduce in a single partial+final aggregate
+    pair over the scored scan — no join, no window."""
+    df = get_queries()["q_eval_calibration_bins"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan, plan[:1500]
+    assert plan.count("+- HashAggregate") == 2, plan[:1500]
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n
+        assert abs(r.reliability_term - r.n * r.gap * r.gap) < 1e-9
+
+
+def test_kcore_peel_edge_list_is_order_keyed(spark, sf_smoke):
+    """The co-purchase edge build must be an equi-join on the order key
+    (linear in the fact), never an all-pairs product over parts; the
+    symmetrized core degrees must sum even (every edge counted twice)."""
+    df = get_queries()["q_graph_kcore_peel"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    rows = df.collect()
+    assert sum(r.core_deg for r in rows) % 2 == 0
