@@ -2215,3 +2215,146 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+WITH binned AS (
+  SELECT source, least(n_chars // 100, 19) AS bin
+  FROM documents
+),
+grid AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM binned) s,
+       (SELECT DISTINCT bin FROM binned) b
+),
+cs AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY source, bin
+),
+cells AS (
+  SELECT grid.source, grid.bin, COALESCE(cs.c, 0) + 1 AS cs1
+  FROM grid LEFT JOIN cs
+    ON cs.source = grid.source AND cs.bin = grid.bin
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(SUM(cs1) AS BIGINT) AS n_all
+  FROM cells
+),
+marg AS (
+  SELECT source, CAST(SUM(cs1) AS BIGINT) AS n_s FROM cells GROUP BY source
+),
+terms AS (
+  SELECT cells.source,
+         (cells.cs1 * (tot.n_all - marg.n_s)
+            - (bt.c_all1 - cells.cs1) * marg.n_s) AS dp_num,
+         CAST(FLOOR(ln(CAST(cells.cs1 * (tot.n_all - marg.n_s) AS DOUBLE))
+                    * 1000) AS BIGINT)
+           - CAST(FLOOR(ln(CAST((bt.c_all1 - cells.cs1) * marg.n_s
+                                AS DOUBLE)) * 1000) AS BIGINT) AS dln_fx3,
+         marg.n_s, tot.n_all
+  FROM cells
+  JOIN marg ON marg.source = cells.source
+  JOIN (SELECT bin, CAST(SUM(cs1) AS BIGINT) AS c_all1
+        FROM cells GROUP BY bin) bt ON bt.bin = cells.bin, tot
+)
+SELECT source, n_s, n_all - n_s AS n_rest,
+       CAST(SUM(dp_num * dln_fx3) AS BIGINT) AS psi_num_fx3,
+       CAST(SUM(dp_num * dln_fx3) AS DOUBLE)
+         / (CAST(n_s AS DOUBLE) * (n_all - n_s) * 1000.0) AS psi
+FROM terms GROUP BY source, n_s, n_all
+ORDER BY source
+""",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the REST of the corpus: PSI = Σ (p−q)·
+    ln(p/q) over 20 length bins — the industry-standard drift score
+    (banking's model-monitoring metric; PSI > 0.25 = re-train) and the
+    companion to q_text_js_divergence (JSD is symmetric-bounded, PSI
+    is the unbounded actuarial convention). Laplace +1 smoothing on a
+    DENSE source×bin grid makes every cell positive — deterministic,
+    and required because PSI diverges on empty bins. Then (p−q)
+    clears its denominators into one exact BIGINT cross-difference,
+    ln(p/q) is a difference of fixed-point logs of exact INTEGER
+    products (1e3 scale keeps the c·n products' term inside BIGINT at
+    ~sf10 — the documented bound), and each source's PSI sums exactly
+    before ONE closing division.
+
+    Scale shape: one shuffle to the source×bin cells; the grid,
+    marginals and bin totals all derive from the bounded cell table
+    (|sources|×20) with broadcast joins; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source", F.expr("least(n_chars DIV 100, 19)").alias("bin")
+    )
+    cs = binned.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    srcs = binned.select("source").distinct()
+    bins = binned.select("bin").distinct()
+    grid = srcs.crossJoin(bins)
+    cells = (
+        grid.join(cs, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("cs1"),
+        )
+        .persist()
+    )
+    tot = cells.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("cs1").cast("long").alias("n_all"),
+    )
+    marg = cells.groupBy("source").agg(
+        F.sum("cs1").cast("long").alias("n_s")
+    )
+    bt = cells.groupBy("bin").agg(F.sum("cs1").cast("long").alias("c_all1"))
+    lnfx3 = lambda col: F.floor(
+        F.log(col.cast("double")) * 1000
+    ).cast("long")
+    rest = F.col("n_all") - F.col("n_s")
+    terms = (
+        cells.join(F.broadcast(marg), "source")
+        .join(F.broadcast(bt), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "n_all",
+            (
+                F.col("cs1") * rest
+                - (F.col("c_all1") - F.col("cs1")) * F.col("n_s")
+            ).alias("dp_num"),
+            (
+                lnfx3(F.col("cs1") * rest)
+                - lnfx3((F.col("c_all1") - F.col("cs1")) * F.col("n_s"))
+            ).alias("dln_fx3"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s", "n_all")
+        .agg(
+            F.sum(F.col("dp_num") * F.col("dln_fx3"))
+            .cast("long")
+            .alias("psi_num_fx3")
+        )
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_rest"),
+            "psi_num_fx3",
+            (
+                F.col("psi_num_fx3").cast("double")
+                / (
+                    F.col("n_s").cast("double")
+                    * (F.col("n_all") - F.col("n_s"))
+                    * 1000.0
+                )
+            ).alias("psi"),
+        )
+        .orderBy("source")
+    )

@@ -1997,3 +1997,142 @@ def q_agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mo")
     )
+
+
+@query(
+    "q_agg_bitmap_presence",
+    oracle="""
+WITH ud AS (
+  SELECT user_id,
+         CAST(bit_or(
+           (CAST(1 AS BIGINT) << CAST(
+             (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000)
+             % 7 AS INTEGER))
+         ) AS BIGINT) AS dow_mask
+  FROM events GROUP BY user_id
+)
+SELECT dow_mask, CAST(bit_count(dow_mask) AS BIGINT) AS n_active_dows,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum
+FROM ud GROUP BY dow_mask
+ORDER BY dow_mask
+""",
+)
+def q_agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap (bitset) aggregation: each user's active weekdays fold
+    into ONE 7-bit integer via bit_or(1 << dow) — the exact-set sketch
+    that answers membership/overlap questions with bitwise ops instead
+    of joins (the same trick roaring-bitmap columns play at warehouse
+    scale), then a popcount histogram over the masks. Day-of-week is
+    epoch-day mod 7, no engine weekday() convention. Everything is
+    integer bit arithmetic — identical on both engines.
+
+    Scale shape: bit_or is a tiny commutative-monoid accumulator (one
+    long per key) — map-side combinable like any sum; two narrow
+    shuffles (user rollup, mask histogram). At 100 TB the same mask
+    column supports audience-overlap queries as bitwise AND + popcount
+    with NO join at all — that is why warehouses store it."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(bit_or(shiftleft(CAST(1 AS BIGINT), "
+            "CAST((unix_micros(ts) DIV 86400000000) % 7 AS INT))) AS BIGINT)"
+        ).alias("dow_mask")
+    )
+    return (
+        ud.groupBy("dow_mask")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("user_id").cast("long").alias("user_checksum"),
+        )
+        .select(
+            "dow_mask",
+            F.expr("CAST(bit_count(dow_mask) AS BIGINT)").alias(
+                "n_active_dows"
+            ),
+            "n_users",
+            "user_checksum",
+        )
+        .orderBy("dow_mask")
+    )
+
+
+@query(
+    "q_agg_mutual_information",
+    oracle="""
+WITH pts AS (
+  SELECT event_type AS xv,
+         (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000)
+           % 7 AS yv
+  FROM events
+),
+cxy AS (
+  SELECT xv, yv, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY xv, yv
+),
+cx AS (SELECT xv, CAST(SUM(c) AS BIGINT) AS cx FROM cxy GROUP BY xv),
+cy AS (SELECT yv, CAST(SUM(c) AS BIGINT) AS cy FROM cxy GROUP BY yv),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cxy),
+terms AS (
+  SELECT cxy.c,
+         CAST(FLOOR(ln(CAST(cxy.c * n.n AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(cx.cx * cy.cy AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS dln_fx
+  FROM cxy JOIN cx ON cx.xv = cxy.xv
+           JOIN cy ON cy.yv = cxy.yv, n
+)
+SELECT CAST(SUM(c * dln_fx) AS BIGINT) AS mi_num_fx,
+       (SELECT n FROM n) AS n,
+       CAST(SUM(c * dln_fx) AS DOUBLE) / ((SELECT n FROM n) * 1000000.0)
+         AS mi_nats
+FROM terms
+""",
+)
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) — the
+    feature-relevance / dependence measure a feature-selection pass
+    computes for every candidate column pair: MI = Σ p(x,y)·
+    ln(p(x,y)/(p(x)p(y))), which over exact counts becomes
+    (1/N)·Σ c_xy·(ln(c_xy·N) − ln(c_x·c_y)) — every log argument an
+    exact INTEGER product, taken fixed-point once per CONTINGENCY CELL
+    (|types|×7 cells, the q_text_js_divergence trick), so the whole
+    sum is one exact BIGINT and the single division happens at the
+    end.
+
+    Scale shape: one map-side-combinable shuffle to the contingency
+    table; marginals and N derive FROM the cells (no second fact
+    scan); the log arithmetic runs over the bounded cell table with
+    broadcast marginal joins. 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("xv"),
+        (F.expr("unix_micros(ts) DIV 86400000000") % 7).alias("yv"),
+    )
+    cxy = pts.groupBy("xv", "yv").agg(F.count("*").cast("long").alias("c"))
+    cxy = cxy.persist()
+    cx = cxy.groupBy("xv").agg(F.sum("c").cast("long").alias("cx"))
+    cy = cxy.groupBy("yv").agg(F.sum("c").cast("long").alias("cy"))
+    n = cxy.agg(F.sum("c").cast("long").alias("n"))
+    lnfx = lambda col: F.floor(
+        F.log(col.cast("double")) * 1000000
+    ).cast("long")
+    terms = (
+        cxy.join(F.broadcast(cx), "xv")
+        .join(F.broadcast(cy), "yv")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            "n",
+            (
+                lnfx(F.col("c") * F.col("n"))
+                - lnfx(F.col("cx") * F.col("cy"))
+            ).alias("dln_fx"),
+        )
+    )
+    return terms.agg(
+        F.sum(F.col("c") * F.col("dln_fx")).cast("long").alias("mi_num_fx"),
+        F.max("n").alias("n"),
+        (
+            F.sum(F.col("c") * F.col("dln_fx")).cast("double")
+            / (F.max("n") * 1000000.0)
+        ).alias("mi_nats"),
+    )

@@ -212,3 +212,113 @@ def q_sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_layout_pruning_audit",
+    oracle="""
+WITH by_week AS (
+  SELECT (CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000) // 7
+           AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1
+),
+by_part AS (
+  SELECT l_partkey // 64 AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1
+),
+audit AS (
+  SELECT 'clustered_by_shipdate' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+         CAST(SUM(CASE WHEN max_ship >= TIMESTAMP '1997-01-01'
+                        AND min_ship < TIMESTAMP '1997-04-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+         CAST(SUM(CASE WHEN max_ship >= TIMESTAMP '1997-01-01'
+                        AND min_ship < TIMESTAMP '1997-04-01'
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned
+  FROM by_week
+  UNION ALL
+  SELECT 'clustered_by_partkey',
+         CAST(count(*) AS BIGINT),
+         CAST(SUM(n_rows) AS BIGINT),
+         CAST(SUM(CASE WHEN max_ship >= TIMESTAMP '1997-01-01'
+                        AND min_ship < TIMESTAMP '1997-04-01'
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN max_ship >= TIMESTAMP '1997-01-01'
+                        AND min_ship < TIMESTAMP '1997-04-01'
+                       THEN n_rows ELSE 0 END) AS BIGINT)
+  FROM by_part
+)
+SELECT layout, n_files, n_rows_total, n_files_hit, n_rows_scanned,
+       (n_files_hit * 1000000) // n_files AS files_hit_ppm,
+       (n_rows_scanned * 1000000) // n_rows_total AS rows_scanned_ppm
+FROM audit ORDER BY layout
+""",
+)
+def q_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit: simulate
+    two file layouts of the fact table — clustered by ship WEEK vs
+    clustered by PARTKEY range — build each layout's per-file min/max
+    manifest for l_shipdate, and measure what fraction of files (and
+    rows) a one-quarter date predicate must read under each. This is
+    the measurement that justifies a `repartitionByRange`/Z-order
+    rewrite at 100 TB: the date-clustered layout prunes to ~the
+    quarter's files, the partkey-clustered one reads everything
+    because every file's date range spans the full table
+    (q_sort_zorder_layout builds the manifest such a rewrite yields;
+    this query quantifies WHY). File ids are value-domain buckets of
+    the cluster key — no global row-number, no layout actually
+    written. All ratios exact integer floor-divisions.
+
+    Scale shape: two map-side-combinable aggregates over the fact
+    scan (one per candidate layout), manifests are |files|-sized,
+    verdict is 2 rows. A real audit over live parquet footers reads
+    ONLY metadata; this one scans because the fixture has no
+    manifest — the plan shape of the decision logic is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+
+    def manifest(df, file_id, layout):
+        m = df.groupBy(file_id.alias("file_id")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        hit = (F.col("max_ship") >= lo) & (F.col("min_ship") < hi)
+        return m.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+                "n_files_hit"
+            ),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_scanned"),
+        )
+
+    audit = manifest(
+        li,
+        F.expr("(unix_micros(l_shipdate) DIV 86400000000) DIV 7"),
+        "clustered_by_shipdate",
+    ).unionByName(
+        manifest(li, F.expr("l_partkey DIV 64"), "clustered_by_partkey")
+    )
+    return audit.select(
+        "layout",
+        "n_files",
+        "n_rows_total",
+        "n_files_hit",
+        "n_rows_scanned",
+        F.expr("(n_files_hit * 1000000) DIV n_files").alias(
+            "files_hit_ppm"
+        ),
+        F.expr("(n_rows_scanned * 1000000) DIV n_rows_total").alias(
+            "rows_scanned_ppm"
+        ),
+    ).orderBy("layout")

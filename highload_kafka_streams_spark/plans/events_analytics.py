@@ -3616,3 +3616,71 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("gap"),
         (F.col("n").cast("double") * gap * gap).alias("reliability_term"),
     ).orderBy("bin")
+
+
+@query(
+    "q_eval_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+paired AS (
+  SELECT a.d, a.d % 7 AS dow, a.v, f.v AS forecast,
+         a.v - f.v AS err
+  FROM daily a JOIN daily f ON f.d = a.d - 7
+)
+SELECT dow, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN err >= 0 THEN err ELSE -err END) AS BIGINT)
+         AS sum_abs_err_c,
+       CAST(SUM(err) AS BIGINT) AS sum_err_c,
+       CAST(SUM(CASE WHEN err >= 0 THEN err ELSE -err END) AS DOUBLE)
+         / count(*) AS mae_c,
+       CAST(SUM(err) AS DOUBLE) / count(*) AS bias_c
+FROM paired GROUP BY dow ORDER BY dow
+""",
+)
+def q_eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_d = y_{d−7}) over daily revenue: per day-of-week MAE and bias
+    — the baseline every forecasting system must beat before a fancier
+    model (Holt, SES — both implemented here) earns its complexity,
+    evaluated the honest way: each origin forecasts only from its own
+    past. The 7-day-back pairing is a calendar-exact self-JOIN on
+    d−7 (a row-lag would silently forecast from 7 PRESENT days,
+    lying across gaps); errors are exact cent BIGINTs, the two
+    closing divisions double.
+
+    Scale shape: one shuffle to the daily rollup; the self-join keys
+    on the day over the calendar-bounded series; 7-row output. At
+    100 TB the identical plan runs per series key."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    daily = daily.persist()
+    a, f = daily.alias("a"), daily.alias("f")
+    paired = a.join(f, F.col("f.d") == F.col("a.d") - 7).select(
+        (F.col("a.d") % 7).alias("dow"),
+        (F.col("a.v") - F.col("f.v")).alias("err"),
+    )
+    abs_err = F.when(F.col("err") >= 0, F.col("err")).otherwise(
+        -F.col("err")
+    )
+    return (
+        paired.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(abs_err).cast("long").alias("sum_abs_err_c"),
+            F.sum("err").cast("long").alias("sum_err_c"),
+            (F.sum(abs_err).cast("double") / F.count("*")).alias("mae_c"),
+            (F.sum("err").cast("double") / F.count("*")).alias("bias_c"),
+        )
+        .orderBy("dow")
+    )

@@ -1284,3 +1284,67 @@ def test_kcore_peel_edge_list_is_order_keyed(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan[:1500]
     rows = df.collect()
     assert sum(r.core_deg for r in rows) % 2 == 0
+
+
+def test_bitmap_presence_is_two_narrow_aggregates(spark, sf_smoke):
+    """The bitset fold must be a plain aggregate chain — no join, no
+    window; masks stay within 7 bits and popcounts agree."""
+    df = get_queries()["q_agg_bitmap_presence"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan, plan[:1500]
+    rows = df.collect()
+    for r in rows:
+        assert 0 < r.dow_mask < 128
+        assert r.n_active_dows == bin(r.dow_mask).count("1")
+
+
+def test_mutual_information_marginals_broadcast(spark, sf_smoke):
+    """Marginals/N must derive from the bounded contingency table and
+    broadcast back — never a second fact scan joined by shuffle."""
+    df = get_queries()["q_agg_mutual_information"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    r = df.collect()[0]
+    assert r.mi_num_fx >= 0  # MI is nonnegative (up to fixed-point floor)
+
+
+def test_psi_grid_is_dense_and_bounded(spark, sf_smoke):
+    """PSI must be computed on the dense smoothed grid: every source
+    appears, psi is finite, and the exact numerator reproduces the
+    double."""
+    rows = get_queries()["q_drift_psi"](spark, sf_smoke).collect()
+    assert len(rows) == 20  # fixture has 20 sources
+    for r in rows:
+        assert r.psi == r.psi_num_fx3 / (r.n_s * r.n_rest * 1000.0)
+        assert r.psi >= 0.0
+
+
+def test_forecast_backtest_pairs_by_calendar_join(spark, sf_smoke):
+    """The d−7 pairing must be an equi-join on the day (calendar-exact),
+    not a row-lag; MAE must bound |bias|."""
+    df = get_queries()["q_eval_forecast_backtest"](spark, sf_smoke)
+    rows = df.collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert abs(r.bias_c) <= r.mae_c + 1e-9
+        assert r.sum_abs_err_c >= abs(r.sum_err_c)
+
+
+def test_layout_audit_date_cluster_prunes_partkey_cluster_does_not(
+    spark, sf_smoke
+):
+    """The audit must demonstrate the pruning asymmetry it exists to
+    measure: the date-clustered layout scans a strict subset of rows,
+    the partkey-clustered layout reads ~everything."""
+    rows = {
+        r.layout: r
+        for r in get_queries()["q_layout_pruning_audit"](
+            spark, sf_smoke
+        ).collect()
+    }
+    d = rows["clustered_by_shipdate"]
+    p = rows["clustered_by_partkey"]
+    assert d.rows_scanned_ppm < p.rows_scanned_ppm
+    assert p.rows_scanned_ppm > 900_000  # partkey layout can't prune dates
+    assert d.n_rows_total == p.n_rows_total
