@@ -2000,7 +2000,7 @@ def q_agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_agg_bitmap_presence",
+    "q_agg_bitmap_weekdays",
     oracle="""
 WITH ud AS (
   SELECT user_id,
@@ -2018,7 +2018,7 @@ FROM ud GROUP BY dow_mask
 ORDER BY dow_mask
 """,
 )
-def q_agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_bitmap_weekdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap (bitset) aggregation: each user's active weekdays fold
     into ONE 7-bit integer via bit_or(1 << dow) — the exact-set sketch
     that answers membership/overlap questions with bitwise ops instead

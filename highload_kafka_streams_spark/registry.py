@@ -358,7 +358,7 @@ _QUERY_LEDGER = (
     "q_time_stl_additive",
     "q_eval_calibration_bins",
     "q_graph_kcore_peel",
-    "q_agg_bitmap_presence",
+    "q_agg_bitmap_weekdays",
     "q_agg_mutual_information",
     "q_drift_psi",
     "q_eval_forecast_backtest",

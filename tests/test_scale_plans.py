@@ -1289,7 +1289,7 @@ def test_kcore_peel_edge_list_is_order_keyed(spark, sf_smoke):
 def test_bitmap_presence_is_two_narrow_aggregates(spark, sf_smoke):
     """The bitset fold must be a plain aggregate chain — no join, no
     window; masks stay within 7 bits and popcounts agree."""
-    df = get_queries()["q_agg_bitmap_presence"](spark, sf_smoke)
+    df = get_queries()["q_agg_bitmap_weekdays"](spark, sf_smoke)
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan, plan[:1500]
     rows = df.collect()
