@@ -132,3 +132,158 @@ def q_er_symspell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_tok")
     )
+
+
+@query(
+    "q_er_fellegi_sunter",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS ck, c_nationkey AS nat,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) // 10000 AS hb,
+         c_custkey % 10 AS kb
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS sk, s_nationkey AS nat,
+         CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 10000 AS hb,
+         s_suppkey % 10 AS kb
+  FROM supplier
+),
+den AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM c)
+         * (SELECT CAST(count(*) AS BIGINT) FROM s) AS de
+),
+u_hb AS (
+  SELECT CAST(SUM(cc.n * ss.n) AS BIGINT) AS nu
+  FROM (SELECT hb, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY hb) cc
+  JOIN (SELECT hb, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY hb) ss
+    ON cc.hb = ss.hb
+),
+u_kb AS (
+  SELECT CAST(SUM(cc.n * ss.n) AS BIGINT) AS nu
+  FROM (SELECT kb, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY kb) cc
+  JOIN (SELECT kb, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY kb) ss
+    ON cc.kb = ss.kb
+),
+w AS (
+  SELECT
+    CAST(FLOOR(ln(CAST(9 * den.de AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(FLOOR(ln(CAST(10 * u_hb.nu AS DOUBLE)) * 1000000) AS BIGINT)
+      AS wa_hb,
+    CAST(FLOOR(ln(CAST(den.de AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(FLOOR(ln(CAST(10 * (den.de - u_hb.nu) AS DOUBLE)) * 1000000)
+             AS BIGINT) AS wd_hb,
+    CAST(FLOOR(ln(CAST(9 * den.de AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(FLOOR(ln(CAST(10 * u_kb.nu AS DOUBLE)) * 1000000) AS BIGINT)
+      AS wa_kb,
+    CAST(FLOOR(ln(CAST(den.de AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(FLOOR(ln(CAST(10 * (den.de - u_kb.nu) AS DOUBLE)) * 1000000)
+             AS BIGINT) AS wd_kb
+  FROM den, u_hb, u_kb
+),
+scored AS (
+  SELECT c.ck, s.sk,
+         (c.hb = s.hb) AS agree_hb,
+         (c.kb = s.kb) AS agree_kb,
+         (CASE WHEN c.hb = s.hb THEN w.wa_hb ELSE w.wd_hb END
+          + CASE WHEN c.kb = s.kb THEN w.wa_kb ELSE w.wd_kb END)
+           AS score_fx
+  FROM c JOIN s ON c.nat = s.nat, w
+)
+SELECT ck AS custkey, sk AS suppkey, agree_hb, agree_kb, score_fx
+FROM scored
+ORDER BY score_fx DESC, ck, sk
+LIMIT 20
+""",
+)
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: candidate
+    customer↔supplier pairs (blocked on nation) scored by the sum of
+    per-field log-likelihood weights ln(m/u) for agreements and
+    ln((1−m)/(1−u)) for disagreements — the 1969 framework behind
+    every production ER engine (Splink et al.), here with the
+    u-probabilities ESTIMATED FROM THE DATA as real linkers do:
+    u_f = Σ_v cC_v·cS_v / (|C|·|S|), the chance a random cross pair
+    agrees on field f. With m fixed at 9/10, every weight is a
+    difference of fixed-point logs of exact INTEGER products
+    (ln(9·den)−ln(10·num) — the q_text_js_divergence trick), so pair
+    scores are exact BIGINTs and the top-20 ranking has no float
+    anywhere.
+
+    Scale shape: u-estimation is two value-keyed rollups joined on the
+    bounded field domains; the 1-row weight table broadcasts; blocking
+    bounds the candidate join (nation blocks, the q_dedup machinery's
+    band-bucket argument — NEVER all-pairs); top-20 is a
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DIV 10000"
+        ).alias("hb"),
+        (F.col("c_custkey") % 10).alias("kb"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_nationkey").alias("nat"),
+        F.expr(
+            "CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) DIV 10000"
+        ).alias("hb"),
+        (F.col("s_suppkey") % 10).alias("kb"),
+    )
+    c = c.persist()
+    s = s.persist()
+
+    def u_num(field):
+        cc = c.groupBy(field).agg(F.count("*").alias("n_c"))
+        ss = s.groupBy(field).agg(F.count("*").alias("n_s"))
+        return cc.join(ss, field).agg(
+            F.sum(F.col("n_c") * F.col("n_s")).cast("long").alias("nu")
+        )
+
+    lnfx = lambda col: F.floor(
+        F.log(col.cast("double")) * 1000000
+    ).cast("long")
+    den = c.agg(F.count("*").alias("n_c")).crossJoin(
+        s.agg(F.count("*").alias("n_s"))
+    ).select((F.col("n_c") * F.col("n_s")).cast("long").alias("de"))
+    w = (
+        den.crossJoin(u_num("hb").withColumnRenamed("nu", "nu_hb"))
+        .crossJoin(u_num("kb").withColumnRenamed("nu", "nu_kb"))
+        .select(
+            (lnfx(9 * F.col("de")) - lnfx(10 * F.col("nu_hb"))).alias(
+                "wa_hb"
+            ),
+            (
+                lnfx(F.col("de"))
+                - lnfx(10 * (F.col("de") - F.col("nu_hb")))
+            ).alias("wd_hb"),
+            (lnfx(9 * F.col("de")) - lnfx(10 * F.col("nu_kb"))).alias(
+                "wa_kb"
+            ),
+            (
+                lnfx(F.col("de"))
+                - lnfx(10 * (F.col("de") - F.col("nu_kb")))
+            ).alias("wd_kb"),
+        )
+    )
+    agree_hb = F.col("c.hb") == F.col("s.hb")
+    agree_kb = F.col("c.kb") == F.col("s.kb")
+    scored = (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.nat") == F.col("s.nat"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            F.col("c.ck").alias("custkey"),
+            F.col("s.sk").alias("suppkey"),
+            agree_hb.alias("agree_hb"),
+            agree_kb.alias("agree_kb"),
+            (
+                F.when(agree_hb, F.col("wa_hb")).otherwise(F.col("wd_hb"))
+                + F.when(agree_kb, F.col("wa_kb")).otherwise(F.col("wd_kb"))
+            ).alias("score_fx"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_fx"), F.asc("custkey"), F.asc("suppkey")
+    ).limit(20)

@@ -2977,3 +2977,152 @@ def q_ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_alloc_water_filling",
+    oracle="""
+WITH dem AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) // 100 AS d
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, d,
+         CAST(row_number() OVER (ORDER BY d, source) AS BIGINT) AS rn,
+         CAST(SUM(d) OVER (ORDER BY d, source) AS BIGINT) AS pfx,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         (CAST(SUM(d) OVER () AS BIGINT) * 9) // 10 AS b
+  FROM dem
+),
+base AS (
+  SELECT min(n) AS n, min(b) AS b FROM ranked
+),
+kstar AS (
+  SELECT COALESCE((SELECT max(rn) FROM ranked
+                   WHERE pfx + (n - rn) * d <= b), 0) AS k,
+         base.n, base.b
+  FROM base
+),
+params AS (
+  SELECT kstar.k, kstar.n, kstar.b,
+         COALESCE((SELECT pfx FROM ranked WHERE rn = kstar.k), 0) AS pk
+  FROM kstar
+),
+lvl AS (
+  SELECT k, n, b, pk,
+         CASE WHEN n > k THEN (b - pk) // (n - k) ELSE 0 END AS t,
+         CASE WHEN n > k THEN (b - pk) % (n - k) ELSE 0 END AS r
+  FROM params
+)
+SELECT ranked.source, ranked.d AS demand,
+       CASE WHEN ranked.rn <= lvl.k THEN ranked.d
+            ELSE lvl.t + (CASE WHEN ranked.rn - lvl.k <= lvl.r
+                               THEN 1 ELSE 0 END) END AS alloc,
+       (ranked.rn > lvl.k) AS capped,
+       lvl.b AS budget
+FROM ranked, lvl
+ORDER BY ranked.source
+""",
+)
+def q_alloc_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a sampling budget
+    across sources: every source gets min(demand, t) docs where the
+    water level t exhausts the budget — THE fair-share algorithm of
+    schedulers and of training-data mixture capping (small sources
+    keep everything, big sources cap at a common level; contrast
+    q_alloc_largest_remainder, which is proportional, and
+    q_sample_cap_per_source, which fixes the cap a priori — here the
+    cap is SOLVED FOR). Closed form over the demand-sorted prefix:
+    k* = the last rank whose full demand fits under a feasible level,
+    then t = (B−P_k*) div (n−k*) with the integer remainder spread
+    one-each to the first capped ranks — every quantity an exact
+    BIGINT, deterministically tie-broken by (demand, source).
+
+    Scale shape: demands are one map-side-combinable rollup; the
+    ranking/prefix windows run over the |sources|-bounded table and
+    the 1-row solved parameters broadcast back — the same
+    driver-free closed-form shape as q_alloc_largest_remainder (no
+    iterative bisection, no collect)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dem = docs.groupBy("source").agg(
+        F.expr("CAST(SUM(n_chars) AS BIGINT) DIV 100").alias("d")
+    )
+    wo = Window.orderBy("d", "source")
+    wall = Window.partitionBy()
+    ranked = dem.select(
+        "source",
+        "d",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pfx"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.expr("(CAST(SUM(d) OVER () AS BIGINT) * 9) DIV 10").alias("b"),
+    )
+    ranked = ranked.persist()
+    kstar = ranked.filter(
+        F.col("pfx") + (F.col("n") - F.col("rn")) * F.col("d")
+        <= F.col("b")
+    ).agg(
+        F.coalesce(F.max("rn"), F.lit(0)).alias("k"),
+    )
+    base = ranked.agg(
+        F.min("n").alias("n"), F.min("b").alias("b")
+    )
+    kstar = kstar.crossJoin(base)
+    pk = (
+        kstar.join(
+            ranked.select(F.col("rn").alias("k"), F.col("pfx")),
+            "k",
+            "left",
+        )
+        .select(
+            "k",
+            "n",
+            "b",
+            F.coalesce(F.col("pfx"), F.lit(0)).alias("pk"),
+        )
+    )
+    lvl = pk.select(
+        "k",
+        "n",
+        "b",
+        F.when(
+            F.col("n") > F.col("k"),
+            F.expr("(b - pk) DIV (n - k)"),
+        )
+        .otherwise(0)
+        .alias("t"),
+        F.when(
+            F.col("n") > F.col("k"), F.expr("(b - pk) % (n - k)")
+        )
+        .otherwise(0)
+        .alias("r"),
+    )
+    lvl = lvl.select(
+        F.col("k").alias("kk"),
+        F.col("b").alias("bb"),
+        "t",
+        "r",
+    )
+    return (
+        ranked.select("source", "d", "rn")
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("d").alias("demand"),
+            F.when(F.col("rn") <= F.col("kk"), F.col("d"))
+            .otherwise(
+                F.col("t")
+                + F.when(
+                    F.col("rn") - F.col("kk") <= F.col("r"), 1
+                ).otherwise(0)
+            )
+            .alias("alloc"),
+            (F.col("rn") > F.col("kk")).alias("capped"),
+            F.col("bb").alias("budget"),
+        )
+        .orderBy("source")
+    )

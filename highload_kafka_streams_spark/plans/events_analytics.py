@@ -3684,3 +3684,121 @@ def q_eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "q_events_window_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id, event_id, event_type, t,
+         max(CASE WHEN event_type = 'view' THEN t END) OVER w AS pv
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT user_id, event_id, event_type, t, pv,
+         (event_type = 'click' AND pv IS NOT NULL
+          AND t <= pv + 86400000000) AS c_valid
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, event_type, t, pv, c_valid,
+         max(CASE WHEN c_valid THEN pv END) OVER w AS m2pv
+  FROM s2
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lv AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' AND m2pv IS NOT NULL
+                   AND m2pv >= t - 86400000000 THEN 3
+              WHEN c_valid THEN 2
+              WHEN event_type = 'view' THEN 1
+              ELSE 0 END AS lvl
+  FROM s3
+)
+SELECT user_id, CAST(max(lvl) AS BIGINT) AS funnel_level
+FROM lv GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel depth per user (the windowFunnel operator of
+    product-analytics engines): the deepest view→click→purchase chain
+    whose every step happens within 24 h of the chain's FIRST event —
+    unlike q_funnel_conversion (global first-times), this finds ANY
+    qualifying chain, which is the per-key state machine a stream
+    processor runs. Computed in TWO linear window passes, not a
+    3-way join: pass 1 carries the latest view time (pv) forward;
+    pass 2 carries the latest pv OWNED BY a window-valid click —
+    maximizing the carried window-start is exactly the greedy that
+    decides purchase eligibility (a purchase completes level 3 iff
+    the best valid click's view is within 24 h of it). All event-time
+    arithmetic is exact µs BIGINTs; (ts, event_id) gives a total
+    order.
+
+    Scale shape: one shuffle keys the union on user_id; both window
+    passes and the closing max ride that single partitioning —
+    linear in events, zero candidate blow-up (the 3-way-join funnel
+    the oracle COULD have used is quadratic per user; the merge form
+    is why this runs at 100 TB)."""
+    from pyspark.sql import Window
+
+    DAY = 86400000000
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = e.select(
+        "*",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("t"))
+        ).over(w).alias("pv"),
+    )
+    s2 = s1.select(
+        "*",
+        (
+            (F.col("event_type") == "click")
+            & F.col("pv").isNotNull()
+            & (F.col("t") <= F.col("pv") + DAY)
+        ).alias("c_valid"),
+    )
+    s3 = s2.select(
+        "user_id",
+        "event_type",
+        "t",
+        "c_valid",
+        F.max(F.when(F.col("c_valid"), F.col("pv"))).over(w).alias("m2pv"),
+    )
+    lvl = (
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("m2pv").isNotNull()
+            & (F.col("m2pv") >= F.col("t") - DAY),
+            3,
+        )
+        .when(F.col("c_valid"), 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    return (
+        s3.select("user_id", lvl.alias("lvl"))
+        .groupBy("user_id")
+        .agg(F.max("lvl").cast("long").alias("funnel_level"))
+        .orderBy("user_id")
+    )

@@ -363,6 +363,10 @@ _QUERY_LEDGER = (
     "q_drift_psi",
     "q_eval_forecast_backtest",
     "q_layout_pruning_audit",
+    "q_events_window_funnel",
+    "q_er_fellegi_sunter",
+    "q_cdc_log_compaction",
+    "q_alloc_water_filling",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -119,3 +119,79 @@ def q_source_global_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nations"))
         .orderBy("r_name")
     )
+
+
+@query(
+    "q_cdc_log_compaction",
+    oracle="""
+WITH log AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+         event_id,
+         (event_type = 'error') AS tombstone,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+),
+latest AS (
+  SELECT user_id, t, tombstone, value_c,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_versions,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, t AS last_t_us, value_c AS last_value_c, n_versions
+FROM latest
+WHERE rn = 1 AND NOT tombstone
+ORDER BY user_id
+""",
+)
+def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style log compaction with tombstone semantics: the change
+    log compacts to each key's LATEST record, and a key whose latest
+    record is a tombstone (here: an 'error' event) disappears from the
+    compacted state entirely — exactly what a compacted topic's
+    retention does, and the delete-aware half that the plain
+    latest-per-key table source (q_source_table_latest_per_key) does
+    not model. Emits each surviving key's last offset-time, last
+    value and total version count, so both the keep AND the drop
+    decisions are value-hash-checked.
+
+    Scale shape: ONE shuffle on the key; the latest-record rank
+    plans a WindowGroupLimit (rank pushdown — no per-key sort
+    materialization beyond the running top-1), and the version count
+    rides the same partitioning. This is the standard 100 TB CDC
+    snapshot recipe (Delta/Iceberg 'deduplicate on merge key' with
+    delete handling)."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_id",
+        (F.col("event_type") == "error").alias("tombstone"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_c"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    latest = log.select(
+        "user_id",
+        "t",
+        "tombstone",
+        "value_c",
+        F.count("*").over(wc).cast("long").alias("n_versions"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (~F.col("tombstone")))
+        .select(
+            "user_id",
+            F.col("t").alias("last_t_us"),
+            F.col("value_c").alias("last_value_c"),
+            "n_versions",
+        )
+        .orderBy("user_id")
+    )

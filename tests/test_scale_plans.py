@@ -1348,3 +1348,63 @@ def test_layout_audit_date_cluster_prunes_partkey_cluster_does_not(
     assert d.rows_scanned_ppm < p.rows_scanned_ppm
     assert p.rows_scanned_ppm > 900_000  # partkey layout can't prune dates
     assert d.n_rows_total == p.n_rows_total
+
+
+def test_window_funnel_is_linear_merge_not_join(spark, sf_smoke):
+    """The funnel must be the two-window merge form — no join of stage
+    streams (the quadratic form lives only in analytics engines'
+    documentation); levels bounded 0..3 and monotone vs event counts."""
+    df = get_queries()["q_events_window_funnel"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan[:1500]
+    rows = df.collect()
+    assert rows and all(0 <= r.funnel_level <= 3 for r in rows)
+    assert any(r.funnel_level == 3 for r in rows)
+
+
+def test_fellegi_sunter_weights_broadcast_topk_takeordered(spark, sf_smoke):
+    """The 1-row weight table must broadcast onto the blocked candidate
+    join and the top-20 must plan TakeOrderedAndProject; agreement on
+    both fields must dominate the ranking."""
+    df = get_queries()["q_er_fellegi_sunter"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    rows = df.collect()
+    assert len(rows) == 20
+    # scores sorted desc; double-agreement rows (if any) come first
+    scores = [r.score_fx for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    if rows[0].agree_hb and rows[0].agree_kb:
+        assert all(
+            (r.agree_hb and r.agree_kb) or r.score_fx < rows[0].score_fx
+            for r in rows
+        )
+
+
+def test_cdc_compaction_single_key_shuffle_with_group_limit(
+    spark, sf_smoke
+):
+    """Compaction = one hash partitioning on the key; the latest-record
+    rank must push down as WindowGroupLimit; tombstoned keys absent."""
+    df = get_queries()["q_cdc_log_compaction"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    rows = df.collect()
+    ev = load_table(spark, sf_smoke, "events")
+    n_keys = ev.select("user_id").distinct().count()
+    assert 0 < len(rows) < n_keys  # some tombstones must have deleted keys
+
+
+def test_water_filling_exhausts_budget_exactly(spark, sf_smoke):
+    """Max-min fairness invariants: uncapped sources get full demand,
+    capped allocations differ by at most 1, and Σ alloc == budget."""
+    rows = get_queries()["q_alloc_water_filling"](spark, sf_smoke).collect()
+    assert sum(r.alloc for r in rows) == rows[0].budget
+    caps = sorted({r.alloc for r in rows if r.capped})
+    assert len(caps) <= 2 and (len(caps) < 2 or caps[1] - caps[0] == 1)
+    for r in rows:
+        if not r.capped:
+            assert r.alloc == r.demand
+        else:
+            assert r.alloc <= r.demand
