@@ -2358,3 +2358,167 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_naive_bayes",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, (doc_id % 5 = 0) AS is_test, tok,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, lang, is_test, tok
+),
+cls AS (
+  SELECT lang AS c,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS t_c
+  FROM toks WHERE NOT is_test GROUP BY lang
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train
+  FROM toks WHERE NOT is_test
+),
+ctc AS (
+  SELECT tok, lang AS c, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM toks WHERE NOT is_test GROUP BY tok, lang
+),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, cls.c,
+         SUM(t.n * (CAST(FLOOR(ln(CAST(COALESCE(ctc.cnt, 0) + 1
+                                      AS DOUBLE)) * 1000000) AS BIGINT)
+                    - CAST(FLOOR(ln(CAST(cls.t_c + vocab.v AS DOUBLE))
+                                 * 1000000) AS BIGINT))) AS like_fx
+  FROM toks t
+  CROSS JOIN cls
+  CROSS JOIN vocab
+  LEFT JOIN ctc ON ctc.tok = t.tok AND ctc.c = cls.c
+  WHERE t.is_test
+  GROUP BY t.doc_id, t.lang, cls.c
+),
+post AS (
+  SELECT scored.doc_id, scored.true_lang, scored.c,
+         scored.like_fx
+           + CAST(FLOOR(ln(CAST(cls.n_docs AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+           - CAST(FLOOR(ln(CAST(vocab.n_train AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS score_fx
+  FROM scored JOIN cls ON cls.c = scored.c, vocab
+),
+pred AS (
+  SELECT doc_id, true_lang, c AS pred_lang, score_fx,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fx DESC, c) AS rk
+  FROM post
+)
+SELECT true_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_fx) AS BIGINT) AS score_checksum_fx
+FROM pred WHERE rk = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+""",
+)
+def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    inside the engine: docs with doc_id%5≠0 train per-class token
+    counts, the held-out 20% are scored with Laplace-smoothed
+    log-likelihoods plus log-priors, and the output is the confusion
+    matrix — the complete train→predict→evaluate loop of the classic
+    quality/language filter (fastText's ancestor) as pure relational
+    algebra. Every log is fixed-point of an exact INTEGER argument
+    (count+1, T_c+V, class sizes — the per-vocab-entry trick), so doc
+    scores are exact BIGINT sums and the argmax (tiebreak: class name)
+    involves no float anywhere; the per-cell score checksum pins the
+    posteriors, not just the argmax.
+
+    Scale shape: training is two token-keyed rollups (map-side
+    combinable); scoring joins test tokens against the (token, class)
+    weight table keyed on the token — at 100 TB that join is the
+    standard model-scoring shuffle, bounded by vocab×classes, with
+    class stats broadcast (the contingency/marginal pattern of
+    q_agg_mutual_information); the confusion rollup is |classes|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 5 == 0).alias("is_test"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "lang", "is_test", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    toks = toks.persist()
+    train = toks.filter(~F.col("is_test"))
+    cls = train.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("t_c"),
+    )
+    vocab = train.agg(
+        F.countDistinct("tok").cast("long").alias("v"),
+        F.countDistinct("doc_id").cast("long").alias("n_train"),
+    )
+    ctc = train.groupBy("tok", F.col("lang").alias("c")).agg(
+        F.sum("n").cast("long").alias("cnt")
+    )
+    lnfx = lambda col: F.floor(
+        F.log(col.cast("double")) * 1000000
+    ).cast("long")
+    test = toks.filter(F.col("is_test")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok", "n"
+    )
+    scored = (
+        test.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vocab))
+        .join(ctc, ["tok", "c"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            (
+                F.col("n")
+                * (
+                    lnfx(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    - lnfx(F.col("t_c") + F.col("v"))
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "true_lang", "c")
+        .agg(F.sum("term").cast("long").alias("like_fx"))
+    )
+    post = (
+        scored.join(F.broadcast(cls), "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            (
+                F.col("like_fx")
+                + lnfx(F.col("n_docs"))
+                - lnfx(F.col("n_train"))
+            ).alias("score_fx"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fx"), F.asc("c"))
+    pred = post.select(
+        "true_lang",
+        F.col("c").alias("pred_lang"),
+        "score_fx",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score_fx").cast("long").alias("score_checksum_fx"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

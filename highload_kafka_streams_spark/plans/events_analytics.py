@@ -3802,3 +3802,127 @@ def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("lvl").cast("long").alias("funnel_level"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_circuit_breaker",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+         (event_type = 'error') AS is_err
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_id, t, is_err,
+         row_number() OVER wo AS rn,
+         CASE WHEN is_err THEN row_number() OVER wo
+              - row_number() OVER (PARTITION BY user_id, is_err
+                                   ORDER BY t, event_id) END AS island,
+         min(CASE WHEN NOT is_err THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_ok_t
+  FROM e
+  WINDOW wo AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+runs AS (
+  SELECT user_id, island,
+         CAST(count(*) AS BIGINT) AS run_len,
+         min(t) AS first_err_t,
+         min(CASE WHEN rn_in = 3 THEN t END) AS open_t,
+         min(CASE WHEN rn_in = run_n THEN next_ok_t END) AS recovery_t
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY user_id, island
+                                  ORDER BY t, event_id) AS rn_in,
+               CAST(count(*) OVER (PARTITION BY user_id, island)
+                    AS BIGINT) AS run_n
+        FROM seq WHERE is_err)
+  GROUP BY user_id, island
+)
+SELECT user_id, run_len, first_err_t, open_t, recovery_t,
+       recovery_t - open_t AS downtime_us
+FROM runs
+WHERE run_len >= 3
+ORDER BY user_id, first_err_t
+""",
+)
+def q_stream_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circuit-breaker episode report: a user's breaker OPENS on the
+    3rd consecutive error and recovers at the first subsequent
+    successful event — per episode the error-burst length, open time,
+    recovery time and downtime, i.e. the batch replay of the
+    resilience state machine every service mesh runs per key (the
+    streaming twin is a per-key processor with a consecutive-error
+    counter and a reset-on-success timer). Composition of two island
+    patterns: consecutive-error runs via the rn−rn_type difference
+    (the q_events_longest_streak recipe), and recovery via the
+    reverse-prefix next-success carry (the merge-form as-of join —
+    never an event×event join). All times exact µs BIGINTs.
+
+    Scale shape: ONE shuffle on user_id; every window (sequence
+    numbers, island ids, reverse next-success, in-run ranks) rides
+    that single partitioning; the per-run rollup keys on (user,
+    island). Linear in events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    w_typ = Window.partitionBy("user_id", "is_err").orderBy(
+        "t", "event_id"
+    )
+    w_next = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "t",
+        "is_err",
+        F.when(
+            F.col("is_err"),
+            F.row_number().over(wo) - F.row_number().over(w_typ),
+        ).alias("island"),
+        F.min(F.when(~F.col("is_err"), F.col("t")))
+        .over(w_next)
+        .alias("next_ok_t"),
+    )
+    errs = seq.filter(F.col("is_err"))
+    w_run = Window.partitionBy("user_id", "island").orderBy(
+        "t", "event_id"
+    )
+    w_runall = Window.partitionBy("user_id", "island")
+    marked = errs.select(
+        "user_id",
+        "island",
+        "t",
+        "next_ok_t",
+        F.row_number().over(w_run).alias("rn_in"),
+        F.count("*").over(w_runall).alias("run_n"),
+    )
+    runs = marked.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("t").alias("first_err_t"),
+        F.min(F.when(F.col("rn_in") == 3, F.col("t"))).alias("open_t"),
+        F.min(
+            F.when(F.col("rn_in") == F.col("run_n"), F.col("next_ok_t"))
+        ).alias("recovery_t"),
+    )
+    return (
+        runs.filter(F.col("run_len") >= 3)
+        .select(
+            "user_id",
+            "run_len",
+            "first_err_t",
+            "open_t",
+            "recovery_t",
+            (F.col("recovery_t") - F.col("open_t")).alias("downtime_us"),
+        )
+        .orderBy("user_id", "first_err_t")
+    )
