@@ -1999,3 +1999,108 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("core_deg"))
         .orderBy("partkey")
     )
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle="""
+WITH cop AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS u, pb AS v FROM cop
+  UNION ALL SELECT pb, pa FROM cop
+),
+l1c AS (
+  SELECT u, v AS l, count(*) AS cnt FROM sym GROUP BY u, v
+),
+l1r AS (
+  SELECT u, l, row_number() OVER (
+    PARTITION BY u ORDER BY cnt DESC, l) AS rn
+  FROM l1c
+),
+lab1 AS (SELECT u, l FROM l1r WHERE rn = 1),
+l2c AS (
+  SELECT s.u, lab1.l, count(*) AS cnt
+  FROM sym s JOIN lab1 ON s.v = lab1.u
+  GROUP BY s.u, lab1.l
+),
+l2r AS (
+  SELECT u, l, row_number() OVER (
+    PARTITION BY u ORDER BY cnt DESC, l) AS rn
+  FROM l2c
+),
+lab2 AS (SELECT u, l FROM l2r WHERE rn = 1)
+SELECT l AS community, CAST(count(*) AS BIGINT) AS size
+FROM lab2
+GROUP BY l
+ORDER BY community
+""",
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds) over the part
+    co-purchase graph: every node adopts the MODE of its neighbors'
+    labels each round (ties → smallest label), starting from identity
+    labels — the classic near-linear community detector, and a
+    different fixpoint than connected components (duplicate_clusters
+    converges to reachability; LPA converges to dense cores, splitting
+    a connected graph into communities).  Round count FIXED at 2 so
+    the dataframe loop and the unrolled-CTE oracle compute the same
+    partial fixpoint (the q_graph_kcore_peel discipline).
+
+    Determinism: the mode is resolved by (count DESC, label ASC) under
+    a row_number window — a total order both engines share; labels
+    are exact BIGINTs throughout.
+
+    Scale shape: each round is one labels-join on the symmetrized edge
+    list + one (node, label) count + one per-node window (partitioned
+    by node, never global).  The edge list is built once and reused;
+    at 100 TB the join runs shuffle-free on src-bucketed edges
+    (the q_graph_pagerank_fx posture), and the per-round state is one
+    (node, label) table — the standard distributed LPA layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select("l_orderkey", "l_partkey")
+    a, b = keys.alias("a"), keys.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    sym = cop.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(cop.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    # neighbor-label view of round 0: identity labels, lab(v) = v
+    lab = sym.select("u", F.col("v").alias("lv"))
+    from pyspark.sql.window import Window as _W
+
+    picked = None
+    for _ in range(2):
+        cnt = lab.groupBy("u", F.col("lv").alias("l")).agg(
+            F.count("*").alias("cnt")
+        )
+        w = _W.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("l"))
+        picked = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "l")
+        )
+        # next round's neighbor-label view: edges decorated with the
+        # neighbor's freshly-picked label
+        lab = sym.join(
+            picked.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+            "v",
+        ).select("u", "lv")
+    return (
+        picked.groupBy(F.col("l").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy("community")
+    )

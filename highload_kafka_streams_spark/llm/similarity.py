@@ -1299,3 +1299,115 @@ def q_eval_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_embed_kmeans_step",
+    oracle=f"""
+WITH dims AS (
+  SELECT label, i.i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+           AS fx
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+cent AS (
+  SELECT label, dim, SUM(fx) / 1e12 / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+),
+scored AS (
+  SELECT e.vec_id, e.label AS old_label, c.label AS cand,
+         SUM(CAST(FLOOR(c.c * CAST(e.embedding[c.dim + 1] AS DOUBLE) * 1e12
+                        + 0.5) AS BIGINT)) / 1e12 AS dq,
+         SUM(CAST(FLOOR(c.c * c.c * 1e12 + 0.5) AS BIGINT)) / 1e12 AS dc
+  FROM embeddings e, cent c
+  GROUP BY e.vec_id, e.label, c.label
+),
+assigned AS (
+  SELECT vec_id, old_label, cand AS new_label,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY dq / sqrt(dc) DESC, cand) AS rn
+  FROM scored
+)
+SELECT old_label, new_label,
+       CAST(count(*) AS BIGINT) AS n,
+       (old_label <> new_label) AS moved
+FROM assigned WHERE rn = 1
+GROUP BY old_label, new_label
+ORDER BY old_label, new_label
+""",
+)
+def q_embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Lloyd iteration of k-means over the embedding
+    corpus, seeded from the existing `label` partition: (1) centroids
+    = per-label fixed-point means, (2) every vector re-assigns to the
+    centroid maximizing cos(v, c) (ties → smallest label), (3) emit
+    the (old → new) assignment-confusion matrix — the migration
+    read-out a clustering pipeline watches for convergence.  The
+    iterative-ML sibling of q_similarity_ivf_fx (which trains the same
+    quantizer but probes one query); a full k-means is this step in a
+    driver loop with convergence-by-count, exactly like the
+    connected-components resolver.
+
+    Determinism: centroids are exact int64 sums divided in a fixed
+    order; every score is the fixed-point dot (house `fdot` family) —
+    the vector's own norm is constant across candidates, so argmax of
+    dq ⁄ √dc equals argmax cosine without ever touching it; the
+    assignment resolves by (score DESC, label ASC) under row_number.
+
+    Scale shape: centroid training is one narrow explode→groupBy over
+    (label, dim) keys; assignment broadcasts the k×64 centroid table
+    (k·dims-bounded — a model, not data) against one corpus scan; the
+    per-vector argmax window partitions by vec_id.  No shuffle scales
+    worse than the corpus itself."""
+    from pyspark.sql.window import Window as _W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * SCALE + 0.5).cast(
+                        "long"
+                    )
+                )
+                / float(SCALE)
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("cand"),
+            F.transform(F.col("dc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", F.col("label").alias("old_label"), "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "old_label",
+            "cand",
+            (
+                fdot(F.col("embedding"), F.col("centroid"))
+                / F.sqrt(fdot(F.col("centroid"), F.col("centroid")))
+            ).alias("score"),
+        )
+    )
+    w = _W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cand"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "old_label", F.col("cand").alias("new_label"))
+    )
+    return (
+        assigned.groupBy("old_label", "new_label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("moved", F.col("old_label") != F.col("new_label"))
+        .orderBy("old_label", "new_label")
+    )

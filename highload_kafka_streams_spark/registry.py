@@ -377,6 +377,8 @@ _QUERY_LEDGER = (
     "q_er_sorted_neighborhood",
     "q_sample_systematic",
     "q_text_winnowing",
+    "q_graph_label_propagation",
+    "q_embed_kmeans_step",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1488,3 +1488,20 @@ def test_diff_in_diff_single_pass_cells(spark, sf_smoke):
     plan = plan_of(get_queries()["q_eval_diff_in_diff"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "PushedFilters" in plan and "purchase" in plan, plan
+
+
+def test_label_propagation_window_partitioned_per_node(spark, sf_smoke):
+    """Each LPA round's mode-pick window must partition by node — a
+    global mode window would single-task; and no cartesian anywhere."""
+    plan = plan_of(get_queries()["q_graph_label_propagation"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(u" in plan, plan
+
+
+def test_kmeans_step_centroids_broadcast(spark, sf_smoke):
+    """The k×64 centroid table must broadcast against the corpus scan
+    (model-sized, not data-sized); the argmax window partitions by
+    vec_id."""
+    plan = plan_of(get_queries()["q_embed_kmeans_step"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "windowspecdefinition(vec_id" in plan, plan
