@@ -3926,3 +3926,198 @@ def q_stream_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "first_err_t")
     )
+
+
+@query(
+    "q_events_clamped_balance",
+    oracle="""
+WITH tx AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type
+           WHEN 'purchase' THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           WHEN 'error' THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS delta
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+),
+pfx AS (
+  SELECT user_id, ts, event_id, delta,
+         CAST(SUM(delta) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS p
+  FROM tx
+),
+clamp AS (
+  SELECT user_id, delta, p,
+         p - LEAST(CAST(0 AS BIGINT),
+                   CAST(MIN(p) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT))
+           AS bal
+  FROM pfx
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_tx,
+       CAST(SUM(delta) AS BIGINT) AS net_cents,
+       CAST(max(bal) AS BIGINT) AS peak_cents,
+       CAST(SUM(delta) - LEAST(CAST(0 AS BIGINT), min(p)) AS BIGINT)
+         AS final_cents
+FROM clamp
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user credit balance with a FLOOR AT ZERO: purchases credit,
+    errors debit, and the balance can never go negative (overdrafts
+    truncate) — the running-with-reset recurrence S_t = max(0,
+    S_{t-1}+x_t) that naively demands sequential state.  Window-
+    expressible via the prefix-min identity S_t = P_t − min(0,
+    min_{k≤t} P_k): the clamp events are exactly the prefix-sum's
+    running minima, so two stacked windows over the SAME (user, time)
+    partitioning replace the sequential scan — the same
+    recurrence-to-prefix reduction as q_time_max_drawdown's running
+    max, applied to the dual (floor) side.  Emits net (unclamped),
+    peak, and final clamped balance per user.
+
+    Determinism: integer cents end to end; the order within a user is
+    the total (ts, event_id) order (µs-exact both engines).
+
+    Scale shape: both windows ride one per-user shuffle (partitioned,
+    never global), and the final rollup is map-side combinable on the
+    same key — one exchange total.  At 100 TB this is the standard
+    per-key ledger pass; no driver state, no sequential scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tx = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pfx = tx.withColumn("p", F.sum("delta").over(w).cast("long"))
+    clamp = pfx.withColumn(
+        "bal",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(w).cast("long")),
+    )
+    return (
+        clamp.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tx"),
+            F.sum("delta").cast("long").alias("net_cents"),
+            F.max("bal").cast("long").alias("peak_cents"),
+            (
+                F.sum("delta")
+                - F.least(F.lit(0).cast("long"), F.min("p"))
+            )
+            .cast("long")
+            .alias("final_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_events_path_trigrams",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM o
+),
+tri AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+           || '>' || lead(event_type, 2) OVER w2 AS trigram,
+         lead(session_id, 2) OVER w2 = session_id AS same_session
+  FROM s
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri
+WHERE same_session AND trigram IS NOT NULL
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT 20
+""",
+)
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 in-session event-type TRIGRAM paths: sessionize per user
+    by 30-minute inactivity gaps (the lag-mark/prefix-sum islands
+    recipe the bounce-rate report uses), then slide a 3-event window
+    within each session and count paths corpus-wide — the next order
+    up from q_events_transitions' Markov pairs, and the raw material
+    of funnel discovery (which 3-step paths actually happen, vs the
+    funnel you hypothesized in q_events_window_funnel).
+
+    Determinism: in-session order is the total (ts, event_id) order;
+    the trigram window never crosses a session boundary (the 2-ahead
+    session check); top-20 rides (count DESC, trigram) — a total
+    order.
+
+    Scale shape: one per-user shuffle carries sessionization AND the
+    lead window (same partitioning, Catalyst runs both in one sort);
+    the trigram rollup is a |types|³-bounded aggregate
+    (map-side-combinable) and the top-20 is TakeOrderedAndProject.
+    No join, no second pass over events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = o.withColumn("session_id", F.sum("is_new").over(w))
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("trigram"),
+        (F.lead("session_id", 2).over(w2) == F.col("session_id")).alias(
+            "same_session"
+        ),
+        F.lead("event_type", 2).over(w2).alias("third"),
+    )
+    return (
+        tri.filter(F.col("same_session") & F.col("third").isNotNull())
+        .groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

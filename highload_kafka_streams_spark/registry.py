@@ -379,6 +379,8 @@ _QUERY_LEDGER = (
     "q_text_winnowing",
     "q_graph_label_propagation",
     "q_embed_kmeans_step",
+    "q_events_clamped_balance",
+    "q_events_path_trigrams",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1505,3 +1505,24 @@ def test_kmeans_step_centroids_broadcast(spark, sf_smoke):
     plan = plan_of(get_queries()["q_embed_kmeans_step"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "windowspecdefinition(vec_id" in plan, plan
+
+
+def test_clamped_balance_single_user_shuffle(spark, sf_smoke):
+    """Both stacked windows and the rollup must share the one per-user
+    partitioning: exactly one data exchange (plus AQE reads), windows
+    partitioned by user_id — never global."""
+    plan = plan_of(get_queries()["q_events_clamped_balance"](spark, sf_smoke))
+    assert "windowspecdefinition(user_id" in plan, plan
+    # the final sort for orderBy is a range exchange; hash exchanges
+    # should number exactly 1 (the user_id shuffle; formatted mode puts
+    # the spec in the node's Arguments line)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_path_trigrams_take_ordered_no_join(spark, sf_smoke):
+    """Trigram discovery must be join-free (windows + one aggregate)
+    with a TakeOrderedAndProject top-20."""
+    plan = plan_of(get_queries()["q_events_path_trigrams"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
