@@ -73,6 +73,27 @@ EXTENDED = [
 ]
 
 
+
+# Round-6 additions as their own series (`r6_total_sec`, first measured
+# in BENCH_r06 — no prior series to compare; per-query vs_prev starts
+# next round): sketches, robust stats, resampling, blocking, and the
+# two new iterative ops.
+R6 = [
+    "q_agg_kmv_distinct",
+    "q_agg_winsorized_mean",
+    "q_alloc_dhondt",
+    "q_eval_diff_in_diff",
+    "q_time_cross_correlation",
+    "q_er_sorted_neighborhood",
+    "q_sample_systematic",
+    "q_text_winnowing",
+    "q_graph_label_propagation",
+    "q_embed_kmeans_step",
+    "q_events_clamped_balance",
+    "q_events_path_trigrams",
+    "q_join_spatial_grid",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -135,7 +156,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -166,6 +187,7 @@ def main() -> None:
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
     tpch_total = round(sum(timings[n] for n in TPCH if n in timings), 3)
+    r6_total = round(sum(timings[n] for n in R6 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -174,6 +196,7 @@ def main() -> None:
         "sf": sf,
         "extended_total_sec": extended_total,
         "tpch_total_sec": tpch_total,
+        "r6_total_sec": r6_total,
     }
     prev = _prev_bench(_HERE)
     # drift ratios only make sense against the same scale factor (a

@@ -885,3 +885,116 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Spatial grid join: 24-bit md5-derived coordinates on a 1000×1000
+# plane, cell width = radius so candidates live in the 3×3 neighbor
+# cells.
+GRID_RADIUS = 25
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         list_sum(list_transform(range(6), i ->
+           CAST(strpos('0123456789abcdef',
+                substr(md5('gx:' || CAST(user_id AS VARCHAR)), i + 1, 1)) - 1
+              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (5 - i))))) % 1000
+           AS x,
+         list_sum(list_transform(range(6), i ->
+           CAST(strpos('0123456789abcdef',
+                substr(md5('gy:' || CAST(user_id AS VARCHAR)), i + 1, 1)) - 1
+              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (5 - i))))) % 1000
+           AS y
+  FROM u
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+FROM pts a JOIN pts b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {GRID_RADIUS * GRID_RADIUS}
+ORDER BY user_a, user_b
+""",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join via GRID BUCKETING: place each user
+    at deterministic md5-derived coordinates on a 1000×1000 plane (a
+    stand-in for any point column — geohash, H3 cell, embedding-PCA
+    2D), and find all pairs within Euclidean radius 25.  Cell width =
+    radius, so every qualifying pair lies in the 3×3 neighborhood of
+    one point's cell: explode 9 neighbor offsets on ONE side, equi-join
+    on the cell key, then exact-distance filter — the standard
+    all-pairs-to-equi-join reduction every spatial engine (and every
+    LSH variant) is built on.  The ORACLE is the exhaustive quadratic
+    pair join; the engine plan must never be.
+
+    Determinism: coordinates are exact integers from the md5 hex
+    family (24-bit prefix mod 1000), distances are integer squares.
+
+    Scale shape: candidates = one explode(9) + one equi-join on the
+    cell id — cost Σ |cell|² over neighbor cells, never n²; each
+    (a, b) pair matches exactly once (b's cell is unique, a's explode
+    covers it once).  At 100 TB, cell density is tuned by cell width
+    exactly as LSH band width tunes bucket size; the join key is an
+    8-byte cell id and AQE handles dense-cell skew."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+
+    def axis(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    pts = u.select(
+        "user_id", axis("gx:").alias("x"), axis("gy:").alias("y")
+    )
+    r = GRID_RADIUS
+    a = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(*[F.lit(i) for i in (-1, 0, 1)])
+        ).alias("ox"),
+    ).select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("oy"),
+    ).select(
+        "user_a",
+        "xa",
+        "ya",
+        (F.floor(F.col("xa") / r) + F.col("ox")).alias("cx"),
+        (F.floor(F.col("ya") / r) + F.col("oy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(d2 <= r * r)
+        .select(
+            "user_a", "user_b", d2.cast("long").alias("d2")
+        )
+        .orderBy("user_a", "user_b")
+    )

@@ -381,6 +381,8 @@ _QUERY_LEDGER = (
     "q_embed_kmeans_step",
     "q_events_clamped_balance",
     "q_events_path_trigrams",
+    "q_join_spatial_grid",
+    "q_source_csv_quarantine",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -194,3 +194,89 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc_nulls_first())
     )
+
+
+@query(
+    "q_source_csv_quarantine",
+    oracle="""
+SELECT CAST(count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT)
+         AS n_good,
+       CAST(count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                END) AS BIGINT) AS good_total_cents
+FROM orders
+""",
+)
+def q_source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with a QUARANTINE lane: serialize the
+    orders table to CSV lines, deterministically corrupting every
+    o_orderkey ≡ 0 (mod 7) row (the price field becomes non-numeric —
+    the classic upstream-export glitch), then read back under
+    mode=PERMISSIVE with columnNameOfCorruptRecord so malformed rows
+    land in the corrupt-record column instead of failing the job —
+    THE dirty-data contract of production lake ingestion (the §2.1
+    source row covers clean files; this covers the files you actually
+    receive).  Emits good/quarantined counts and the parsed-good
+    total, all of which the oracle derives from the clean parquet and
+    the corruption rule alone — proving the corrupt rows were
+    quarantined exactly, never dropped or silently null-coerced.
+
+    Scale shape: the CSV write/read are full-scan streaming passes
+    (per-partition serialization, no shuffle); the verdict is one
+    1-row aggregate.  PERMISSIVE parsing is per-row and pipelined —
+    at 100 TB the quarantine lane costs nothing beyond the scan it
+    shares with the parse."""
+    src = load_table(spark, sf_dir, "orders")
+    lines = src.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.concat(F.lit("X"), F.col("o_totalprice").cast("string")),
+            ).otherwise(F.col("o_totalprice").cast("string")),
+        ).alias("value")
+    )
+    path = os.path.join(
+        _SCRATCH,
+        f"orders_dirty_csv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # caching the parsed frame before referencing _corrupt alongside
+    # data columns is the documented Spark contract for corrupt-record
+    # queries (SPARK-21610: the pushed-down internal parser cannot
+    # prove corrupt-only projections otherwise)
+    back = back.cache()
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            )
+        )
+        .cast("long")
+        .alias("good_total_cents"),
+    )

@@ -1526,3 +1526,12 @@ def test_path_trigrams_take_ordered_no_join(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, plan
+
+
+def test_spatial_grid_is_equi_join_not_cartesian(spark, sf_smoke):
+    """The proximity join must reduce to an equi-join on the cell id
+    (grid bucketing) — the exhaustive quadratic pair join lives only
+    in the oracle."""
+    plan = plan_of(get_queries()["q_join_spatial_grid"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
