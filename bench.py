@@ -92,6 +92,7 @@ R6 = [
     "q_events_clamped_balance",
     "q_events_path_trigrams",
     "q_join_spatial_grid",
+    "q_select_mmr_diverse",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

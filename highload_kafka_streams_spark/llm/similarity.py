@@ -1411,3 +1411,164 @@ def q_embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("moved", F.col("old_label") != F.col("new_label"))
         .orderBy("old_label", "new_label")
     )
+
+
+# MMR selection: shortlist size, picks, and the relevance/diversity mix.
+MMR_SHORTLIST = 12
+MMR_PICKS = 4
+MMR_LAMBDA = 0.7  # objective = 0.7·rel − 0.3·max-sim-to-selected
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE oracle for q_select_mmr_diverse: pick 1 = argmax
+    relevance; picks 2..4 each re-rank the remaining shortlist by the
+    MMR objective against the selected-so-far set (same unrolled-
+    fixpoint discipline as q_graph_kcore_peel)."""
+    dot = _DOT_SQL
+    head = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rel AS (
+  SELECT e.vec_id, e.embedding,
+         ({dot.format(a='e.embedding', b='q.qe')})
+         / (sqrt({dot.format(a='e.embedding', b='e.embedding')})
+            * sqrt({dot.format(a='q.qe', b='q.qe')})) AS rel
+  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.embedding
+),
+sl AS (
+  SELECT vec_id, embedding, rel FROM rel
+  ORDER BY rel DESC, vec_id LIMIT {MMR_SHORTLIST}
+),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         ({dot.format(a='a.embedding', b='b.embedding')})
+         / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+            * sqrt({dot.format(a='b.embedding', b='b.embedding')})) AS sim
+  FROM sl a, sl b, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+s1 AS (
+  SELECT vec_id FROM sl ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    steps = []
+    prev_sel = "SELECT vec_id FROM s1"
+    for k in range(2, MMR_PICKS + 1):
+        steps.append(f"""
+m{k} AS (
+  SELECT sl.vec_id,
+         {MMR_LAMBDA} * sl.rel
+           - {round(1 - MMR_LAMBDA, 10)} * max(sims.sim) AS obj
+  FROM sl
+  JOIN sims ON sims.va = sl.vec_id
+           AND sims.vb IN ({prev_sel})
+  WHERE sl.vec_id NOT IN ({prev_sel})
+  GROUP BY sl.vec_id, sl.rel
+),
+s{k} AS (
+  SELECT vec_id FROM m{k} ORDER BY obj DESC, vec_id LIMIT 1
+)""")
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k + 1)
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {j} AS step, vec_id FROM s{j}"
+        for j in range(1, MMR_PICKS + 1)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT step, vec_id FROM ({unions})\nORDER BY step"
+    )
+
+
+@query("q_select_mmr_diverse", oracle=_mmr_oracle())
+def q_select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick 4 vectors
+    from the relevance top-12 shortlist, each maximizing
+    0.7·rel(v) − 0.3·max_{s∈S} sim(v, s) — relevance traded against
+    redundancy with what is already selected.  THE diversity-aware
+    subset selector of training-data curation and RAG reranking
+    (a top-k that refuses to return four copies of the same
+    document); complements q_similarity_topk_cosine (pure relevance)
+    and q_sample_mixture_balance (source-level diversity) at the
+    instance level.
+
+    Determinism: relevance and pairwise sims are house fixed-point
+    dots; the objective is two correctly-rounded double products and
+    one subtraction on identical inputs; every argmax rides
+    (obj DESC, vec_id).  Greedy round count is FIXED (4), so the
+    dataframe loop and the unrolled-CTE oracle compute the same
+    selection (the kcore/LPA discipline).
+
+    Scale shape: the corpus-sized work is ONE brute-force relevance
+    pass (TakeOrderedAndProject top-12 — the same shape as topk_cosine,
+    swappable for the IVF probe at 100 TB); everything after runs on
+    the 12-row shortlist (144 pairwise sims, 3 argmax rounds) — model-
+    sized, data-free, no collect (the greedy state stays in the plan
+    as 1-row frames)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("qe")).alias("rel"),
+        )
+    )
+    sl = rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_SHORTLIST)
+    sl = sl.persist()
+    a = sl.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = sl.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    )
+    lam = MMR_LAMBDA
+    picks = [
+        sl.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", F.lit(1).alias("step"))
+    ]
+    sel = picks[0].select("vec_id")
+    for k in range(2, MMR_PICKS + 1):
+        cand = sl.join(sel, "vec_id", "left_anti")
+        maxsim = (
+            sims.join(
+                sel.select(F.col("vec_id").alias("vb")), "vb"
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = cand.join(
+            maxsim, cand.vec_id == maxsim.va
+        ).select(
+            "vec_id",
+            (F.lit(lam) * F.col("rel") - F.lit(round(1 - lam, 10)) * F.col("ms")).alias(
+                "obj"
+            ),
+        )
+        nxt = (
+            scored.orderBy(F.col("obj").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", F.lit(k).alias("step"))
+        )
+        picks.append(nxt)
+        sel = sel.unionAll(nxt.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select("step", "vec_id").orderBy("step")

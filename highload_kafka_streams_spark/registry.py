@@ -383,6 +383,7 @@ _QUERY_LEDGER = (
     "q_events_path_trigrams",
     "q_join_spatial_grid",
     "q_source_csv_quarantine",
+    "q_select_mmr_diverse",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

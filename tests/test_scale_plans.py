@@ -1535,3 +1535,12 @@ def test_spatial_grid_is_equi_join_not_cartesian(spark, sf_smoke):
     plan = plan_of(get_queries()["q_join_spatial_grid"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mmr_corpus_pass_is_take_ordered(spark, sf_smoke):
+    """MMR's only corpus-sized pass is the relevance top-12 — it must
+    plan TakeOrderedAndProject; the greedy rounds run on the 12-row
+    shortlist and must not re-scan embeddings (one file scan of the
+    embeddings parquet in the whole plan, shortlist reuse after)."""
+    plan = plan_of(get_queries()["q_select_mmr_diverse"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
