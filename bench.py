@@ -93,6 +93,7 @@ R6 = [
     "q_events_path_trigrams",
     "q_join_spatial_grid",
     "q_select_mmr_diverse",
+    "q_customer_growth_accounting",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -998,3 +998,211 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+@query(
+    "q_customer_growth_accounting",
+    oracle="""
+WITH am AS (
+  SELECT DISTINCT o_custkey AS c, date_trunc('month', o_orderdate) AS m
+  FROM orders
+),
+seq AS (
+  SELECT c, m,
+         lag(m) OVER (PARTITION BY c ORDER BY m) AS prev_m,
+         min(m) OVER (PARTITION BY c) AS first_m
+  FROM am
+),
+states AS (
+  SELECT m,
+         CAST(count(CASE WHEN m = first_m THEN 1 END) AS BIGINT) AS n_new,
+         CAST(count(CASE WHEN prev_m = m - INTERVAL 1 MONTH THEN 1 END)
+              AS BIGINT) AS n_retained,
+         CAST(count(CASE WHEN m <> first_m
+                          AND (prev_m IS NULL
+                               OR prev_m < m - INTERVAL 1 MONTH) THEN 1 END)
+              AS BIGINT) AS n_resurrected
+  FROM seq GROUP BY m
+),
+churn AS (
+  SELECT m + INTERVAL 1 MONTH AS m, CAST(count(*) AS BIGINT) AS n_churned
+  FROM (
+    SELECT c, m,
+           lead(m) OVER (PARTITION BY c ORDER BY m) AS next_m
+    FROM am
+  )
+  WHERE next_m IS NULL OR next_m > m + INTERVAL 1 MONTH
+  GROUP BY m + INTERVAL 1 MONTH
+)
+SELECT states.m AS month, n_new, n_retained, n_resurrected,
+       COALESCE(churn.n_churned, 0) AS n_churned,
+       n_new + n_retained + n_resurrected AS n_active
+FROM states LEFT JOIN churn ON states.m = churn.m
+ORDER BY month
+""",
+)
+def q_customer_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting over ordering customers — the
+    new / retained / resurrected / churned decomposition that makes a
+    topline active count EXPLAINABLE (every month's actives = new +
+    retained + resurrected; churn shows up as next month's loss), the
+    canonical product-analytics ledger one level above q_growth_mom's
+    raw deltas and q_retention_cohort's fixed-cohort view.
+
+    Semantics: new = first active month; retained = active in the
+    adjacent previous month; resurrected = active after a gap;
+    churned(m) = active in m−1 but not m (attributed to m).  All from
+    one distinct (customer, month) table via lag/lead windows — no
+    month×customer dense cross join.
+
+    Determinism: pure month arithmetic on date_trunc'd timestamps and
+    integer counts; INTERVAL 1 MONTH steps are calendar-exact in both
+    engines.
+
+    Scale shape: one distinct pass (map-side combinable on the
+    (custkey, month) key), two per-customer windows on one shuffle,
+    and a |months|-sized join for the churn attach.  At 100 TB the
+    per-customer month list is dozens of rows — the window never sees
+    a heavy partition."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    am = o.select(
+        F.col("o_custkey").alias("c"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    ).distinct()
+    wc = Window.partitionBy("c").orderBy("m")
+    wall = Window.partitionBy("c")
+    seq = am.select(
+        "c",
+        "m",
+        F.lag("m").over(wc).alias("prev_m"),
+        F.min("m").over(wall).alias("first_m"),
+        F.lead("m").over(wc).alias("next_m"),
+    )
+    states = seq.groupBy("m").agg(
+        F.count(F.when(F.col("m") == F.col("first_m"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count(
+            F.when(F.col("prev_m") == F.expr("m - INTERVAL 1 MONTH"), 1)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.count(
+            F.when(
+                (F.col("m") != F.col("first_m"))
+                & (
+                    F.col("prev_m").isNull()
+                    | (F.col("prev_m") < F.expr("m - INTERVAL 1 MONTH"))
+                ),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        seq.filter(
+            F.col("next_m").isNull()
+            | (F.col("next_m") > F.expr("m + INTERVAL 1 MONTH"))
+        )
+        .groupBy(F.expr("m + INTERVAL 1 MONTH").alias("m"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        states.join(churn, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("long")).alias(
+                "n_churned"
+            ),
+            (
+                F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")
+            ).alias("n_active"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_alloc_airport_shapley",
+    oracle="""
+WITH dem AS (
+  SELECT source, CAST(max(n_chars) AS BIGINT) AS d
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, d,
+         row_number() OVER (ORDER BY d, source) AS rn,
+         count(*) OVER () AS n,
+         COALESCE(lag(d) OVER (ORDER BY d, source), 0) AS prev_d
+  FROM dem
+),
+inc AS (
+  SELECT source, d, rn, n,
+         CAST((d - prev_d) * 1000000 // (n - rn + 1) AS BIGINT) AS inc_fx
+  FROM r
+)
+SELECT source, d AS demand,
+       CAST(SUM(inc_fx) OVER (ORDER BY rn) AS BIGINT) AS share_fx
+FROM inc
+ORDER BY source
+""",
+)
+def q_alloc_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value cost sharing for the AIRPORT GAME: sources share
+    one runway-like resource sized by the largest demand (here: the
+    longest document per source sizes a shared buffer); the unique
+    fair split charges each incremental slice (d_k − d_{k−1}) equally
+    to every source needing at least d_k, so φ_i = Σ_{k≤i}
+    (d_k − d_{k−1}) ⁄ (n−k+1) over the demand-sorted order — the
+    game-theoretic fourth member of the allocation family
+    (proportional → q_alloc_largest_remainder, max-min fair →
+    q_alloc_water_filling, divisor → q_alloc_dhondt, coalitional →
+    this).
+
+    Determinism: each increment is fixed-pointed ONCE
+    ((Δ·10⁶) div share-count, exact BIGINTs), then prefix-summed —
+    order-free integer arithmetic; ties in demand break by source.
+
+    Scale shape: demands are one map-side-combinable rollup; the
+    sort/lag/prefix windows run on the |sources|-bounded table
+    (config-sized, the q_alloc_water_filling argument)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dem = docs.groupBy("source").agg(
+        F.max("n_chars").cast("long").alias("d")
+    )
+    wo = Window.orderBy("d", "source")
+    wall = Window.partitionBy()
+    r = dem.select(
+        "source",
+        "d",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+        F.coalesce(F.lag("d").over(wo), F.lit(0).cast("long")).alias(
+            "prev_d"
+        ),
+    )
+    inc = r.select(
+        "source",
+        "d",
+        "rn",
+        F.expr(
+            "CAST((d - prev_d) * 1000000 DIV (n - rn + 1) AS BIGINT)"
+        ).alias("inc_fx"),
+    )
+    wpfx = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        inc.select(
+            "source",
+            F.col("d").alias("demand"),
+            F.sum("inc_fx").over(wpfx).cast("long").alias("share_fx"),
+        )
+        .orderBy("source")
+    )

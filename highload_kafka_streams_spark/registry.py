@@ -384,6 +384,8 @@ _QUERY_LEDGER = (
     "q_join_spatial_grid",
     "q_source_csv_quarantine",
     "q_select_mmr_diverse",
+    "q_customer_growth_accounting",
+    "q_alloc_airport_shapley",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1544,3 +1544,12 @@ def test_mmr_corpus_pass_is_take_ordered(spark, sf_smoke):
     embeddings parquet in the whole plan, shortlist reuse after)."""
     plan = plan_of(get_queries()["q_select_mmr_diverse"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_growth_accounting_single_customer_shuffle(spark, sf_smoke):
+    """Both growth windows (lag/lead/first-month) must share the one
+    per-customer partitioning; the churn attach joins |months|-sized
+    tables only."""
+    plan = plan_of(get_queries()["q_customer_growth_accounting"](spark, sf_smoke))
+    assert "windowspecdefinition(c#" in plan, plan
+    assert "CartesianProduct" not in plan, plan
