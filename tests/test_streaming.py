@@ -951,3 +951,69 @@ def test_kafka_serde_round_trip(spark):
     back = parse_kafka_records(raw, schema, ts_field="ets")
     got = {(r["record_key"], r["amount"], r["ets"]) for r in back.collect()}
     assert got == {("u1", 1.25, t), ("u2", -3.5, t)}
+
+
+def test_clamped_balance_incremental_merge_equals_batch(spark, sf_smoke):
+    """q_events_clamped_balance streams: its per-user state is the
+    monoid (segment_sum, segment_min_prefix) with
+    (s1, m1) ⊕ (s2, m2) = (s1+s2, min(m1, s1+m2)) — so chunked
+    (micro-batch) processing that carries only two longs per user
+    reproduces the one-shot batch final balance exactly.  This is the
+    associativity proof that the §2.6-style incremental form of the
+    ledger operator is lossless, chunk boundaries be where they may."""
+    from pyspark.sql import Window
+    from highload_kafka_streams_spark.registry import get_queries
+
+    ev = load_table(spark, sf_smoke, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    delta = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        )
+        .otherwise(-F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .alias("delta")
+    )
+    tx = ev.select("user_id", "ts", "event_id", delta)
+    mid = tx.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+
+    def seg_state(df):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        p = df.withColumn("p", F.sum("delta").over(w).cast("long"))
+        return p.groupBy("user_id").agg(
+            F.sum("delta").cast("long").alias("s"),
+            F.min("p").cast("long").alias("m"),
+        )
+
+    s1 = seg_state(tx.filter(F.unix_micros("ts") <= mid)).select(
+        "user_id", F.col("s").alias("s1"), F.col("m").alias("m1")
+    )
+    s2 = seg_state(tx.filter(F.unix_micros("ts") > mid)).select(
+        "user_id", F.col("s").alias("s2"), F.col("m").alias("m2")
+    )
+    merged = (
+        s1.join(s2, "user_id", "full")
+        .select(
+            "user_id",
+            (F.coalesce("s1", F.lit(0)) + F.coalesce("s2", F.lit(0))).alias("s"),
+            F.least(
+                F.coalesce("m1", F.lit(2**62)),
+                F.coalesce("s1", F.lit(0)) + F.coalesce("m2", F.lit(2**62)),
+            ).alias("m"),
+        )
+        .select(
+            "user_id",
+            (F.col("s") - F.least(F.lit(0).cast("long"), F.col("m"))).alias(
+                "final_cents"
+            ),
+        )
+    )
+    want = (
+        get_queries()["q_events_clamped_balance"](spark, sf_smoke)
+        .select("user_id", "final_cents")
+    )
+    got = {(r[0], r[1]) for r in merged.collect()}
+    exp = {(r[0], r[1]) for r in want.collect()}
+    assert got == exp
+    assert len(exp) > 0
