@@ -94,6 +94,7 @@ R6 = [
     "q_join_spatial_grid",
     "q_select_mmr_diverse",
     "q_customer_growth_accounting",
+    "q_text_feature_hashing",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

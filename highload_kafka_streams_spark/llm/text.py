@@ -2522,3 +2522,86 @@ def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# Hashing-trick featurizer: bucket count and the md5 char positions
+# driving bucket and sign.
+FEATURE_HASH_BUCKETS = 256
+
+
+@query(
+    "q_text_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+h AS (
+  SELECT t, md5('fh:' || t) AS hx FROM tok
+),
+f AS (
+  SELECT t,
+         CAST((CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                    AS BIGINT) * 256
+               + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+                      AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1
+                      AS BIGINT))
+              % {FEATURE_HASH_BUCKETS} AS BIGINT) AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 >= 8
+              THEN -1 ELSE 1 END AS sign
+  FROM h
+)
+SELECT bucket,
+       CAST(SUM(sign) AS BIGINT) AS signed_sum,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_tokens
+FROM f
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (signed feature hashing, the
+    Weinberger et al. recipe behind Vowpal-Wabbit-style linear models
+    and collision-tolerant n-gram features): every token maps to one
+    of 256 buckets by hash, with a second hash bit supplying a ±1 sign
+    so collisions cancel in expectation rather than bias upward.
+    Emits the corpus-level feature profile (signed sum, load, distinct
+    tokens per bucket) — the vocabulary-free feature space a 100 TB
+    corpus can use with ZERO vocabulary coordination (no dictionary
+    build, no OOV, fixed width by construction; contrast
+    q_text_bpe_token_counts, which must learn its vocab first).
+
+    Determinism: bucket and sign come from the md5 hex family (3 hex
+    chars → 12 bits mod 256, 4th char's high bit → sign) — both
+    engines compute identical digests, integer counts end to end.
+
+    Scale shape: explode tokens → one 256-key aggregate; the per-task
+    partial collapses to ≤ 256 rows before the shuffle (map-side
+    combine), so the exchange is constant-size regardless of corpus.
+    The distinct-token count rides the same aggregate via Spark's
+    distinct-agg planning (one expand, same bounded key space)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    hx = F.md5(F.concat(F.lit("fh:"), F.col("t")))
+    f = tok.select(
+        "t",
+        (F.conv(F.substring(hx, 1, 3), 16, 10).cast("long") % FEATURE_HASH_BUCKETS).alias(
+            "bucket"
+        ),
+        F.when(
+            F.conv(F.substring(hx, 4, 1), 16, 10).cast("long") >= 8, -1
+        )
+        .otherwise(1)
+        .alias("sign"),
+    )
+    return (
+        f.groupBy("bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("signed_sum"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("t").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -1206,3 +1206,127 @@ def q_alloc_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Periodogram: candidate periods (days) and the module-level fixed-point
+# trig tables — computed ONCE in Python and interpolated as literals
+# into BOTH the Spark expression and the DuckDB oracle, so the only
+# transcendental evaluation happens here (the one-floor-per-vocab-entry
+# discipline taken to its logical end: the vocab is (period, phase)).
+import math as _math
+
+PERIODS = (7, 14, 30)
+_COS_FX = {
+    p: [int(_math.floor(_math.cos(2 * _math.pi * k / p) * 1e6 + 0.5)) for k in range(p)]
+    for p in PERIODS
+}
+_SIN_FX = {
+    p: [int(_math.floor(_math.sin(2 * _math.pi * k / p) * 1e6 + 0.5)) for k in range(p)]
+    for p in PERIODS
+}
+
+
+def _trig_sql(tab: dict[int, list[int]]) -> str:
+    """CASE period WHEN p THEN [..][phase+1] — DuckDB list literals."""
+    arms = " ".join(
+        f"WHEN {p} THEN (ARRAY{tab[p]})[phase + 1]" for p in PERIODS
+    )
+    return f"CASE period {arms} END"
+
+
+@query(
+    "q_time_periodogram",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT day, CAST(SUM(cents) // 100 AS BIGINT) AS x
+  FROM d GROUP BY day
+),
+g AS (
+  SELECT p.period, s.day, s.x,
+         CAST(s.day % p.period AS BIGINT) AS phase
+  FROM s, (SELECT unnest(ARRAY{list(PERIODS)}) AS period) p
+),
+w AS (
+  SELECT period,
+         CAST(SUM(x * ({_trig_sql(_COS_FX)})) AS BIGINT) AS c_fx,
+         CAST(SUM(x * ({_trig_sql(_SIN_FX)})) AS BIGINT) AS s_fx
+  FROM g GROUP BY period
+)
+SELECT period, c_fx, s_fx,
+       CAST((c_fx // 1000000) * (c_fx // 1000000)
+            + (s_fx // 1000000) * (s_fx // 1000000) AS BIGINT) AS power
+FROM w
+ORDER BY period
+""",
+)
+def q_time_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the daily click-revenue series at candidate
+    periods 7 / 14 / 30 days: spectral power
+    (Σ x_d cos(2πd⁄P))² + (Σ x_d sin(2πd⁄P))² — the DFT probe that
+    answers 'is the weekly cycle real, and is it stronger than a
+    fortnightly or monthly one?' — the frequency-domain complement of
+    q_time_acf (lag domain) and q_time_stl_additive (fixed weekly
+    decomposition).
+
+    Determinism: the ONLY transcendentals are the 51 cos/sin table
+    entries, fixed-pointed ONCE at module import and interpolated as
+    integer literals into both engines' queries (the vocab here is
+    (period, phase) — bounded by config, never by data); after that,
+    power is pure BIGINT arithmetic, with the 1e6 de-scaling BEFORE
+    squaring so the squares stay in int64 at any corpus size.
+
+    Scale shape: the corpus pass is the per-day rollup (map-side
+    combinable); the spectral sums run on |days|·|periods| rows.  The
+    phase lookup is an O(1) array index, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias(
+                "day"
+            ),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("x"))
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in PERIODS], "period int"
+    )
+    g = s.crossJoin(F.broadcast(periods)).withColumn(
+        "phase", (F.col("day") % F.col("period")).cast("int")
+    )
+    # build CASE period WHEN p THEN array(...)[phase] chains
+    cos_expr = None
+    sin_expr = None
+    for p in PERIODS:
+        ca = F.element_at(
+            F.array(*[F.lit(v) for v in _COS_FX[p]]), F.col("phase") + 1
+        )
+        sa = F.element_at(
+            F.array(*[F.lit(v) for v in _SIN_FX[p]]), F.col("phase") + 1
+        )
+        cond = F.col("period") == p
+        cos_expr = ca if cos_expr is None else F.when(cond, ca).otherwise(cos_expr)
+        sin_expr = sa if sin_expr is None else F.when(cond, sa).otherwise(sin_expr)
+    w = g.groupBy("period").agg(
+        F.sum(F.col("x") * cos_expr.cast("long")).cast("long").alias("c_fx"),
+        F.sum(F.col("x") * sin_expr.cast("long")).cast("long").alias("s_fx"),
+    )
+    return w.select(
+        "period",
+        "c_fx",
+        "s_fx",
+        (
+            (F.col("c_fx") / 1000000).cast("long")
+            * (F.col("c_fx") / 1000000).cast("long")
+            + (F.col("s_fx") / 1000000).cast("long")
+            * (F.col("s_fx") / 1000000).cast("long")
+        ).alias("power"),
+    ).orderBy("period")

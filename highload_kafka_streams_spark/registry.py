@@ -386,6 +386,8 @@ _QUERY_LEDGER = (
     "q_select_mmr_diverse",
     "q_customer_growth_accounting",
     "q_alloc_airport_shapley",
+    "q_time_periodogram",
+    "q_text_feature_hashing",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

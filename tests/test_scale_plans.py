@@ -1553,3 +1553,22 @@ def test_growth_accounting_single_customer_shuffle(spark, sf_smoke):
     plan = plan_of(get_queries()["q_customer_growth_accounting"](spark, sf_smoke))
     assert "windowspecdefinition(c#" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_hashing_aggregate_is_bounded_key(spark, sf_smoke):
+    """Feature hashing must be explode → one bounded-key aggregate; no
+    joins, no windows — the exchange carries ≤ 256 bucket keys."""
+    plan = plan_of(get_queries()["q_text_feature_hashing"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "Window"):
+        assert node not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_periodogram_spectral_sums_post_rollup(spark, sf_smoke):
+    """The trig-weighted sums must run on the |days|x|periods| table —
+    the only corpus-sized pass is the per-day rollup below the
+    broadcast period join."""
+    plan = plan_of(get_queries()["q_time_periodogram"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "PushedFilters" in plan and "click" in plan, plan
