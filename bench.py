@@ -95,6 +95,8 @@ R6 = [
     "q_select_mmr_diverse",
     "q_customer_growth_accounting",
     "q_text_feature_hashing",
+    "q_eval_propensity_matching",
+    "q_agg_median_polish",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -2078,6 +2078,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = cop.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(cop.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    # the co-purchase self-join is the expensive subtree and every LPA
+    # round references it twice — persist so it builds once (the
+    # q_graph_pagerank_fx edges discipline)
+    sym = sym.persist()
     # neighbor-label view of round 0: identity labels, lab(v) = v
     lab = sym.select("u", F.col("v").alias("lv"))
     from pyspark.sql.window import Window as _W

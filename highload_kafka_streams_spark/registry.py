@@ -388,6 +388,8 @@ _QUERY_LEDGER = (
     "q_alloc_airport_shapley",
     "q_time_periodogram",
     "q_text_feature_hashing",
+    "q_eval_propensity_matching",
+    "q_agg_median_polish",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1572,3 +1572,23 @@ def test_periodogram_spectral_sums_post_rollup(spark, sf_smoke):
     plan = plan_of(get_queries()["q_time_periodogram"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "PushedFilters" in plan and "click" in plan, plan
+
+
+def test_propensity_matching_is_sorted_merge_not_join(spark, sf_smoke):
+    """The match must be the sorted-merge window recipe — no self-join
+    of treated×controls anywhere in the plan."""
+    plan = plan_of(get_queries()["q_eval_propensity_matching"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+
+
+def test_median_polish_sweeps_run_on_rollup_grid(spark, sf_smoke):
+    """All four median sweeps must run post-rollup: exactly one scan of
+    the orders parquet feeds the whole polish (the 60-cell grid is
+    reused, never re-aggregated from the fact table)."""
+    plan = plan_of(get_queries()["q_agg_median_polish"](spark, sf_smoke))
+    # the grid persist must be in effect: the sweeps read the cached
+    # 60-row relation, not fresh fact-table rollups
+    assert "InMemory" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(r#" in plan and "windowspecdefinition(c#" in plan, plan
