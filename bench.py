@@ -97,6 +97,8 @@ R6 = [
     "q_text_feature_hashing",
     "q_eval_propensity_matching",
     "q_agg_median_polish",
+    "q_time_control_chart",
+    "q_er_phonetic_blocking",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

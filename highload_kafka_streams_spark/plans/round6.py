@@ -1667,3 +1667,312 @@ def q_agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effect_cents",
     )
     return row_eff.unionAll(col_eff).unionAll(resid).orderBy("kind", "key")
+
+
+@query(
+    "q_time_control_chart",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT day, CAST(SUM(cents) // 100 AS BIGINT) AS x
+  FROM d GROUP BY day
+),
+mr AS (
+  SELECT day, x,
+         abs(x - lag(x) OVER (ORDER BY day)) AS mr
+  FROM s
+),
+lim AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(mr) AS BIGINT) AS smr,
+         CAST(count(mr) AS BIGINT) AS nmr
+  FROM mr
+)
+SELECT mr.day, mr.x, mr.mr,
+       (mr.x * lim.n * lim.nmr * 100
+          > lim.sx * lim.nmr * 100 + 266 * lim.smr * lim.n) AS above_ucl,
+       (mr.x * lim.n * lim.nmr * 100
+          < lim.sx * lim.nmr * 100 - 266 * lim.smr * lim.n) AS below_lcl
+FROM mr, lim
+ORDER BY mr.day
+""",
+)
+def q_time_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals/moving-range (I-MR) control chart over daily click
+    revenue: centerline X̄, control limits X̄ ± 2.66·MR̄ (the Shewhart
+    E₂ constant for subgroup size 1), out-of-control days flagged —
+    the SPC read-out operations teams run on any KPI stream, and a
+    different decision rule than q_anomaly_zscore (limits derive from
+    short-term moving range, not global σ, so slow drifts don't
+    inflate the limits that should catch them).
+
+    Determinism: the limit comparison is fully cross-multiplied —
+    x·n·n_mr·100 vs sx·n_mr·100 ± 266·smr·n — exact BIGINTs, no
+    division anywhere (2.66 enters as the rational 266⁄100).
+
+    Scale shape: per-day rollup (map-side combinable), one |days|-row
+    lag window, and a broadcast 1-row limits join.  The flag pass
+    never rescans events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("x"))
+    )
+    w = Window.orderBy("day")
+    mr = s.withColumn("mr", F.abs(F.col("x") - F.lag("x").over(w)))
+    lim = mr.agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("mr").cast("long").alias("smr"),
+        F.count("mr").cast("long").alias("nmr"),
+    )
+    j = mr.crossJoin(F.broadcast(lim))
+    lhs = F.col("x") * F.col("n") * F.col("nmr") * 100
+    center = F.col("sx") * F.col("nmr") * 100
+    band = 266 * F.col("smr") * F.col("n")
+    return j.select(
+        "day",
+        "x",
+        "mr",
+        (lhs > center + band).alias("above_ucl"),
+        (lhs < center - band).alias("below_lcl"),
+    ).orderBy("day")
+
+
+RS_SIZES = (4, 8, 16)  # rescaled-range segment sizes (days)
+
+
+@query(
+    "q_time_rescaled_range",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT day, CAST(SUM(cents) // 100 AS BIGINT) AS x
+  FROM d GROUP BY day
+),
+sz AS (SELECT unnest(ARRAY{list(RS_SIZES)}) AS sgs),
+seg AS (
+  SELECT sz.sgs, s.day // sz.sgs AS seg, s.day, s.x,
+         CAST(count(*) OVER () AS BIGINT) AS ndays
+  FROM s, sz
+  WHERE s.day < sz.sgs * ((SELECT count(*) FROM s) // sz.sgs)
+),
+y AS (
+  SELECT sgs, seg, day,
+         CAST(sgs * x - SUM(x) OVER (PARTITION BY sgs, seg) AS BIGINT) AS y
+  FROM seg
+),
+cum AS (
+  SELECT sgs, seg,
+         CAST(SUM(y) OVER (PARTITION BY sgs, seg ORDER BY day) AS BIGINT)
+           AS cy,
+         y
+  FROM y
+),
+per AS (
+  SELECT sgs, seg,
+         CAST(max(cy) - min(cy) AS BIGINT) AS rng,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM cum GROUP BY sgs, seg
+),
+rs AS (
+  SELECT sgs, seg,
+         CASE WHEN sy2 > 0 THEN CAST(FLOOR(
+           CAST(rng AS DOUBLE) * sqrt(CAST(sgs AS DOUBLE))
+           / sqrt(CAST(sy2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         END AS rs_fx
+  FROM per
+)
+SELECT sgs AS segment_days,
+       CAST(count(rs_fx) AS BIGINT) AS n_segments,
+       CAST(SUM(rs_fx) // count(rs_fx) AS BIGINT) AS mean_rs_fx
+FROM rs
+GROUP BY sgs
+ORDER BY sgs
+""",
+)
+def q_time_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R ⁄ S) statistics of the daily click series at
+    segment sizes 4 / 8 / 16 days — the Hurst-exponent ingredient:
+    long-memory series show mean R⁄S growing ≈ s^H with H > ½, white
+    noise H = ½; reporting exact per-size means leaves the log-log
+    slope to the consumer, keeping every checked value deterministic
+    (a per-segment ln would be a data-dependent transcendental — the
+    one thing the house discipline forbids).
+
+    Exactness: per-segment deviations are scaled by s (y = s·x − Σx,
+    integer), so cumulative deviations, ranges, and Σy² are exact
+    BIGINTs; R⁄S = rng·√s ⁄ √Σy² algebraically (the s-scalings
+    cancel), two IEEE sqrt + one divide on exact inputs, fixed-pointed
+    ONCE per segment.
+
+    Scale shape: day rollup (corpus pass), then |sizes|·|days| rows
+    through PARTITIONED (size, segment) windows — never a global
+    window; the complete-segment cutoff keeps every segment exactly s
+    days so integer scaling is uniform."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("x"))
+    )
+    s = s.persist()
+    ndays = s.agg(F.count("*").cast("long").alias("nd"))
+    sizes = spark.createDataFrame([(v,) for v in RS_SIZES], "sgs long")
+    seg = (
+        s.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(ndays))
+        .filter(F.col("day") < F.col("sgs") * F.expr("nd DIV sgs"))
+        .select("sgs", F.expr("day DIV sgs").alias("seg"), "day", "x")
+    )
+    wseg = Window.partitionBy("sgs", "seg")
+    y = seg.withColumn(
+        "y",
+        (F.col("sgs") * F.col("x") - F.sum("x").over(wseg)).cast("long"),
+    )
+    wcum = (
+        Window.partitionBy("sgs", "seg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = y.withColumn("cy", F.sum("y").over(wcum).cast("long"))
+    per = cum.groupBy("sgs", "seg").agg(
+        (F.max("cy") - F.min("cy")).cast("long").alias("rng"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    rs = per.select(
+        "sgs",
+        F.when(
+            F.col("sy2") > 0,
+            F.floor(
+                F.col("rng").cast("double")
+                * F.sqrt(F.col("sgs").cast("double"))
+                / F.sqrt(F.col("sy2").cast("double"))
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        ).alias("rs_fx"),
+    )
+    return (
+        rs.groupBy(F.col("sgs").alias("segment_days"))
+        .agg(
+            F.count("rs_fx").cast("long").alias("n_segments"),
+            F.expr("CAST(SUM(rs_fx) DIV count(rs_fx) AS BIGINT)").alias(
+                "mean_rs_fx"
+            ),
+        )
+        .orderBy("segment_days")
+    )
+
+
+# Simplified soundex letter→class map (a..z): vowels/h/w/y → 0 (run
+# breakers, later stripped), labials 1, gutturals/sibilants 2, dentals
+# 3, l 4, nasals 5, r 6.
+_PHONETIC_MAP = "01230120022455012623010202"
+
+
+@query(
+    "q_er_phonetic_blocking",
+    oracle=f"""
+WITH w AS (
+  SELECT p_partkey, string_split(p_name, ' ')[1] AS word
+  FROM part
+),
+c AS (
+  SELECT p_partkey, word,
+         upper(substr(word, 1, 1))
+         || substr(
+              replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                  translate(substr(word, 2), 'abcdefghijklmnopqrstuvwxyz',
+                            '{_PHONETIC_MAP}'),
+                  '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'),
+                  '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'),
+                  '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g'),
+                '0', '') || '000',
+              1, 3) AS code
+  FROM w
+)
+SELECT code,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       min(word) AS sample_word
+FROM c
+GROUP BY code
+ORDER BY code
+""",
+)
+def q_er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (simplified-soundex) blocking over part-name head
+    words: first letter + the first three consonant-class digits with
+    adjacent repeats collapsed and vowel classes stripped — the FOURTH
+    blocking strategy in the ER toolkit (edit-distance deletes →
+    q_er_symspell_match, sort-order neighborhoods →
+    q_er_sorted_neighborhood, probabilistic field weights →
+    q_er_fellegi_sunter, sound-alike codes → here), the one that
+    catches 'Smith'≈'Smyth' where every string-distance block misses.
+    Simplifications vs full Soundex (h/w treated as vowels, no
+    first-letter-class dedup) are deliberate and mirrored exactly in
+    the oracle — the code is a BLOCKING key, not a phonetics exam.
+
+    Determinism: pure string algebra — translate through a fixed
+    26-char class map, per-class regex run-collapses (RE2-safe: no
+    backreferences, DuckDB's engine has none), zero-strip, pad — no
+    numerics at all.
+
+    Scale shape: per-row projection into a ≤ 26·7³-bounded key space,
+    then one map-side-combinable aggregate — the cheapest blocking
+    pass of the four (no explode, no window, no join)."""
+    part = load_table(spark, sf_dir, "part")
+    word = F.element_at(F.split(F.col("p_name"), " "), 1)
+    digits = F.translate(
+        F.substring(word, 2, 100),
+        "abcdefghijklmnopqrstuvwxyz",
+        _PHONETIC_MAP,
+    )
+    # collapse runs per class without regex backreferences — the oracle
+    # runs on RE2 (DuckDB), which has none; same cascade both engines
+    for dgt in "123456":
+        digits = F.regexp_replace(digits, dgt + "{2,}", dgt)
+    code = F.concat(
+        F.upper(F.substring(word, 1, 1)),
+        F.substring(
+            F.concat(F.regexp_replace(digits, "0", ""), F.lit("000")), 1, 3
+        ),
+    )
+    return (
+        part.select(word.alias("word"), code.alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.countDistinct("word").cast("long").alias("n_distinct_words"),
+            F.min("word").alias("sample_word"),
+        )
+        .orderBy("code")
+    )

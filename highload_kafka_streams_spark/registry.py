@@ -390,6 +390,9 @@ _QUERY_LEDGER = (
     "q_text_feature_hashing",
     "q_eval_propensity_matching",
     "q_agg_median_polish",
+    "q_time_control_chart",
+    "q_time_rescaled_range",
+    "q_er_phonetic_blocking",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

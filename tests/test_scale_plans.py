@@ -1592,3 +1592,25 @@ def test_median_polish_sweeps_run_on_rollup_grid(spark, sf_smoke):
     assert "InMemory" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition(r#" in plan and "windowspecdefinition(c#" in plan, plan
+
+
+def test_control_chart_limits_broadcast(spark, sf_smoke):
+    """The 1-row limits table must broadcast back onto the day series;
+    events are scanned once (pushed click filter)."""
+    plan = plan_of(get_queries()["q_time_control_chart"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "click" in plan, plan
+
+
+def test_rescaled_range_windows_partition_by_segment(spark, sf_smoke):
+    """All R/S windows must partition by (size, segment) — never a
+    global window over the day series."""
+    plan = plan_of(get_queries()["q_time_rescaled_range"](spark, sf_smoke))
+    assert "windowspecdefinition(sgs" in plan, plan
+
+
+def test_phonetic_blocking_no_join_no_window(spark, sf_smoke):
+    """Phonetic blocking is projection + one bounded-key aggregate."""
+    plan = plan_of(get_queries()["q_er_phonetic_blocking"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "CartesianProduct", "Window"):
+        assert node not in plan, plan
