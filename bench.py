@@ -99,6 +99,7 @@ R6 = [
     "q_agg_median_polish",
     "q_time_control_chart",
     "q_er_phonetic_blocking",
+    "q_dq_reconciliation",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -1976,3 +1976,237 @@ def q_er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+@query(
+    "q_dq_reconciliation",
+    oracle="""
+WITH det AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS lc
+  FROM lineitem GROUP BY l_orderkey
+),
+rec AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS tc,
+         det.lc
+  FROM orders o LEFT JOIN det ON o.o_orderkey = det.k
+),
+b AS (
+  SELECT CASE
+           WHEN lc IS NULL THEN 'missing_detail'
+           WHEN tc = lc THEN 'exact'
+           WHEN abs(tc - lc) * 100 < tc THEN 'lt_1pct'
+           WHEN abs(tc - lc) * 20 < tc THEN 'lt_5pct'
+           ELSE 'ge_5pct' END AS bucket,
+         tc, COALESCE(lc, 0) AS lc
+  FROM rec
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(tc) AS BIGINT) AS header_cents,
+       CAST(SUM(lc) AS BIGINT) AS detail_cents,
+       CAST(SUM(tc) - SUM(lc) AS BIGINT) AS gap_cents
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail ledger reconciliation: every order's stated
+    total against the recomputed sum of its line items
+    (price·(1−disc)·(1+tax)), bucketed into exact ⁄ <1% ⁄ <5% ⁄ ≥5%
+    deviation bands plus the orphaned-header lane (orders with no
+    detail rows at all) — the month-end close report of any
+    finance-grade pipeline, and the two-SOURCE complement of
+    q_dq_constraint_suite's single-table rules and
+    q_referential_integrity's key-only check (this one reconciles
+    AMOUNTS, not just existence).
+
+    Determinism: both sides are integer cents (per-line fixed-point
+    BEFORE summing, so the detail side is order-free); deviation bands
+    are cross-multiplied integer comparisons (|Δ|·100 < tc ≡ Δ < 1%),
+    no division anywhere.
+
+    Scale shape: one map-side-combinable detail rollup, one
+    orderkey-equi-join (both sides shuffle on the same key — AQE/
+    bucketing makes it co-located at 100 TB), one 5-key aggregate.
+    The report never rescans either fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    det = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("lc")
+    )
+    rec = o.select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("tc"),
+    ).join(det, F.col("o_orderkey") == F.col("k"), "left")
+    bucket = (
+        F.when(F.col("lc").isNull(), "missing_detail")
+        .when(F.col("tc") == F.col("lc"), "exact")
+        .when(F.abs(F.col("tc") - F.col("lc")) * 100 < F.col("tc"), "lt_1pct")
+        .when(F.abs(F.col("tc") - F.col("lc")) * 20 < F.col("tc"), "lt_5pct")
+        .otherwise("ge_5pct")
+    )
+    return (
+        rec.select(
+            bucket.alias("bucket"),
+            "tc",
+            F.coalesce(F.col("lc"), F.lit(0).cast("long")).alias("lc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("tc").cast("long").alias("header_cents"),
+            F.sum("lc").cast("long").alias("detail_cents"),
+            (F.sum("tc") - F.sum("lc")).cast("long").alias("gap_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_agg_runs_test",
+    oracle="""
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1
+),
+sg AS (
+  SELECT day,
+         CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+              WHEN x < lag(x) OVER (ORDER BY day) THEN -1 END AS sgn
+  FROM s
+),
+nz AS (
+  SELECT day, sgn,
+         lag(sgn) OVER (ORDER BY day) AS prev_sgn
+  FROM sg WHERE sgn IS NOT NULL
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN prev_sgn IS NULL
+                        OR sgn <> prev_sgn THEN 1 ELSE 0 END) AS BIGINT)
+           AS r,
+         CAST(count(CASE WHEN sgn = 1 THEN 1 END) AS BIGINT) AS n1,
+         CAST(count(CASE WHEN sgn = -1 THEN 1 END) AS BIGINT) AS n2
+  FROM nz
+)
+SELECT r, n1, n2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+              AND 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) > 0
+            THEN CAST(FLOOR(
+              (CAST(r AS DOUBLE)
+               - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+              / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                     / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                        * (n1 + n2 - 1))) * 1000000 + 0.5) AS BIGINT)
+       END AS z_fx
+FROM m
+""",
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily click-revenue direction
+    sequence: count maximal runs of consecutive up/down days (zeros
+    dropped), compare against the randomness expectation
+    μ = 2n₁n₂⁄(n₁+n₂)+1 — too FEW runs means trending, too many means
+    oscillation; the nonparametric randomness check that complements
+    q_time_acf (which measures linear dependence only) and feeds the
+    'is this KPI actually drifting' triage next to
+    q_time_control_chart.
+
+    Determinism: runs/ups/downs are exact integer window counts; the
+    z statistic is one double expression over those three integers
+    (IEEE sqrt + correctly-rounded arithmetic on identical inputs),
+    fixed-pointed ONCE — the q_time_cross_correlation discipline.
+
+    Scale shape: day rollup (corpus pass, map-side combinable), two
+    |days|-row lag windows, a 1-row moment table.  The day series is
+    calendar-bounded, so the unpartitioned lag windows never grow
+    with data volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("x"))
+    )
+    w = Window.orderBy("day")
+    sg = s.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .alias("sgn"),
+    )
+    nz = sg.filter(F.col("sgn").isNotNull()).select(
+        "day", "sgn", F.lag("sgn").over(w).alias("prev_sgn")
+    )
+    m = nz.agg(
+        F.sum(
+            F.when(
+                F.col("prev_sgn").isNull()
+                | (F.col("sgn") != F.col("prev_sgn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+        F.count(F.when(F.col("sgn") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("sgn") == -1, 1)).cast("long").alias("n2"),
+    )
+    z = F.when(
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("n1") + F.col("n2") > 2)
+        & (
+            2 * F.col("n1") * F.col("n2")
+            * (2 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+            > 0
+        ),
+        F.floor(
+            (
+                F.col("r").cast("double")
+                - (
+                    2.0
+                    * F.col("n1")
+                    * F.col("n2")
+                    / (F.col("n1") + F.col("n2"))
+                    + 1.0
+                )
+            )
+            / F.sqrt(
+                2.0
+                * F.col("n1")
+                * F.col("n2")
+                * (
+                    2 * F.col("n1") * F.col("n2")
+                    - F.col("n1")
+                    - F.col("n2")
+                )
+                / (
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    * (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                )
+            )
+            * 1000000
+            + 0.5
+        ).cast("long"),
+    )
+    return m.select("r", "n1", "n2", z.alias("z_fx"))

@@ -393,6 +393,8 @@ _QUERY_LEDGER = (
     "q_time_control_chart",
     "q_time_rescaled_range",
     "q_er_phonetic_blocking",
+    "q_dq_reconciliation",
+    "q_agg_runs_test",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

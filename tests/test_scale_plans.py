@@ -1614,3 +1614,12 @@ def test_phonetic_blocking_no_join_no_window(spark, sf_smoke):
     plan = plan_of(get_queries()["q_er_phonetic_blocking"](spark, sf_smoke))
     for node in ("SortMergeJoin", "CartesianProduct", "Window"):
         assert node not in plan, plan
+
+
+def test_reconciliation_is_one_key_join_one_aggregate(spark, sf_smoke):
+    """Header-vs-detail must be detail-rollup → one orderkey join → a
+    5-key aggregate; no cartesian, no window."""
+    plan = plan_of(get_queries()["q_dq_reconciliation"](spark, sf_smoke))
+    for node in ("CartesianProduct", "Window"):
+        assert node not in plan, plan
+    assert "HashAggregate" in plan, plan
