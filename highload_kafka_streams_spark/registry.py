@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.composite",
     "highload_kafka_streams_spark.plans.events_analytics",
     "highload_kafka_streams_spark.plans.round6",
+    "highload_kafka_streams_spark.plans.round6b",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -395,6 +396,10 @@ _QUERY_LEDGER = (
     "q_er_phonetic_blocking",
     "q_dq_reconciliation",
     "q_agg_runs_test",
+    "q_alloc_fifo_inventory",
+    "q_agg_anova_f",
+    "q_dq_functional_dependency",
+    "q_graph_hits",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
