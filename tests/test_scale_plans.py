@@ -1623,3 +1623,30 @@ def test_reconciliation_is_one_key_join_one_aggregate(spark, sf_smoke):
     for node in ("CartesianProduct", "Window"):
         assert node not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_fifo_matching_is_equi_join_on_blocks(spark, sf_smoke):
+    """FIFO lot pairing must plan as an equi-join keyed by
+    (partkey, cumulative block) — never a cartesian/NLJ over the lot
+    tables — and the prefix sums must be per-part windows."""
+    plan = plan_of(get_queries()["q_alloc_fifo_inventory"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition(l_partkey" in plan, plan
+
+
+def test_anova_f_no_joins_over_facts(spark, sf_smoke):
+    """ANOVA is two grouped passes joined at month cardinality — no
+    window over the fact table, no cartesian."""
+    plan = plan_of(get_queries()["q_agg_anova_f"](spark, sf_smoke))
+    for node in ("CartesianProduct", "Window", "BroadcastNestedLoopJoin"):
+        assert node not in plan, plan
+
+
+def test_hits_normalizers_broadcast_one_row(spark, sf_smoke):
+    """Each HITS normalization crosses in a 1-row max — those (and only
+    bounded tables) may broadcast; the edge list itself must aggregate
+    with partial (map-side) combine."""
+    plan = plan_of(get_queries()["q_graph_hits"](spark, sf_smoke))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan, plan
