@@ -506,3 +506,582 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("auth2_fx"), "event_type")
     )
+
+
+@query(
+    "q_pattern_v_shape",
+    oracle="""
+WITH daily AS (
+  SELECT c.c_mktsegment AS seg, date_trunc('day', o.o_orderdate) AS d,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, d
+),
+diffed AS (
+  SELECT seg, d, v,
+         v - lag(v) OVER (PARTITION BY seg ORDER BY d) AS dv
+  FROM daily
+),
+signed AS (
+  SELECT seg, d, v,
+         CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END AS s
+  FROM diffed WHERE dv IS NOT NULL
+),
+rid AS (
+  SELECT seg, d, v, s,
+         CAST(SUM(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+           OVER (PARTITION BY seg ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS rid
+  FROM (SELECT seg, d, v, s,
+               lag(s) OVER (PARTITION BY seg ORDER BY d) AS ps
+        FROM signed)
+),
+runs AS (
+  SELECT seg, rid, min(s) AS s, CAST(count(*) AS BIGINT) AS len,
+         max_by(v, d) AS v_end
+  FROM rid GROUP BY seg, rid
+),
+ctx AS (
+  SELECT seg, rid, s, len, v_end,
+         lag(s)     OVER (PARTITION BY seg ORDER BY rid) AS prev_s,
+         lag(v_end) OVER (PARTITION BY seg ORDER BY rid) AS prev_end,
+         lag(v_end, 2) OVER (PARTITION BY seg ORDER BY rid) AS prev2_end
+  FROM runs
+),
+vs AS (
+  SELECT seg,
+         LEAST(prev2_end - prev_end, v_end - prev_end) AS depth
+  FROM ctx
+  WHERE s = 1 AND prev_s = -1 AND prev2_end IS NOT NULL
+)
+SELECT r.seg,
+       CAST(count(DISTINCT r.rid) AS BIGINT) AS n_runs,
+       CAST(COALESCE(max(r.len) FILTER (WHERE r.s = -1), 0) AS BIGINT)
+         AS longest_down_run,
+       CAST((SELECT count(*) FROM vs WHERE vs.seg = r.seg) AS BIGINT)
+         AS n_v_patterns,
+       CAST((SELECT COALESCE(max(depth), 0) FROM vs WHERE vs.seg = r.seg)
+         AS BIGINT) AS max_v_depth_c,
+       CAST((SELECT COALESCE(CAST(SUM(depth) AS BIGINT), 0)
+             FROM vs WHERE vs.seg = r.seg) AS BIGINT) AS sum_v_depth_c
+FROM runs r
+GROUP BY r.seg
+ORDER BY r.seg
+""",
+)
+def q_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-pattern detection over a series — count V patterns
+    (a strictly-falling run immediately followed by a strictly-rising
+    run) in daily revenue per market segment, with the recovery depth
+    min(drop, rise) of each V. This is the MATCH_RECOGNIZE /
+    ``PATTERN (DOWN+ UP+)`` shape, compiled to the gaps-and-islands
+    recipe: sign of the day-over-day diff → run ids by counting sign
+    changes → one row per run → lag twice over the run table to see
+    (run, its predecessor, the peak before that). Complements
+    q_pattern_sequence (element-sequence CEP) with structural/shape
+    matching.
+
+    Determinism: revenue is exact fixed-point cents; signs and depths
+    are BIGINT comparisons; every window orders by the unique (seg,
+    day) / (seg, rid) keys.
+
+    Scale shape: the series is day × segment grain — calendar-bounded,
+    so the per-segment windows are bounded regardless of fact volume;
+    all corpus-proportional work is the one groupBy producing the
+    daily rollup (map-side combinable, one shuffle). The run table is
+    strictly smaller than the day table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("seg", "d")
+        .agg(F.sum("cents").alias("v"))
+    )
+    wd = Window.partitionBy("seg").orderBy("d")
+    diffed = daily.withColumn("dv", F.col("v") - F.lag("v").over(wd))
+    signed = diffed.filter(F.col("dv").isNotNull()).withColumn(
+        "s",
+        F.when(F.col("dv") > 0, 1).when(F.col("dv") < 0, -1).otherwise(0),
+    )
+    rid = (
+        signed.withColumn("ps", F.lag("s").over(wd))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("ps").isNull() | (F.col("s") != F.col("ps")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "rid",
+            F.sum("chg")
+            .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    runs = rid.groupBy("seg", "rid").agg(
+        F.min("s").alias("s"),
+        F.count("*").alias("len"),
+        F.expr("max_by(v, d)").alias("v_end"),
+    )
+    wr = Window.partitionBy("seg").orderBy("rid")
+    ctx = (
+        runs.withColumn("prev_s", F.lag("s").over(wr))
+        .withColumn("prev_end", F.lag("v_end").over(wr))
+        .withColumn("prev2_end", F.lag("v_end", 2).over(wr))
+    )
+    vs = ctx.filter(
+        (F.col("s") == 1)
+        & (F.col("prev_s") == -1)
+        & F.col("prev2_end").isNotNull()
+    ).select(
+        "seg",
+        F.least(
+            F.col("prev2_end") - F.col("prev_end"),
+            F.col("v_end") - F.col("prev_end"),
+        ).alias("depth"),
+    )
+    per_seg_runs = runs.groupBy("seg").agg(
+        F.countDistinct("rid").alias("n_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("s") == -1, F.col("len"))), F.lit(0)
+        ).alias("longest_down_run"),
+    )
+    per_seg_vs = vs.groupBy("seg").agg(
+        F.count("*").alias("n_v_patterns"),
+        F.max("depth").alias("max_v_depth_c"),
+        F.sum("depth").alias("sum_v_depth_c"),
+    )
+    return (
+        per_seg_runs.join(per_seg_vs, "seg", "left")
+        .select(
+            "seg",
+            "n_runs",
+            "longest_down_run",
+            F.coalesce("n_v_patterns", F.lit(0)).alias("n_v_patterns"),
+            F.coalesce("max_v_depth_c", F.lit(0)).alias("max_v_depth_c"),
+            F.coalesce("sum_v_depth_c", F.lit(0)).alias("sum_v_depth_c"),
+        )
+        .orderBy("seg")
+    )
+
+
+# Page-Hinkley parameters: train on the first _PH_TRAIN days, drift
+# margin δ = μ/50 (2%), alarm threshold λ = μ/4.
+_PH_TRAIN = 14
+
+
+@query(
+    "q_time_page_hinkley",
+    oracle=f"""
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'click'
+  GROUP BY day
+),
+r AS (
+  SELECT day, x,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+  FROM s
+),
+mu AS (
+  SELECT CAST(SUM(x) // {_PH_TRAIN} AS BIGINT) AS mu
+  FROM r WHERE rn <= {_PH_TRAIN}
+),
+test AS (
+  SELECT r.day, r.x, mu.mu,
+         CAST(SUM(r.x - mu.mu - mu.mu // 50) OVER (
+           ORDER BY r.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM r, mu WHERE r.rn > {_PH_TRAIN}
+),
+ph AS (
+  SELECT day, x, mu, cum,
+         cum - min(cum) OVER (
+           ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS ph
+  FROM test
+)
+SELECT day, x, cum, ph, ph >= mu // 4 AS alarm
+FROM ph ORDER BY day
+""",
+)
+def q_time_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift detector over daily click revenue:
+    train a reference mean μ on the first 14 days, then track
+    PH_t = Σ(x_i − μ − δ) − min-so-far of that cumulative sum and
+    alarm when PH_t ≥ λ (δ = μ/50, λ = μ/4). A genuinely different
+    decision rule from q_time_control_chart (pointwise I-MR limits)
+    and q_anomaly_cusum: PH accumulates small sustained shifts that
+    never breach a pointwise limit — the standard change-detector for
+    concept drift in streaming ML.
+
+    Determinism: all integer — cents are fixed-point, μ and the
+    thresholds are integer divisions (positive operands), the
+    cumulative sum and running minimum are exact BIGINT windows keyed
+    by the unique day.
+
+    Scale shape: the only corpus-proportional pass is the per-day
+    rollup (map-side combine, one shuffle); everything after runs on
+    the calendar-bounded day series, and μ joins back as a broadcast
+    1-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(c) DIV 100 AS BIGINT)").alias("x"))
+    )
+    wd = Window.orderBy("day")
+    r = s.withColumn("rn", F.row_number().over(wd).cast("long"))
+    mu = r.filter(F.col("rn") <= _PH_TRAIN).agg(
+        F.expr(f"CAST(SUM(x) DIV {_PH_TRAIN} AS BIGINT)").alias("mu")
+    )
+    test = (
+        r.filter(F.col("rn") > _PH_TRAIN)
+        .crossJoin(F.broadcast(mu))
+        .withColumn(
+            "cum",
+            F.sum(F.expr("x - mu - mu DIV 50"))
+            .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    ph = test.withColumn(
+        "ph",
+        F.col("cum")
+        - F.min("cum").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return ph.select(
+        "day",
+        "x",
+        "cum",
+        "ph",
+        F.expr("ph >= mu DIV 4").alias("alarm"),
+    ).orderBy("day")
+
+
+@query(
+    "q_eval_lift_gains",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS score,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT user_id, score, pos,
+         CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+           AS decile
+  FROM per_user
+),
+per_decile AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS big_n,
+         CAST(SUM(n_pos) AS BIGINT) AS big_p
+  FROM per_decile
+)
+SELECT d.decile, d.n_users, d.n_pos,
+       CAST(SUM(d.n_pos) OVER (
+         ORDER BY d.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_pos,
+       CAST((CAST(SUM(d.n_pos) OVER (
+               ORDER BY d.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) * 1000000) // t.big_p AS BIGINT) AS gain_fx,
+       CAST((d.n_pos * t.big_n * 10000) // (d.n_users * t.big_p)
+            AS BIGINT) AS lift_fx
+FROM per_decile d, tot t
+ORDER BY d.decile
+""",
+)
+def q_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table — rank users by a behavior
+    score (click count), split into exact deciles, and report each
+    decile's positive rate (purchase) relative to the base rate plus
+    the cumulative share of all positives captured — the model-quality
+    read-out that complements q_eval_auc (threshold-free ranking
+    quality) and q_eval_calibration_bins (probability calibration)
+    with the campaign-targeting view marketers actually act on.
+
+    Determinism: the decile comes from ntile ordered by
+    (score DESC, user_id) — a total order; lift and gains are integer
+    cross-ratios (lift_fx = n_pos·N·1e4 // (n·P), gain_fx =
+    cum_pos·1e6 // P), all-positive integer division.
+
+    Scale shape: the per-user rollup is one map-side-combinable
+    shuffle; deciles come from composite._exact_ntile_desc — the
+    bucketed two-pass exact row-number (NO single-task global sort,
+    identical output to the oracle's global ntile); everything after
+    runs on the 10-row decile table with a broadcast 1-row total."""
+    from highload_kafka_streams_spark.plans.composite import (
+        _exact_ntile_desc,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    tiled = _exact_ntile_desc(per_user, "score", "user_id", "decile", k=10)
+    per_decile = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n_users"), F.sum("pos").alias("n_pos")
+    )
+    tot = per_decile.agg(
+        F.sum("n_users").alias("big_n"), F.sum("n_pos").alias("big_p")
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(wd).cast("long"))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            "cum_pos",
+            F.expr("CAST((cum_pos * 1000000) DIV big_p AS BIGINT)").alias(
+                "gain_fx"
+            ),
+            F.expr(
+                "CAST((n_pos * big_n * 10000) DIV (n_users * big_p)"
+                " AS BIGINT)"
+            ).alias("lift_fx"),
+        )
+        .orderBy("decile")
+    )
+
+
+_KAPPA_PRED = """
+  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END
+"""
+
+
+@query(
+    "q_agg_cohens_kappa",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, lang,
+    len(list_filter(string_split(text,' '), x -> list_contains(['the','and','for','with','that','this','are','was'], x))) AS s_en,
+    len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+    len(list_filter(string_split(text,' '), x -> list_contains(['le','la','les','et','est','pas','une','des'], x))) AS s_fr,
+    len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','que','es','una','por','con'], x))) AS s_es
+  FROM documents
+),
+labeled AS (
+  SELECT source, lang AS actual, {_KAPPA_PRED} AS pred FROM scored
+),
+n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM labeled GROUP BY source
+),
+act AS (
+  SELECT source, actual AS cls, CAST(count(*) AS BIGINT) AS a
+  FROM labeled GROUP BY source, actual
+),
+prd AS (
+  SELECT source, pred AS cls, CAST(count(*) AS BIGINT) AS p
+  FROM labeled GROUP BY source, pred
+),
+e AS (
+  SELECT COALESCE(act.source, prd.source) AS source,
+         CAST(SUM(COALESCE(act.a, 0) * COALESCE(prd.p, 0)) AS BIGINT)
+           AS e_num
+  FROM act FULL JOIN prd
+    ON act.source = prd.source AND act.cls = prd.cls
+  GROUP BY COALESCE(act.source, prd.source)
+)
+SELECT n.source, n.n, n.agree, e.e_num,
+       CASE WHEN n.n * n.n - e.e_num <> 0
+            THEN ((n.agree * n.n - e.e_num) * 1000000)
+                 // (n.n * n.n - e.e_num)
+            ELSE NULL END AS kappa_fx
+FROM n JOIN e ON n.source = e.source
+ORDER BY n.source
+""",
+)
+def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the labeled language and the
+    stopword-profile classifier (q_text_langid's rater), per source —
+    chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), the standard
+    annotator/model-agreement statistic a labeling pipeline reports
+    alongside raw accuracy (q_text_lang_confusion gives the confusion
+    matrix; this collapses it to the one scalar reviewers compare).
+
+    Determinism: with A = agreements, N = rows and
+    E = Σ_c actual_c·pred_c, κ = (A·N − E)/(N² − E) exactly; kappa_fx
+    is that ratio at 1e6 in one integer division (numerator may be
+    negative — Spark DIV and DuckDB // both truncate toward zero).
+
+    Scale shape: three grouped passes over the corpus (agreement,
+    actual marginals, predicted marginals — each map-side combinable)
+    and a class-level join (bounded: ≤ 5 classes per source); the
+    scoring itself is a projection (no shuffle). Marginal tables are
+    |sources|×|classes|-sized regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    from highload_kafka_streams_spark.llm.text import STOPWORDS
+
+    def score(lang: str):
+        arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_de, s_fr, s_es = (score(x) for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(s_en + s_de + s_fr + s_es == 0, "und")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    labeled = d.select(
+        "source", F.col("lang").alias("actual"), pred.alias("pred")
+    ).persist()
+    n = labeled.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("pred"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    act = labeled.groupBy("source", F.col("actual").alias("cls")).agg(
+        F.count("*").alias("a")
+    )
+    prd = labeled.groupBy("source", F.col("pred").alias("cls")).agg(
+        F.count("*").alias("p")
+    )
+    e = (
+        act.join(prd, ["source", "cls"], "full")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.coalesce("a", F.lit(0)) * F.coalesce("p", F.lit(0))
+            ).alias("e_num")
+        )
+    )
+    return (
+        n.join(e, "source")
+        .select(
+            "source",
+            "n",
+            "agree",
+            "e_num",
+            F.expr(
+                "CASE WHEN n * n - e_num <> 0 "
+                "THEN ((agree * n - e_num) * 1000000) DIV (n * n - e_num) "
+                "ELSE NULL END"
+            ).alias("kappa_fx"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_text_tokenizer_fertility",
+    oracle="""
+WITH t AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST((SUM(n_tokens) * 1000000) // SUM(n_words) AS BIGINT)
+         AS fertility_fx,
+       CAST((SUM(n_chars) * 1000000) // SUM(n_tokens) AS BIGINT)
+         AS chars_per_token_fx
+FROM t
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, language): BPE-ish tokens
+    per whitespace word and bytes(chars) per token — the corpus-slice
+    budgeting table that turns raw corpus size into training-token
+    estimates and flags slices whose tokenization is pathologically
+    expensive (high fertility = the tokenizer fragments that
+    language). Rolls the per-doc counts of q_text_bpe_token_counts up
+    to the corpus-planning grain.
+
+    Determinism: counts are exact BIGINTs from the same regex lexer in
+    both engines; the two ratios are single integer divisions at 1e6
+    (all-positive).
+
+    Scale shape: pure projection (regexp count per row, no explode —
+    the token ARRAYS never materialize into rows) followed by one
+    map-side-combinable groupBy on (source, lang); output is
+    slice-cardinality-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    t = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.size(bpe).cast("long").alias("n_tokens"),
+    )
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.expr(
+                "CAST((SUM(n_tokens) * 1000000) DIV SUM(n_words) AS BIGINT)"
+            ).alias("fertility_fx"),
+            F.expr(
+                "CAST((SUM(n_chars) * 1000000) DIV SUM(n_tokens) AS BIGINT)"
+            ).alias("chars_per_token_fx"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -400,6 +400,11 @@ _QUERY_LEDGER = (
     "q_agg_anova_f",
     "q_dq_functional_dependency",
     "q_graph_hits",
+    "q_pattern_v_shape",
+    "q_time_page_hinkley",
+    "q_eval_lift_gains",
+    "q_agg_cohens_kappa",
+    "q_text_tokenizer_fertility",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1650,3 +1650,48 @@ def test_hits_normalizers_broadcast_one_row(spark, sf_smoke):
     plan = plan_of(get_queries()["q_graph_hits"](spark, sf_smoke))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_v_shape_windows_partition_by_segment(spark, sf_smoke):
+    """Every gaps-and-islands window in the V-pattern query must
+    partition by segment; the day grain keeps them calendar-bounded."""
+    import re
+
+    plan = plan_of(get_queries()["q_pattern_v_shape"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "seg" for p in specs), specs
+
+
+def test_page_hinkley_broadcasts_mu_and_pushes_filter(spark, sf_smoke):
+    """The trained mean must come back as a broadcast 1-row table and
+    the click filter must reach the events scan."""
+    plan = plan_of(get_queries()["q_time_page_hinkley"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "click" in plan, plan
+
+
+def test_lift_gains_deciles_are_bucket_partitioned(spark, sf_smoke):
+    """The decile row_number must ride the bucketed exact-ntile (no
+    global ntile window over the user table)."""
+    import re
+
+    plan = plan_of(get_queries()["q_eval_lift_gains"](spark, sf_smoke))
+    assert not re.search(r"ntile\(", plan), "global ntile returned"
+    rn = re.findall(r"row_number\(\) windowspecdefinition\((\S+?)#", plan)
+    assert rn and all(p == "__bucket" for p in rn), rn
+
+
+def test_kappa_marginal_join_is_class_cardinality(spark, sf_smoke):
+    """Kappa's only join is the (source, class)-grain marginal join —
+    no window, no cartesian over documents."""
+    plan = plan_of(get_queries()["q_agg_cohens_kappa"](spark, sf_smoke))
+    for node in ("CartesianProduct", "Window", "BroadcastNestedLoopJoin"):
+        assert node not in plan, plan
+
+
+def test_tokenizer_fertility_no_explode(spark, sf_smoke):
+    """Fertility counts tokens via regexp size — the token arrays must
+    never explode into rows; one aggregate, no joins."""
+    plan = plan_of(get_queries()["q_text_tokenizer_fertility"](spark, sf_smoke))
+    for node in ("Generate", "SortMergeJoin", "CartesianProduct", "Window"):
+        assert node not in plan, plan
