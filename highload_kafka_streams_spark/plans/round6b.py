@@ -1085,3 +1085,529 @@ def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_PERM_K = 200  # sign-flip permutations
+
+_DUCK_HEX1 = "(strpos('0123456789abcdef', substr(md5({x}), 1, 1)) - 1)"
+
+
+@query(
+    "q_eval_permutation_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT)
+         - CAST(SUM(CASE WHEN event_type = 'view'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS diff
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(abs(SUM(diff)) AS BIGINT) AS t_obs
+  FROM daily
+),
+flips AS (
+  SELECT k.k, daily.d, daily.diff,
+         CASE WHEN {_DUCK_HEX1.format(x="'perm:' || CAST(k.k AS VARCHAR) || ':' || CAST(daily.d AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM daily, (SELECT unnest(range(1, {_PERM_K} + 1)) AS k) k
+),
+nulls AS (
+  SELECT k, CAST(abs(SUM(s * diff)) AS BIGINT) AS t_k
+  FROM flips GROUP BY k
+)
+SELECT obs.n_days, obs.t_obs,
+       CAST(count(*) FILTER (WHERE nulls.t_k >= obs.t_obs) AS BIGINT)
+         AS n_ge,
+       CAST(((1 + count(*) FILTER (WHERE nulls.t_k >= obs.t_obs))
+             * 1000000) // ({_PERM_K} + 1) AS BIGINT) AS p_fx
+FROM nulls, obs
+GROUP BY obs.n_days, obs.t_obs
+""",
+)
+def q_eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test — is daily click revenue
+    different from daily view revenue? The test statistic is
+    |Σ_i d_i| over the daily paired differences; the null distribution
+    comes from 200 sign-flip replicas whose ±1 signs are drawn from
+    the portable md5 family (parity of the first hex digit of
+    md5('perm:k:day')), so BOTH engines generate the *identical*
+    permutation set and the empirical p-value
+    (1 + #{T_k ≥ T_obs}) / (K+1) is value-hash-checked exactly — the
+    trick that makes an inherently randomized method oracle-verifiable
+    (same family as q_dedup_minhash_md5). Distribution-free
+    significance without any normal-CDF table, complementing
+    q_agg_welch_ttest (parametric) and q_agg_mann_whitney (rank).
+
+    Scale shape: one corpus pass builds the day-grain paired series;
+    the K× explode happens on the calendar-bounded day table
+    (K·|days| rows, never K·|events|), then one grouped sum per
+    replica. The observed statistic crosses back as a broadcast 1-row
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 86400000000").alias(
+                "d"
+            ),
+            F.when(F.col("event_type") == "click", cents)
+            .otherwise(0)
+            .alias("c"),
+            F.when(F.col("event_type") == "view", cents)
+            .otherwise(0)
+            .alias("v"),
+        )
+        .groupBy("d")
+        .agg((F.sum("c") - F.sum("v")).alias("diff"))
+    )
+    obs = daily.agg(
+        F.count("*").alias("n_days"),
+        F.abs(F.sum("diff")).alias("t_obs"),
+    )
+    ks = spark.range(1, _PERM_K + 1).select(F.col("id").alias("k"))
+    flips = daily.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "diff",
+        F.when(
+            F.expr(
+                "CAST(conv(substring(md5(concat('perm:', CAST(k AS STRING),"
+                " ':', CAST(d AS STRING))), 1, 1), 16, 10) AS BIGINT)"
+                " % 2 = 0"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    nulls = flips.groupBy("k").agg(
+        F.abs(F.sum(F.col("s") * F.col("diff"))).alias("t_k")
+    )
+    return (
+        nulls.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "t_obs")
+        .agg(
+            F.sum(F.when(F.col("t_k") >= F.col("t_obs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_days",
+            "t_obs",
+            "n_ge",
+            F.expr(
+                f"CAST(((1 + n_ge) * 1000000) DIV ({_PERM_K} + 1)"
+                " AS BIGINT)"
+            ).alias("p_fx"),
+        )
+    )
+
+
+_KNAPSACK_CAP = 500  # per-brand size budget
+
+
+@query(
+    "q_select_budget_knapsack",
+    oracle=f"""
+WITH scored AS (
+  SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS value_c,
+         (CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) * 1000)
+           // CAST(p_size AS BIGINT) AS density_key
+  FROM part WHERE p_size > 0
+),
+ranked AS (
+  SELECT *,
+         CAST(SUM(size) OVER (
+           PARTITION BY p_brand
+           ORDER BY density_key DESC, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_size
+  FROM scored
+),
+sel AS (SELECT * FROM ranked WHERE cum_size <= {_KNAPSACK_CAP})
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(SUM(value_c) AS BIGINT) AS value_c,
+       CAST(SUM(size) AS BIGINT) AS size_used,
+       CAST((SUM(size) * 1000000) // {_KNAPSACK_CAP} AS BIGINT)
+         AS utilization_fx
+FROM sel GROUP BY p_brand
+ORDER BY brand
+""",
+)
+def q_select_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy knapsack under a per-brand capacity budget: rank parts by
+    value density (price/size), take them in density order until the
+    size budget is spent — the classic LP-relaxation greedy that
+    curation pipelines use to pick "most value per byte" under a token
+    or storage budget (the deterministic cousin of
+    q_sample_temperature's soft weighting and q_alloc_water_filling's
+    fair split).
+
+    Determinism: the greedy order is the integer key
+    (⌊price·100⌋·1000 // size, partkey) — no double ratios anywhere —
+    and selection is a pure prefix-sum cutoff against the budget.
+
+    Scale shape: one per-brand window (hash exchange on brand, ordered
+    within partition) and one aggregate. A brand's parts are
+    data-proportional, so the window is partitioned — never global;
+    at extreme per-group cardinality the same two-phase bucketed
+    prefix sum that de-weaked q_abc_pareto applies unchanged."""
+    p = load_table(spark, sf_dir, "part")
+    scored = p.filter(F.col("p_size") > 0).select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "value_c"
+        ),
+        F.expr(
+            "(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) * 1000)"
+            " DIV CAST(p_size AS BIGINT)"
+        ).alias("density_key"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("density_key"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = scored.withColumn("cum_size", F.sum("size").over(w)).filter(
+        F.col("cum_size") <= _KNAPSACK_CAP
+    )
+    return (
+        sel.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("value_c").alias("value_c"),
+            F.sum("size").alias("size_used"),
+            F.expr(
+                f"CAST((SUM(size) * 1000000) DIV {_KNAPSACK_CAP} AS BIGINT)"
+            ).alias("utilization_fx"),
+        )
+        .orderBy("brand")
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute sessionization gap
+
+
+@query(
+    "q_events_littles_law",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events
+),
+gapped AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > {_SESSION_GAP_US}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess_id AS (
+  SELECT user_id, t,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM gapped
+),
+sess AS (
+  SELECT user_id, sid, min(t) AS s, max(t) AS e
+  FROM sess_id GROUP BY user_id, sid
+),
+bounds AS (
+  SELECT min(s) // 3600000000 AS h0, max(e) // 3600000000 AS h1 FROM sess
+),
+hours AS (
+  SELECT unnest(range((SELECT h0 FROM bounds),
+                      (SELECT h1 FROM bounds) + 1)) AS h
+),
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS covered
+  FROM sess JOIN hours
+    ON hours.h * 3600000000 >= sess.s AND hours.h * 3600000000 < sess.e
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(SUM((e - s) // 1000000) AS BIGINT) AS sum_w_s
+  FROM sess
+),
+grid AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hours)
+SELECT agg.n_sessions, agg.sum_w_s, grid.n_hours, cov.covered,
+       (agg.n_sessions * 1000000) // grid.n_hours AS lambda_per_hour_fx,
+       (agg.sum_w_s * 1000000) // agg.n_sessions AS w_avg_s_fx,
+       (cov.covered * 1000000) // grid.n_hours AS l_sampled_fx,
+       (agg.sum_w_s * 1000000) // (grid.n_hours * 3600) AS lw_fx,
+       CASE WHEN agg.sum_w_s > 0
+            THEN (((cov.covered * 1000000) // grid.n_hours) * 1000000)
+                 // ((agg.sum_w_s * 1000000) // (grid.n_hours * 3600))
+            ELSE NULL END AS l_over_lw_fx
+FROM agg, grid, cov
+""",
+)
+def q_events_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law audit L = λ·W over 30-minute-gap user sessions:
+    arrival rate λ (sessions/hour over the observation span), mean
+    sojourn W (session seconds), and an INDEPENDENTLY sampled
+    concurrency L — the average number of live sessions at hourly
+    instants, measured by an interval-coverage join rather than
+    derived from the durations. The closing ratio L/(λW) is the
+    standard queueing sanity check: ≈1 when sampling resolution
+    captures the sessions, systematically <1 when sessions are short
+    relative to the sampling grid (exactly what operators need to see
+    before trusting a dashboard's concurrency estimate).
+
+    Determinism: all epoch-µs integers; durations are whole seconds
+    via integer division; every rate/ratio is one `//` at 1e6 over
+    positive operands.
+
+    Scale shape: sessionization is the canonical per-user
+    gaps-and-islands (one hash exchange on user_id, ordered within
+    partition); the coverage join pairs sessions with the
+    calendar-bounded hourly grid through an overlap predicate whose
+    candidate set per session is its own ≤ span-hours instants (Spark
+    side explodes each session's covered hours — equi-join-free and
+    linear in session-hours, the q_join_interval_overlap discipline);
+    all final arithmetic happens on 1-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t")
+    gapped = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(wu) > _SESSION_GAP_US)
+            | F.lag("t").over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        gapped.withColumn(
+            "sid",
+            F.sum("new_s")
+            .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+        .persist()
+    )
+    bounds = sess.agg(
+        F.expr("min(s) DIV 3600000000").alias("h0"),
+        F.expr("max(e) DIV 3600000000").alias("h1"),
+    )
+    # explode each session into the hourly instants it covers —
+    # session span is bounded by the gap rule, so the fan-out per row
+    # is small and there is no grid×session join
+    covered = (
+        sess.select(
+            F.explode(
+                F.sequence(
+                    F.expr("(s + 3599999999) DIV 3600000000"),
+                    F.expr("(e - 1) DIV 3600000000"),
+                )
+            ).alias("h"),
+            "s",
+            "e",
+        )
+        .filter(
+            (F.col("h") * 3_600_000_000 >= F.col("s"))
+            & (F.col("h") * 3_600_000_000 < F.col("e"))
+        )
+        .agg(F.count("*").alias("covered"))
+    )
+    agg = sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.expr("CAST(SUM((e - s) DIV 1000000) AS BIGINT)").alias("sum_w_s"),
+    )
+    grid = bounds.select((F.col("h1") - F.col("h0") + 1).alias("n_hours"))
+    return (
+        agg.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            "n_sessions",
+            "sum_w_s",
+            "n_hours",
+            "covered",
+            F.expr("(n_sessions * 1000000) DIV n_hours").alias(
+                "lambda_per_hour_fx"
+            ),
+            F.expr("(sum_w_s * 1000000) DIV n_sessions").alias("w_avg_s_fx"),
+            F.expr("(covered * 1000000) DIV n_hours").alias("l_sampled_fx"),
+            F.expr("(sum_w_s * 1000000) DIV (n_hours * 3600)").alias("lw_fx"),
+            F.expr(
+                "CASE WHEN sum_w_s > 0 THEN "
+                "(((covered * 1000000) DIV n_hours) * 1000000) "
+                "DIV ((sum_w_s * 1000000) DIV (n_hours * 3600)) "
+                "ELSE NULL END"
+            ).alias("l_over_lw_fx"),
+        )
+    )
+
+
+# Blob aHash: 32 blocks × 2 chars over the first 64 payload chars;
+# 4 LSH bands × 8 bits; buckets larger than the hub cap are skipped.
+_AHASH_PREFIX = 64
+_AHASH_BLOCKS = 32
+_AHASH_BANDS = 4
+_AHASH_HUB_CAP = 200
+
+_AHASH_DUCK = f"""
+WITH padded AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS channel,
+         rpad(text, {_AHASH_PREFIX}, ' ') AS p
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, channel,
+         list_transform(range({_AHASH_BLOCKS}),
+           b -> ord(substr(p, 2 * b + 1, 1))
+                + ord(substr(p, 2 * b + 2, 1))) AS bl
+  FROM padded
+),
+hashed AS (
+  SELECT doc_id, channel,
+         CAST(list_sum(list_transform(range({_AHASH_BLOCKS}),
+           b -> CASE WHEN bl[b + 1] * {_AHASH_BLOCKS} >= list_sum(bl)
+                     THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+           AS BIGINT) AS h
+  FROM blocks
+),
+bands AS (
+  SELECT doc_id, channel, h, j,
+         (h >> (8 * j)) & 255 AS bv
+  FROM hashed, (SELECT unnest(range({_AHASH_BANDS})) AS j)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY channel, j, bv) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {_AHASH_HUB_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.channel, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h AS ha, b.h AS hb
+  FROM kept a JOIN kept b
+    ON a.channel = b.channel AND a.j = b.j AND a.bv = b.bv
+   AND a.doc_id < b.doc_id
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE bit_count(xor(ha, hb)) <= 2) AS BIGINT)
+         AS n_near_dups,
+       CAST(count(*) FILTER (WHERE ha = hb) AS BIGINT) AS n_exact_sig
+FROM cand
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@query("q_multimodal_ahash_buckets", oracle=_AHASH_DUCK)
+def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean perceptual-hash (aHash-family) near-duplicate
+    detection over the multimodal payload, banded LSH-style: the
+    first 64 payload characters split into 32 two-char blocks, bit b
+    set iff block b's mean exceeds the overall mean — the exact
+    signature family image pipelines compute from decoded pixel
+    grids, here derived from the deterministic blob convention
+    (llm/multimodal.py: payload = utf-8 text bytes, channel =
+    doc_id % 3) so the WHOLE pipeline — signature, banding, candidate
+    join, Hamming verify — is value-hash-checked cross-engine. In a
+    real deployment only the signature kernel moves into the
+    mapInPandas decode stage (q_multimodal_features' seam); every
+    relational stage here is unchanged.
+
+    Determinism: code points are exact integers both engines (ASCII
+    fixture; Spark ascii() == DuckDB ord() for BMP), the bit rule is
+    the cross-multiplied comparison S_b·32 ≥ ΣS, and the verify is
+    bit_count over 32-bit integers.
+
+    Scale shape: signature build is a pure projection (no explode —
+    the 32-block list never leaves its row); candidates come from
+    equi-joins on (channel, band, band-value) with a hub cap (buckets
+    over 200 members are skipped — the q_text_winnowing discipline)
+    so no bucket can go quadratic; the Hamming verify touches
+    candidate pairs only. Never an all-pairs comparison."""
+    from highload_kafka_streams_spark.llm.multimodal import with_blob_column
+
+    docs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    p = F.rpad(F.col("text"), _AHASH_PREFIX, " ")
+    bl = F.array(
+        *[
+            F.ascii(F.substring(p, 2 * b + 1, 1))
+            + F.ascii(F.substring(p, 2 * b + 2, 1))
+            for b in range(_AHASH_BLOCKS)
+        ]
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.col("meta.channel").alias("channel"),
+        bl.alias("bl"),
+    ).select(
+        "doc_id",
+        "channel",
+        F.expr(
+            f"CAST(aggregate(zip_with(bl, sequence(0, {_AHASH_BLOCKS - 1}),"
+            f" (x, i) -> CASE WHEN x * {_AHASH_BLOCKS} >="
+            " aggregate(bl, 0, (a, v) -> a + v)"
+            " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT)"
+            " END), CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
+        ).alias("h"),
+    )
+    js = spark.range(_AHASH_BANDS).select(F.col("id").cast("int").alias("j"))
+    bands = hashed.crossJoin(F.broadcast(js)).select(
+        "doc_id",
+        "channel",
+        "h",
+        "j",
+        F.expr("(h >> (8 * j)) & 255").alias("bv"),
+    )
+    wb = Window.partitionBy("channel", "j", "bv")
+    kept = (
+        bands.withColumn("bucket_n", F.count("*").over(wb))
+        .filter(F.col("bucket_n") <= _AHASH_HUB_CAP)
+        .drop("bucket_n")
+    )
+    ka, kb = kept.alias("a"), kept.alias("b")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("a.channel") == F.col("b.channel"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.channel").alias("channel"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(F.expr("bit_count(ha ^ hb) <= 2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_near_dups"),
+            F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_sig"),
+        )
+        .orderBy("channel")
+    )

@@ -405,6 +405,10 @@ _QUERY_LEDGER = (
     "q_eval_lift_gains",
     "q_agg_cohens_kappa",
     "q_text_tokenizer_fertility",
+    "q_eval_permutation_test",
+    "q_select_budget_knapsack",
+    "q_events_littles_law",
+    "q_multimodal_ahash_buckets",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

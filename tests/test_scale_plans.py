@@ -1695,3 +1695,44 @@ def test_tokenizer_fertility_no_explode(spark, sf_smoke):
     plan = plan_of(get_queries()["q_text_tokenizer_fertility"](spark, sf_smoke))
     for node in ("Generate", "SortMergeJoin", "CartesianProduct", "Window"):
         assert node not in plan, plan
+
+
+def test_permutation_explode_is_day_grain(spark, sf_smoke):
+    """The K-replica explode must happen on the day table, never the
+    event table: the plan's only corpus aggregate is the daily rollup,
+    and the replica join is against a bounded broadcast range."""
+    plan = plan_of(get_queries()["q_eval_permutation_test"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knapsack_window_partitions_by_brand(spark, sf_smoke):
+    """The greedy prefix sum must partition by brand — no global sort."""
+    import re
+
+    plan = plan_of(get_queries()["q_select_budget_knapsack"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "p_brand" for p in specs), specs
+
+
+def test_littles_law_sessionizes_per_user(spark, sf_smoke):
+    """Sessionization windows must partition by user; the coverage pass
+    must not join the event table against the hour grid."""
+    import re
+
+    plan = plan_of(get_queries()["q_events_littles_law"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "user_id" for p in specs), specs
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ahash_signature_is_projection_and_join_is_banded(spark, sf_smoke):
+    """The aHash signature must build as a projection (no Generate from
+    the block array) and candidates must come from a hash equi-join on
+    (channel, band, value) — never a cartesian over documents. The only
+    nested-loop nodes allowed are the bounded 4-row band-range
+    broadcasts."""
+    plan = plan_of(get_queries()["q_multimodal_ahash_buckets"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "Generate" not in plan, plan
