@@ -1611,3 +1611,405 @@ def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_DTW_BAND = 7
+_DTW_INF = 9_000_000_000_000_000
+
+
+@query(
+    "q_ts_dtw_distance",
+    oracle=f"""
+WITH RECURSIVE ca AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+cb AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+dims AS (
+  SELECT (SELECT list(v ORDER BY d) FROM ca) AS a,
+         (SELECT list(v ORDER BY d) FROM cb) AS b
+),
+init AS (
+  SELECT a, b, len(a) AS n, len(b) AS m FROM dims
+),
+dtw AS (
+  SELECT 1 AS i, 1 AS j, a, b, n, m,
+         [CAST(0 AS BIGINT)]
+           || list_transform(range(m),
+                x -> CAST({_DTW_INF} AS BIGINT)) AS prev,
+         [CAST({_DTW_INF} AS BIGINT)] AS cur
+  FROM init
+  UNION ALL
+  SELECT CASE WHEN j = m THEN i + 1 ELSE i END,
+         CASE WHEN j = m THEN 1 ELSE j + 1 END,
+         a, b, n, m,
+         CASE WHEN j = m THEN cur2 ELSE prev END,
+         CASE WHEN j = m THEN [CAST({_DTW_INF} AS BIGINT)] ELSE cur2 END
+  FROM (
+    SELECT i, j, a, b, n, m, prev,
+           cur || [least(
+             CASE WHEN abs(i - j) <= {_DTW_BAND}
+                  THEN abs(a[i] - b[j])
+                       + least(prev[j + 1], prev[j], cur[j])
+                  ELSE CAST({_DTW_INF} AS BIGINT) END,
+             CAST({_DTW_INF} AS BIGINT))] AS cur2
+    FROM dtw WHERE i <= n
+  )
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(prev[m + 1] AS BIGINT) AS dtw_c
+FROM dtw WHERE i = n + 1 AND j = 1
+""",
+)
+def q_ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sakoe–Chiba banded dynamic time warping between the daily click
+    and view revenue series — the alignment distance q_ts_similarity
+    _search's lockstep metrics cannot express (DTW tolerates phase
+    shift). The DP recurrence D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j),
+    D(i−1,j−1), D(i,j−1)) inside band |i−j| ≤ 7 is inherently
+    sequential, so this is the documented CUSTOM-OPERATOR lane (b):
+    the kernel runs as an Arrow-batched pandas UDF over the
+    calendar-bounded series pair, while every corpus-proportional
+    stage (the daily rollups) stays in native DataFrame ops. The
+    DuckDB oracle proves the exact same recurrence via a cell-stepping
+    recursive CTE carrying the (prev, cur) DP rows as lists — the
+    whole DP trajectory is value-hash-checked, making the Python
+    kernel's correctness externally pinned, not self-certified.
+
+    Determinism: all-integer cents; min/abs only; the out-of-band
+    sentinel caps additions at 9e15 so no overflow path exists.
+
+    Scale shape: two map-side-combinable daily rollups; the UDF sees
+    exactly ONE row containing two |days|-length arrays (bounded by
+    the calendar, never by event volume). A fleet-scale variant maps
+    the same kernel over one row per (series-pair) group via
+    applyInPandas — embarrassingly parallel across pairs."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(et: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(
+                F.expr(
+                    "CAST(unix_micros(ts) AS BIGINT) DIV 86400000000"
+                ).alias("d"),
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("v"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, v))),"
+                    " x -> x.v)"
+                ).alias("vs")
+            )
+        )
+
+    pair = (
+        daily("click")
+        .withColumnRenamed("vs", "a")
+        .crossJoin(F.broadcast(daily("view").withColumnRenamed("vs", "b")))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a, b = list(a), list(b)
+                n, m = len(a), len(b)
+                inf = _DTW_INF
+                prev = [0] + [inf] * m
+                for i in range(1, n + 1):
+                    cur = [inf]
+                    for j in range(1, m + 1):
+                        if abs(i - j) <= _DTW_BAND:
+                            d = abs(a[i - 1] - b[j - 1]) + min(
+                                prev[j], prev[j - 1], cur[j - 1]
+                            )
+                            cur.append(min(d, inf))
+                        else:
+                            cur.append(inf)
+                    prev = cur
+                out.append((n, m, prev[m]))
+            yield pd.DataFrame(out, columns=["n_a", "n_b", "dtw_c"])
+
+    return pair.mapInPandas(kernel, "n_a long, n_b long, dtw_c long")
+
+
+_BH_K = 200  # permutation replicas per hypothesis
+_BH_ALPHA_10 = 1  # α = 0.1 expressed as 1/10
+
+
+@query(
+    "q_eval_bh_fdr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, d
+),
+paired AS (
+  SELECT a.event_type, a.d, a.x - f.x AS diff
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.d = a.d - 7
+),
+obs AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(abs(SUM(diff)) AS BIGINT) AS t_obs
+  FROM paired GROUP BY event_type
+),
+flips AS (
+  SELECT p.event_type, k.k, p.diff,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('bh:' || p.event_type || ':'
+                           || CAST(k.k AS VARCHAR) || ':'
+                           || CAST(p.d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM paired p, (SELECT unnest(range(1, {_BH_K} + 1)) AS k) k
+),
+nulls AS (
+  SELECT event_type, k, CAST(abs(SUM(s * diff)) AS BIGINT) AS t_k
+  FROM flips GROUP BY event_type, k
+),
+pvals AS (
+  SELECT o.event_type, o.n_pairs, o.t_obs,
+         CAST(((1 + count(*) FILTER (WHERE n.t_k >= o.t_obs)) * 1000000)
+              // ({_BH_K} + 1) AS BIGINT) AS p_fx
+  FROM obs o JOIN nulls n ON n.event_type = o.event_type
+  GROUP BY o.event_type, o.n_pairs, o.t_obs
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_fx, event_type) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pvals
+),
+cut AS (
+  SELECT *,
+         max(CASE WHEN p_fx * m * 10 <= rnk * 1000000 * {_BH_ALPHA_10}
+                  THEN rnk ELSE 0 END) OVER () AS cutoff
+  FROM ranked
+)
+SELECT event_type, n_pairs, t_obs, p_fx, rnk,
+       rnk <= cutoff AS rejected
+FROM cut
+ORDER BY rnk
+""",
+)
+def q_eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a FAMILY of permutation
+    tests: for every event type, test week-over-week drift (paired
+    diff x_d − x_{d−7}, sign-flip null from the portable md5 family,
+    K = 200), then apply the BH step-up rule at α = 0.1 — reject all
+    hypotheses ranked ≤ the largest i with p_(i) ≤ i·α/m. The
+    multiple-testing layer every metrics platform needs once it runs
+    one test per segment/metric — without it, 5% of all segments
+    "drift" forever.
+
+    Determinism: empirical p-values are exact integer ratios at 1e6;
+    the BH comparison is the cross-multiplied p_fx·m·10 ≤ i·1e6
+    (α = 1/10) on the already-truncated p_fx both engines share; rank
+    ties break on event_type.
+
+    Scale shape: one corpus pass to day×type grain; the K× sign-flip
+    explode and everything after runs on the calendar-bounded paired
+    table (K·|days|·|types| rows); the BH scan is two windows over the
+    m-row hypothesis table (m = #event types, bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 86400000000").alias(
+                "d"
+            ),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("x"))
+    )
+    a, f7 = daily.alias("a"), daily.alias("f")
+    paired = a.join(
+        f7,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.d") == F.col("a.d") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d"),
+        (F.col("a.x") - F.col("f.x")).alias("diff"),
+    ).persist()
+    obs = paired.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.abs(F.sum("diff")).alias("t_obs"),
+    )
+    ks = spark.range(1, _BH_K + 1).select(F.col("id").alias("k"))
+    flips = paired.crossJoin(F.broadcast(ks)).select(
+        "event_type",
+        "k",
+        "diff",
+        F.when(
+            F.expr(
+                "CAST(conv(substring(md5(concat('bh:', event_type, ':',"
+                " CAST(k AS STRING), ':', CAST(d AS STRING))), 1, 1),"
+                " 16, 10) AS BIGINT) % 2 = 0"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    nulls = flips.groupBy("event_type", "k").agg(
+        F.abs(F.sum(F.col("s") * F.col("diff"))).alias("t_k")
+    )
+    pvals = (
+        obs.join(nulls, "event_type")
+        .groupBy("event_type", "n_pairs", "t_obs")
+        .agg(
+            F.expr(
+                f"CAST(((1 + SUM(CASE WHEN t_k >= t_obs THEN 1 ELSE 0 END))"
+                f" * 1000000) DIV ({_BH_K} + 1) AS BIGINT)"
+            ).alias("p_fx")
+        )
+    )
+    wr = Window.orderBy("p_fx", "event_type")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pvals.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    ).withColumn("m", F.count("*").over(wall).cast("long"))
+    cut = ranked.withColumn(
+        "cutoff",
+        F.max(
+            F.expr(
+                f"CASE WHEN p_fx * m * 10 <= rnk * 1000000 * {_BH_ALPHA_10}"
+                " THEN rnk ELSE 0 END"
+            )
+        ).over(wall),
+    )
+    return cut.select(
+        "event_type",
+        "n_pairs",
+        "t_obs",
+        "p_fx",
+        "rnk",
+        (F.col("rnk") <= F.col("cutoff")).alias("rejected"),
+    ).orderBy("rnk")
+
+
+_PI_SCALE = 10_000  # embedding fixed-point scale
+_PI_ONE = 1_000_000  # normalized eigenvector unit
+
+
+@query(
+    "q_embed_power_iteration",
+    oracle=f"""
+WITH xf AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * {_PI_SCALE} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS i) i
+),
+s1 AS (
+  SELECT vec_id, CAST(SUM(x) AS BIGINT) AS s FROM xf GROUP BY vec_id
+),
+v1r AS (
+  SELECT xf.dim, CAST(SUM(xf.x * s1.s) AS BIGINT) AS v
+  FROM xf JOIN s1 ON s1.vec_id = xf.vec_id
+  GROUP BY xf.dim
+),
+v1 AS (
+  SELECT dim, (v * {_PI_ONE}) // (SELECT max(abs(v)) FROM v1r) AS v
+  FROM v1r
+),
+s2 AS (
+  SELECT xf.vec_id,
+         CAST(SUM(xf.x * v1.v) AS BIGINT) // {_PI_SCALE} AS s
+  FROM xf JOIN v1 ON v1.dim = xf.dim
+  GROUP BY xf.vec_id
+),
+v2r AS (
+  SELECT xf.dim, CAST(SUM(xf.x * s2.s) AS BIGINT) AS v
+  FROM xf JOIN s2 ON s2.vec_id = xf.vec_id
+  GROUP BY xf.dim
+),
+v2 AS (
+  SELECT dim, (v * {_PI_ONE}) // (SELECT max(abs(v)) FROM v2r) AS v
+  FROM v2r
+)
+SELECT CAST(v1.dim AS BIGINT) AS dim,
+       CAST(v1.v AS BIGINT) AS v1_fx,
+       CAST(v2.v AS BIGINT) AS v2_fx
+FROM v1 JOIN v2 ON v1.dim = v2.dim
+ORDER BY dim
+""",
+)
+def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the dominant singular direction
+    of the (uncentered) embedding matrix — v_{t+1} ∝ Xᵀ(X·v_t) from
+    v_0 = 1 — the building block behind PCA whitening, spectral
+    initialization for the IVF/k-means steps already here, and
+    low-rank probes. Crucially the d×d Gram matrix is NEVER formed:
+    each step is two corpus passes (a row projection s_r = ⟨x_r, v⟩,
+    then a dim-keyed weighted sum), so cost is O(n·d) with a d-row
+    result — the only shape that survives d or n growing.
+
+    Determinism: embeddings fix to integers once (⌊x·1e4+0.5⌋); each
+    iterate renormalizes by max|v| via integer division (sign-safe:
+    both engines truncate toward zero); s₂ drops a 1e4 factor between
+    passes so every accumulator stays ≤ ~1e15 at fixture scale.
+    Reporting BOTH iterates pins the trajectory.
+
+    Scale shape: posexplode to (vec, dim, x) rows; per-vec and per-dim
+    aggregates are map-side combinable; v broadcasts back as a d-row
+    (bounded) table, never a corpus-sized one. At extreme n the fixed
+    scale shrinks per compat.py's documented knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xf = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xv")
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr(
+            f"CAST(FLOOR(CAST(xv AS DOUBLE) * {_PI_SCALE} + 0.5) AS BIGINT)"
+        ).alias("x"),
+    ).persist()
+
+    def norm(df: DataFrame) -> DataFrame:
+        mx = df.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "dim", F.expr(f"(v * {_PI_ONE}) DIV mx").alias("v")
+        )
+
+    s1 = xf.groupBy("vec_id").agg(F.sum("x").alias("s"))
+    v1 = norm(
+        xf.join(s1, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("v"))
+    ).persist()
+    s2 = (
+        xf.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.expr(f"CAST(SUM(x * v) AS BIGINT) DIV {_PI_SCALE}").alias("s"))
+    )
+    v2 = norm(
+        xf.join(s2, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("v"))
+    )
+    return (
+        v1.withColumnRenamed("v", "v1_fx")
+        .join(v2.withColumnRenamed("v", "v2_fx"), "dim")
+        .select(F.col("dim").cast("long"), "v1_fx", "v2_fx")
+        .orderBy("dim")
+    )

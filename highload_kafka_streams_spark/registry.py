@@ -409,6 +409,9 @@ _QUERY_LEDGER = (
     "q_select_budget_knapsack",
     "q_events_littles_law",
     "q_multimodal_ahash_buckets",
+    "q_ts_dtw_distance",
+    "q_eval_bh_fdr",
+    "q_embed_power_iteration",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1736,3 +1736,30 @@ def test_ahash_signature_is_projection_and_join_is_banded(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_dtw_udf_sees_only_bounded_series(spark, sf_smoke):
+    """The DTW pandas kernel must consume ONE row of calendar-bounded
+    arrays: the plan has exactly one ArrowEvalPython/mapInPandas node
+    fed by aggregated (not per-event) inputs, and no cartesian over
+    events."""
+    plan = plan_of(get_queries()["q_ts_dtw_distance"](spark, sf_smoke))
+    assert plan.count("+- MapInPandas") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bh_fdr_explode_is_day_grain(spark, sf_smoke):
+    """The K-replica explode must ride the paired day table (broadcast
+    range join), never the raw event table."""
+    plan = plan_of(get_queries()["q_eval_bh_fdr"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_power_iteration_broadcasts_only_dim_tables(spark, sf_smoke):
+    """v must come back to the corpus as a 64-row broadcast; the
+    per-vec projection joins are corpus-keyed shuffles, and the Gram
+    matrix is never formed (no dim×dim join)."""
+    plan = plan_of(get_queries()["q_embed_power_iteration"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
