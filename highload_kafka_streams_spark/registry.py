@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.events_analytics",
     "highload_kafka_streams_spark.plans.round6",
     "highload_kafka_streams_spark.plans.round6b",
+    "highload_kafka_streams_spark.plans.round6c",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -412,6 +413,10 @@ _QUERY_LEDGER = (
     "q_ts_dtw_distance",
     "q_eval_bh_fdr",
     "q_embed_power_iteration",
+    "q_dq_uniqueness_profile",
+    "q_time_ewma_crossover",
+    "q_agg_hodges_lehmann",
+    "q_multimodal_frame_energy",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

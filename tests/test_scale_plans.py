@@ -1763,3 +1763,36 @@ def test_power_iteration_broadcasts_only_dim_tables(spark, sf_smoke):
     plan = plan_of(get_queries()["q_embed_power_iteration"](spark, sf_smoke))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_uniqueness_profile_no_joins(spark, sf_smoke):
+    """Each key audit is one two-phase distinct aggregate — no joins,
+    no windows anywhere in the union."""
+    plan = plan_of(get_queries()["q_dq_uniqueness_profile"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "Window"):
+        assert node not in plan, plan
+
+
+def test_ewma_taps_share_one_window(spark, sf_smoke):
+    """All ten EWMA lag taps plus the SMA must ride windows over the
+    day series (single unpartitioned spec is fine — calendar-bounded),
+    with the click filter pushed to the scan."""
+    plan = plan_of(get_queries()["q_time_ewma_crossover"](spark, sf_smoke))
+    assert "click" in plan, plan
+    assert plan.count("+- Window") <= 2, plan
+
+
+def test_hodges_lehmann_pairs_are_day_grain(spark, sf_smoke):
+    """The Walsh self-join must be an equi-join on the group key over
+    the daily rollup — never a cartesian, never event-grain."""
+    plan = plan_of(get_queries()["q_agg_hodges_lehmann"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_frame_energy_topk_is_take_ordered(spark, sf_smoke):
+    """The 10 loudest frames must come from TakeOrderedAndProject —
+    never a global sort of the exploded frame table."""
+    plan = plan_of(get_queries()["q_multimodal_frame_energy"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
