@@ -100,6 +100,18 @@ R6 = [
     "q_time_control_chart",
     "q_er_phonetic_blocking",
     "q_dq_reconciliation",
+    # late-round-6 additions (ledger matching, link analysis, DTW,
+    # multimodal near-dup, power iteration — the heavier new shapes)
+    "q_alloc_fifo_inventory",
+    "q_graph_hits",
+    "q_eval_permutation_test",
+    "q_events_littles_law",
+    "q_multimodal_ahash_buckets",
+    "q_ts_dtw_distance",
+    "q_eval_bh_fdr",
+    "q_embed_power_iteration",
+    "q_agg_hodges_lehmann",
+    "q_eval_lift_gains",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

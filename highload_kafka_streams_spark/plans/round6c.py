@@ -335,3 +335,352 @@ def q_multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.orderBy(
         F.desc("energy"), "doc_id", "frame"
     ).limit(10)
+
+
+@query(
+    "q_events_markov_stationary",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+rt AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY src
+),
+p AS (
+  SELECT c.src, c.dst, (c.n * 1000000) // rt.tot AS p_fx
+  FROM c JOIN rt ON rt.src = c.src
+),
+k AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS k FROM p),
+v0 AS (
+  SELECT src AS node, 1000000 // (SELECT k FROM k) AS v
+  FROM (SELECT DISTINCT src FROM p)
+),
+v1 AS (
+  SELECT p.dst AS node,
+         CAST(SUM(v0.v * p.p_fx) // 1000000 AS BIGINT) AS v
+  FROM v0 JOIN p ON p.src = v0.node GROUP BY p.dst
+),
+v2 AS (
+  SELECT p.dst AS node,
+         CAST(SUM(v1.v * p.p_fx) // 1000000 AS BIGINT) AS v
+  FROM v1 JOIN p ON p.src = v1.node GROUP BY p.dst
+)
+SELECT v1.node AS event_type,
+       CAST(v1.v AS BIGINT) AS p1_fx,
+       CAST(v2.v AS BIGINT) AS p2_fx
+FROM v1 JOIN v2 ON v1.node = v2.node
+ORDER BY event_type
+""",
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power steps toward the stationary distribution of the
+    per-user event-transition Markov chain: start uniform, apply the
+    row-normalized transition matrix twice — where the chain's mass
+    settles, the prediction q_events_transitions' raw matrix feeds.
+    The trajectory (π₁, π₂) is reported, pinning both steps.
+
+    Determinism: transition probabilities are integer 1e6 ratios;
+    each propagation is Σ v·p // 1e6 over exact BIGINTs — no doubles.
+
+    Scale shape: ONE corpus pass (the per-user lag window on the
+    standard user shuffle) collapses to the |types|²-row matrix;
+    both power steps are joins over that bounded matrix, trivially
+    broadcastable forever."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(wu))
+    c = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    rt = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    p = c.join(rt, "src").select(
+        "src", "dst", F.expr("(n * 1000000) DIV tot").alias("p_fx")
+    ).persist()
+    k = p.select("src").distinct().agg(F.count("*").alias("k"))
+    v0 = (
+        p.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(k))
+        .select(F.col("src").alias("node"), F.expr("1000000 DIV k").alias("v"))
+    )
+
+    def step(v: DataFrame) -> DataFrame:
+        return (
+            v.join(p, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.expr("CAST(SUM(v * p_fx) DIV 1000000 AS BIGINT)").alias(
+                    "v"
+                )
+            )
+            .withColumnRenamed("node2", "node")
+        )
+
+    v1 = step(v0).persist()
+    v2 = step(v1)
+    return (
+        v1.withColumnRenamed("v", "p1_fx")
+        .join(v2.withColumnRenamed("v", "p2_fx"), "node")
+        .select(F.col("node").alias("event_type"), "p1_fx", "p2_fx")
+        .orderBy("event_type")
+    )
+
+
+_BOOT_B = 200  # bootstrap resamples
+
+
+@query(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1
+),
+hx AS (
+  SELECT b.b, s.d, s.x,
+         strpos('0123456789abcdef',
+                substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                           || CAST(s.d AS VARCHAR)), 1, 1)) - 1 AS h
+  FROM s, (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b
+),
+w AS (
+  SELECT b, d, x,
+         CASE
+           WHEN h < 6 THEN 0 WHEN h < 12 THEN 1 WHEN h < 15 THEN 2
+           ELSE 3 END AS w
+  FROM hx
+),
+means AS (
+  SELECT b,
+         (CAST(SUM(w * x) AS BIGINT) * 10000)
+           // CAST(SUM(w) AS BIGINT) AS mean_fx
+  FROM w GROUP BY b HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT mean_fx,
+         CAST(row_number() OVER (ORDER BY mean_fx, b) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS b_eff
+  FROM means
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         (CAST(SUM(x) AS BIGINT) * 10000) // count(*) AS mean_obs_fx
+  FROM s
+)
+SELECT obs.n_days, obs.mean_obs_fx,
+       CAST(max(r.b_eff) AS BIGINT) AS b_eff,
+       CAST(max(CASE WHEN r.rn = (max_b.b_eff * 25 + 999) // 1000
+                     THEN r.mean_fx END) AS BIGINT) AS ci_lo_fx,
+       CAST(max(CASE WHEN r.rn = (max_b.b_eff * 975) // 1000
+                     THEN r.mean_fx END) AS BIGINT) AS ci_hi_fx
+FROM ranked r, obs, (SELECT max(b_eff) AS b_eff FROM ranked) max_b
+GROUP BY obs.n_days, obs.mean_obs_fx
+""",
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic online bootstrap 95% CI for the daily mean click
+    revenue: 200 resamples whose per-day multiplicities are a
+    pseudo-Poisson(1) draw from the portable md5 family (hex digit →
+    weight 0/1/2/3 with probabilities 6⁄16, 6⁄16, 3⁄16, 1⁄16 — the
+    Oza–Russell online-bagging approximation), so BOTH engines
+    materialize the *identical* resample set and the order-statistic
+    CI is value-hash-checked exactly. The uncertainty-quantification
+    primitive the point estimators here (means, medians, H-L) lack —
+    and the same md5-weight trick q_eval_permutation_test uses for
+    its null, applied to resampling.
+
+    Determinism: resample means are (Σw·x)·1e4 // Σw over exact
+    integers; CI endpoints are row_number picks at ranks
+    ⌈0.025·B_eff⌉ and ⌊0.975·B_eff⌋ with ties broken by replica id.
+
+    Scale shape: one corpus pass to the day grain; the B× explode is
+    calendar-bounded (B·|days| rows) and each resample collapses via
+    one grouped sum. The rank window runs over the B-row mean table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 86400000000").alias(
+                "d"
+            ),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("x"))
+    )
+    bs = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    w = (
+        s.crossJoin(F.broadcast(bs))
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substring(md5(concat('boot:', CAST(b AS STRING),"
+                " ':', CAST(d AS STRING))), 1, 1), 16, 10) AS BIGINT)"
+            ),
+        )
+        .select(
+            "b",
+            "x",
+            F.expr(
+                "CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1"
+                " WHEN h < 15 THEN 2 ELSE 3 END"
+            ).alias("w"),
+        )
+    )
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("sw_x"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            F.expr(
+                "(CAST(sw_x AS BIGINT) * 10000) DIV CAST(sw AS BIGINT)"
+            ).alias("mean_fx"),
+        )
+    )
+    wr = Window.orderBy("mean_fx", "b")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(wr).cast("long")
+    ).withColumn("b_eff", F.count("*").over(wall).cast("long"))
+    obs = s.agg(
+        F.count("*").alias("n_days"),
+        F.expr("(CAST(SUM(x) AS BIGINT) * 10000) DIV count(*)").alias(
+            "mean_obs_fx"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "mean_obs_fx")
+        .agg(
+            F.max("b_eff").alias("b_eff"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = (b_eff * 25 + 999) DIV 1000"
+                    " THEN mean_fx END"
+                )
+            ).alias("ci_lo_fx"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = (b_eff * 975) DIV 1000"
+                    " THEN mean_fx END"
+                )
+            ).alias("ci_hi_fx"),
+        )
+        .select(
+            "n_days", "mean_obs_fx", "b_eff", "ci_lo_fx", "ci_hi_fx"
+        )
+    )
+
+
+_WALK_STEPS = 3
+
+
+def _walk_oracle() -> str:
+    from highload_kafka_streams_spark.llm.dedup import _AFFINITY_PAIRS_SQL
+
+    steps = """,
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+),
+w0 AS (SELECT DISTINCT u AS start, u AS cur FROM sym)
+"""
+    for t in range(1, _WALK_STEPS + 1):
+        steps += f""",
+w{t} AS (
+  SELECT start, arg_min(v, h) AS cur
+  FROM (
+    SELECT w{t - 1}.start, sym.v,
+           md5('rw:{t}:' || CAST(w{t - 1}.start AS VARCHAR) || ':'
+               || CAST(sym.v AS VARCHAR)) AS h
+    FROM w{t - 1} JOIN sym ON sym.u = w{t - 1}.cur
+  )
+  GROUP BY start
+)
+"""
+    return (
+        _AFFINITY_PAIRS_SQL
+        + steps
+        + f"""
+SELECT cur AS endpoint, CAST(count(*) AS BIGINT) AS n_walks
+FROM w{_WALK_STEPS}
+GROUP BY cur
+ORDER BY n_walks DESC, endpoint
+LIMIT 10
+"""
+    )
+
+
+@query("q_graph_random_walks", oracle=_walk_oracle())
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk sampling over the document affinity
+    graph: one 3-step walk from every node, each step choosing the
+    neighbor with the minimum md5('rw:step:start:neighbor') — the
+    node2vec/DeepWalk sampling primitive expressed so the ENTIRE walk
+    set is reproducible cross-engine (the md5-family trick applied to
+    graph traversal), reported as the top-10 walk-attracting endpoints.
+    High-degree "hub" docs absorb walks — the same signal PageRank
+    ranks, measured by sampling instead of linear algebra.
+
+    Determinism: the per-(walk, step) argmin over 128-bit md5 values
+    has no realistic ties; ordering of the final top-10 is total
+    (count DESC, endpoint).
+
+    Scale shape: each step is ONE equi-join frontier⋈edges on the
+    current node plus a per-walk min_by aggregate (map-side
+    combinable) — walk count stays |nodes| forever, never multiplies;
+    3 steps = 3 bounded join rounds, the q_graph_pagerank_fx iteration
+    shape with a sampling payload. The edge list is built once and
+    persisted."""
+    from highload_kafka_streams_spark.llm.dedup import _affinity_pairs
+
+    pairs = _affinity_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .persist()
+    )
+    frontier = sym.select(F.col("u").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    for t in range(1, _WALK_STEPS + 1):
+        stepped = frontier.join(sym, F.col("cur") == F.col("u")).select(
+            "start",
+            "v",
+            F.md5(
+                F.concat(
+                    F.lit(f"rw:{t}:"),
+                    F.col("start").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ).alias("h"),
+        )
+        frontier = stepped.groupBy("start").agg(
+            F.expr("min_by(v, h)").alias("cur")
+        )
+    return (
+        frontier.groupBy(F.col("cur").alias("endpoint"))
+        .agg(F.count("*").alias("n_walks"))
+        .orderBy(F.desc("n_walks"), "endpoint")
+        .limit(10)
+    )

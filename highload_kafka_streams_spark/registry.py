@@ -417,6 +417,9 @@ _QUERY_LEDGER = (
     "q_time_ewma_crossover",
     "q_agg_hodges_lehmann",
     "q_multimodal_frame_energy",
+    "q_events_markov_stationary",
+    "q_agg_bootstrap_ci",
+    "q_graph_random_walks",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

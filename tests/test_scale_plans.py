@@ -1796,3 +1796,32 @@ def test_frame_energy_topk_is_take_ordered(spark, sf_smoke):
     never a global sort of the exploded frame table."""
     plan = plan_of(get_queries()["q_multimodal_frame_energy"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_markov_stationary_matrix_is_bounded(spark, sf_smoke):
+    """The only corpus window is the per-user lag; the power steps run
+    on the |types|^2 matrix (no cartesian)."""
+    import re
+
+    plan = plan_of(get_queries()["q_events_markov_stationary"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "user_id" for p in specs), specs
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bootstrap_explode_is_day_grain(spark, sf_smoke):
+    """The B-replica fan-out must ride the broadcast day table, never
+    the event table; click filter pushed to the scan."""
+    plan = plan_of(get_queries()["q_agg_bootstrap_ci"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "click" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_random_walks_steps_are_equi_joins(spark, sf_smoke):
+    """Every walk step must be an equi-join frontier x edges plus a
+    per-walk min_by aggregate — no cartesian, no NLJ anywhere."""
+    plan = plan_of(get_queries()["q_graph_random_walks"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
