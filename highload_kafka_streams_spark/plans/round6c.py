@@ -684,3 +684,241 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_walks"), "endpoint")
         .limit(10)
     )
+
+
+# Shapley attribution: channels (non-conversion event types) and the
+# factorial weights |S|!·(n−1−|S|)! for n = 4, scaled by 4! = 24.
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+_SHAP_FACT = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|!·(3−|S|)!
+
+
+def _shap_combos() -> list[tuple[str, int, int, int]]:
+    """(channel, mask_without, mask_with, weight) for every channel and
+    every subset S of the other channels — 4 × 8 = 32 rows, generated
+    once in Python and interpolated as literals into BOTH engines."""
+    rows = []
+    n = len(_SHAP_CHANNELS)
+    for ci, ch in enumerate(_SHAP_CHANNELS):
+        others = [i for i in range(n) if i != ci]
+        for sub in range(1 << (n - 1)):
+            mask = sum(1 << others[j] for j in range(n - 1) if sub >> j & 1)
+            size = bin(mask).count("1")
+            rows.append((ch, mask, mask | (1 << ci), _SHAP_FACT[size]))
+    return rows
+
+
+def _shap_oracle() -> str:
+    combos = ",\n    ".join(
+        f"('{c}', {s}, {sc}, {w})" for c, s, sc, w in _shap_combos()
+    )
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST({bits} AS BIGINT) AS mask,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT mask,
+         CAST((SUM(conv) * 1000000) // count(*) AS BIGINT) AS v_fx
+  FROM per_user GROUP BY mask
+),
+combos(channel, m_wo, m_w, w) AS (
+  VALUES
+    {combos}
+)
+SELECT c.channel,
+       CAST(SUM(c.w * (COALESCE(vw.v_fx, 0) - COALESCE(vo.v_fx, 0)))
+            AS BIGINT) AS phi24_fx
+FROM combos c
+LEFT JOIN v vw ON vw.mask = c.m_w
+LEFT JOIN v vo ON vo.mask = c.m_wo
+GROUP BY c.channel
+ORDER BY c.channel
+"""
+
+
+@query("q_events_shapley_attribution", oracle=_shap_oracle())
+def q_events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: each user's touched
+    channel set is a 4-bit mask, the characteristic function
+    v(S) = conversion rate of users with exactly mask S, and each
+    channel's Shapley value φ_c = Σ_S |S|!(n−1−|S|)!/n!·[v(S∪c)−v(S)]
+    is computed over the FULL subset lattice — tractable because the
+    lattice is 2^|channels| (16 masks), not user-sized. Reported as
+    φ·4!·1e6 so everything stays integer. The game-theoretically
+    fair alternative to q_events_attribution's positional rules, and
+    the same airport-game machinery as q_alloc_airport_shapley
+    applied to marketing attribution.
+
+    Determinism: masks and factorial weights are integers; v(S) is
+    one 1e6 integer ratio; empty subsets contribute v = 0 (COALESCE,
+    documented convention both engines).
+
+    Scale shape: ONE corpus pass (per-user mask/conversion rollup,
+    map-side combinable) collapses to ≤16 mask rows; the Shapley sum
+    is a 32-row literal table joined twice against those 16 rows —
+    bounded forever, broadcast trivially."""
+    ev = load_table(spark, sf_dir, "events")
+    bits = None
+    for i, c in enumerate(_SHAP_CHANNELS):
+        b = F.max(
+            F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+        )
+        bits = b if bits is None else bits + b
+    per_user = ev.groupBy("user_id").agg(
+        bits.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    v = per_user.groupBy("mask").agg(
+        F.expr("CAST((SUM(conv) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "v_fx"
+        )
+    )
+    combos = spark.createDataFrame(
+        _shap_combos(), "channel string, m_wo long, m_w long, w long"
+    )
+    vw = v.select(F.col("mask").alias("m_w"), F.col("v_fx").alias("vw_fx"))
+    vo = v.select(F.col("mask").alias("m_wo"), F.col("v_fx").alias("vo_fx"))
+    return (
+        combos.join(F.broadcast(vw), "m_w", "left")
+        .join(F.broadcast(vo), "m_wo", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w")
+                * (
+                    F.coalesce("vw_fx", F.lit(0))
+                    - F.coalesce("vo_fx", F.lit(0))
+                )
+            ).alias("phi24_fx")
+        )
+        .orderBy("channel")
+    )
+
+
+import math as _math
+
+# Transcendental constants, fixed-pointed ONCE at module import and
+# interpolated as literals into BOTH engines (the q_time_periodogram
+# discipline): Euler–Mascheroni γ, π² and the Gumbel 100-period
+# return-level factor −ln(−ln(1−1/100)).
+_GAMMA_6 = int(_math.floor(0.5772156649015329 * 1e6))  # 577215
+_PI2_4 = int(_math.floor(_math.pi * _math.pi * 1e4))  # 98696
+_Y100_6 = int(_math.floor(-_math.log(-_math.log(1 - 1 / 100)) * 1e6))
+
+
+@query(
+    "q_agg_gumbel_maxima",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders GROUP BY 1
+),
+blocks AS (
+  SELECT d // 7 AS wk, CAST(max(v) // 1000 AS BIGINT) AS x
+  FROM daily GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM blocks
+),
+fit AS (
+  SELECT n, sx,
+         (sx * 1000) // n AS mean_fx3,
+         (((n * sxx - sx * sx) // (n * (n - 1))) * 6 * 10000000000)
+           // {_PI2_4} AS sigma2_fx6
+  FROM m
+)
+SELECT n AS n_blocks, mean_fx3,
+       CAST(FLOOR(SQRT(CAST(sigma2_fx6 AS DOUBLE))) AS BIGINT)
+         AS sigma_fx3,
+       mean_fx3
+         - ({_GAMMA_6} * CAST(FLOOR(SQRT(CAST(sigma2_fx6 AS DOUBLE)))
+                              AS BIGINT)) // 1000000 AS mu_fx3,
+       mean_fx3
+         - ({_GAMMA_6} * CAST(FLOOR(SQRT(CAST(sigma2_fx6 AS DOUBLE)))
+                              AS BIGINT)) // 1000000
+         + ({_Y100_6} * CAST(FLOOR(SQRT(CAST(sigma2_fx6 AS DOUBLE)))
+                             AS BIGINT)) // 1000000 AS rl100_fx3
+FROM fit
+""",
+)
+def q_agg_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis via the block-maxima method: weekly
+    maxima of daily order revenue, Gumbel fit by method of moments
+    (σ̂ = s·√6/π, μ̂ = x̄ − γσ̂), and the 100-week return level
+    μ̂ + σ̂·(−ln(−ln(0.99))) — the tail-risk question ("what's the
+    worst week we should budget for?") that the mean/percentile
+    family cannot answer because it extrapolates BEYOND the observed
+    maximum. Complements q_events_hill_tail_index (power-law tails)
+    with the light-tailed EVT branch.
+
+    Determinism: the only irrational inputs are three constants
+    (γ, π², the return-level factor), fixed-pointed ONCE in Python
+    and interpolated as literals into both engines; the single
+    runtime sqrt is IEEE-correctly-rounded on an exact (< 2⁵³)
+    integer-valued double, hence bit-identical cross-engine, and
+    immediately floored back to an integer (the isqrt idiom — first
+    use in this repo, documented here as safe).
+
+    Scale shape: two map-side-combinable rollups (day, then week) and
+    one 1-row moment aggregate; nothing after the first shuffle is
+    data-proportional."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr(
+                "CAST(unix_micros(o_orderdate) AS BIGINT) DIV 86400000000"
+            ).alias("d"),
+            F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("w"),
+        )
+        .groupBy("d")
+        .agg(F.sum("w").alias("v"))
+    )
+    blocks = (
+        daily.select(F.expr("d DIV 7").alias("wk"), "v")
+        .groupBy("wk")
+        .agg(F.expr("CAST(max(v) DIV 1000 AS BIGINT)").alias("x"))
+    )
+    m = blocks.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fit = m.select(
+        "n",
+        F.expr("(sx * 1000) DIV n").alias("mean_fx3"),
+        F.expr(
+            f"(((n * sxx - sx * sx) DIV (n * (n - 1))) * 6 * 10000000000)"
+            f" DIV {_PI2_4}"
+        ).alias("sigma2_fx6"),
+    )
+    sigma = (
+        "CAST(FLOOR(SQRT(CAST(sigma2_fx6 AS DOUBLE))) AS BIGINT)"
+    )
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        "mean_fx3",
+        F.expr(sigma).alias("sigma_fx3"),
+        F.expr(
+            f"mean_fx3 - ({_GAMMA_6} * {sigma}) DIV 1000000"
+        ).alias("mu_fx3"),
+        F.expr(
+            f"mean_fx3 - ({_GAMMA_6} * {sigma}) DIV 1000000"
+            f" + ({_Y100_6} * {sigma}) DIV 1000000"
+        ).alias("rl100_fx3"),
+    )

@@ -420,6 +420,8 @@ _QUERY_LEDGER = (
     "q_events_markov_stationary",
     "q_agg_bootstrap_ci",
     "q_graph_random_walks",
+    "q_events_shapley_attribution",
+    "q_agg_gumbel_maxima",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

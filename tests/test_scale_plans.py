@@ -1825,3 +1825,22 @@ def test_random_walks_steps_are_equi_joins(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shapley_lattice_is_bounded(spark, sf_smoke):
+    """One corpus pass to per-user masks; the Shapley sum joins the
+    32-row literal table against the 16-row value table — broadcast
+    only, no corpus-sized join or window."""
+    plan = plan_of(get_queries()["q_events_shapley_attribution"](spark, sf_smoke))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gumbel_fit_is_two_rollups(spark, sf_smoke):
+    """Block maxima = two grouped rollups plus a 1-row moment
+    aggregate — no joins, no windows."""
+    plan = plan_of(get_queries()["q_agg_gumbel_maxima"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                 "CartesianProduct"):
+        assert node not in plan, plan
