@@ -922,3 +922,479 @@ def q_agg_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + ({_Y100_6} * {sigma}) DIV 1000000"
         ).alias("rl100_fx3"),
     )
+
+
+_CODE_CHARS = r"[{}();=<>\[\]_]"  # RE2-safe class, identical both engines
+
+
+@query(
+    "q_text_code_detection",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, n_chars,
+         CAST(len(regexp_extract_all(text, '{_CODE_CHARS}')) AS BIGINT)
+           AS n_sym,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_dig
+  FROM documents
+),
+flagged AS (
+  SELECT source, n_chars, n_sym, n_dig,
+         n_sym * 20 >= n_chars AS is_code
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_docs,
+       CAST((SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS code_ppm,
+       CAST((SUM(n_sym) * 1000000) // SUM(n_chars) AS BIGINT)
+         AS sym_ppm,
+       CAST((SUM(n_dig) * 1000000) // SUM(n_chars) AS BIGINT)
+         AS digit_ppm
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic per source: symbol density
+    ({};()=<>[]_), digit density, and a ≥5% symbol-ratio code flag —
+    the cheap router every pre-training pipeline runs before choosing
+    a tokenizer / quality model per modality of TEXT (code and prose
+    need different filters). Alongside q_text_langid (natural-language
+    routing) this completes the two routing axes. The flag is the
+    cross-multiplied n_sym·20 ≥ n_chars — no division per row.
+
+    Scale shape: regexp counts are pure projection (no explode, the
+    match arrays never become rows); one (source)-keyed rollup with
+    map-side combine. Integer ppm ratios at the end only."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "n_chars",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_CODE_CHARS), 0)
+        ).cast("long").alias("n_sym"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("n_dig"),
+    ).withColumn("is_code", F.col("n_sym") * 20 >= F.col("n_chars"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_code_docs"),
+            F.expr(
+                "CAST((SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000000)"
+                " DIV count(*) AS BIGINT)"
+            ).alias("code_ppm"),
+            F.expr(
+                "CAST((SUM(n_sym) * 1000000) DIV SUM(n_chars) AS BIGINT)"
+            ).alias("sym_ppm"),
+            F.expr(
+                "CAST((SUM(n_dig) * 1000000) DIV SUM(n_chars) AS BIGINT)"
+            ).alias("digit_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_multimodal_alignment_audit",
+    oracle="""
+WITH nrm AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 10000
+                           + 0.5) AS BIGINT))) AS BIGINT) AS b
+  FROM embeddings
+),
+j AS (
+  SELECT d.doc_id, d.n_chars AS a, nrm.vec_id, nrm.b
+  FROM documents d FULL JOIN nrm ON nrm.vec_id = d.doc_id
+),
+counts AS (
+  SELECT CAST(count(*) FILTER (WHERE doc_id IS NOT NULL
+                                 AND vec_id IS NOT NULL) AS BIGINT)
+           AS n_paired,
+         CAST(count(*) FILTER (WHERE vec_id IS NULL) AS BIGINT)
+           AS n_doc_only,
+         CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+           AS n_vec_only
+  FROM j
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM j WHERE doc_id IS NOT NULL AND vec_id IS NOT NULL
+)
+SELECT counts.n_paired, counts.n_doc_only, counts.n_vec_only,
+       CAST(FLOOR(CAST(mom.n * mom.sab - mom.sa * mom.sb AS DOUBLE)
+             / SQRT(CAST(mom.n * mom.saa - mom.sa * mom.sa AS DOUBLE)
+                    * CAST(mom.n * mom.sbb - mom.sb * mom.sb AS DOUBLE))
+             * 1000000) AS BIGINT) AS corr_fx
+FROM counts, mom
+""",
+)
+def q_multimodal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment audit between the text table and the
+    embedding table: referential coverage (paired / text-only /
+    embedding-only counts via one full outer join on the shared id)
+    plus the Pearson correlation between document length and embedding
+    squared-norm over the paired subset — the sanity panel that
+    catches broken embedding backfills (orphan ids) and degenerate
+    encoders (norm uncorrelated with content size) before any
+    similarity search trusts the vectors.
+
+    Determinism: squared norms are per-element fixed-point integers
+    summed order-free; the correlation's five sufficient statistics
+    are exact BIGINTs, combined by ONE chain of IEEE
+    (correctly-rounded, hence cross-engine-identical) double ops —
+    the q_graph_assortativity precedent — then floored at 1e6.
+
+    Scale shape: one full outer hash join on the id (both sides
+    shuffle on their natural key — no broadcast of either
+    corpus-sized table), two 1-row aggregates after it."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 10000"
+            " + 0.5) AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+            " AS BIGINT)"
+        ).alias("b"),
+    )
+    j = d.join(nrm, d["doc_id"] == nrm["vec_id"], "full").select(
+        "doc_id", F.col("n_chars").alias("a"), "vec_id", "b"
+    ).persist()
+    counts = j.agg(
+        F.sum(
+            F.when(
+                F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_paired"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_doc_only"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_vec_only"),
+    )
+    mom = (
+        j.filter(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull())
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+            F.sum(F.col("a") * F.col("a")).alias("saa"),
+            F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        )
+    )
+    return counts.crossJoin(F.broadcast(mom)).select(
+        "n_paired",
+        "n_doc_only",
+        "n_vec_only",
+        F.expr(
+            "CAST(FLOOR(CAST(n * sab - sa * sb AS DOUBLE)"
+            " / SQRT(CAST(n * saa - sa * sa AS DOUBLE)"
+            " * CAST(n * sbb - sb * sb AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("corr_fx"),
+    )
+
+
+@query(
+    "q_setop_bag_semantics",
+    oracle="""
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'),
+ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+ed AS (SELECT DISTINCT l_partkey FROM a
+       EXCEPT SELECT DISTINCT l_partkey FROM b),
+id AS (SELECT DISTINCT l_partkey FROM a
+       INTERSECT SELECT DISTINCT l_partkey FROM b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_except_all,
+       (SELECT CAST(count(*) AS BIGINT) FROM ia) AS n_intersect_all,
+       (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_except_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM id) AS n_intersect_distinct
+""",
+)
+def q_setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL on the
+    part-key multisets of finished vs open lines, contrasted with
+    their DISTINCT (set) counterparts in one row. ALL-variants keep
+    multiplicities (|A∖B| per key = max(0, m_A−m_B); |A∩B| =
+    min(m_A, m_B)), a genuinely different operator than the §2.7
+    set ops — reconciliation workloads (inventory counts, ledger
+    entries) need the bag behavior, and engines differ here by
+    default.
+
+    Scale shape: Spark plans EXCEPT ALL / INTERSECT ALL as a
+    count-tagged aggregate + generate (replicate by multiplicity
+    difference) over one hash exchange per side — no join explosion;
+    the distinct variants are plain two-phase distincts. All six
+    counts reduce to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    b = li.filter(F.col("l_linestatus") == "O").select("l_partkey")
+    rows = [
+        a.agg(F.count("*").alias("v")),
+        b.agg(F.count("*").alias("v")),
+        a.exceptAll(b).agg(F.count("*").alias("v")),
+        a.intersectAll(b).agg(F.count("*").alias("v")),
+        a.distinct().exceptAll(b.distinct()).agg(F.count("*").alias("v")),
+        a.distinct()
+        .intersectAll(b.distinct())
+        .agg(F.count("*").alias("v")),
+    ]
+    names = [
+        "n_a",
+        "n_b",
+        "n_except_all",
+        "n_intersect_all",
+        "n_except_distinct",
+        "n_intersect_distinct",
+    ]
+    out = rows[0].select(F.col("v").alias(names[0]))
+    for nm, r in zip(names[1:], rows[1:]):
+        out = out.crossJoin(F.broadcast(r.select(F.col("v").alias(nm))))
+    return out
+
+
+_GAP_BASE_US = 30 * 60 * 1_000_000
+_GAP_PURCHASE_US = 60 * 60 * 1_000_000
+
+
+@query(
+    "q_window_session_dynamic_gap",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events
+),
+gapped AS (
+  SELECT user_id, t,
+         t - lag(t) OVER w AS gap,
+         lag(event_type) OVER w AS prev_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type)
+),
+marked AS (
+  SELECT user_id, t, gap, prev_type,
+         CASE WHEN gap IS NULL THEN 1
+              WHEN gap > CASE WHEN prev_type = 'purchase'
+                              THEN {_GAP_PURCHASE_US}
+                              ELSE {_GAP_BASE_US} END
+              THEN 1 ELSE 0 END AS new_s,
+         CASE WHEN prev_type = 'purchase'
+                   AND gap > {_GAP_BASE_US}
+                   AND gap <= {_GAP_PURCHASE_US}
+              THEN 1 ELSE 0 END AS extended
+  FROM gapped
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid,
+         t, extended
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+         CAST((max(t) - min(t)) // 1000000 AS BIGINT) AS dur_s
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST((SUM(n_events) * 10000) // count(*) AS BIGINT)
+         AS events_per_session_fx,
+       CAST((SUM(dur_s) * 10000) // count(*) AS BIGINT)
+         AS avg_dur_s_fx,
+       (SELECT CAST(SUM(extended) AS BIGINT) FROM sess) AS n_extended_gaps
+FROM per_sess
+""",
+)
+def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC inactivity gap — the gap that
+    closes a session depends on the previous event (a purchase holds
+    the session open 60 minutes, anything else 30) — the Flink-style
+    dynamic session-gap-extractor semantics that fixed-gap session
+    windows (§2.5's q_window_session) cannot express. n_extended_gaps
+    counts gaps in (30 min, 60 min] after a purchase — exactly the
+    sessions a fixed 30-minute gap would have split, pinning that the
+    dynamic rule actually fired.
+
+    Determinism: epoch-µs integers; the per-row threshold is a CASE
+    over the lagged type; ordering ties break on (t, event_type).
+
+    Scale shape: the standard per-user gaps-and-islands — two stacked
+    windows on ONE user_id hash exchange — then a (user, sid) rollup
+    and a 1-row summary. Identical cost to the fixed-gap version; the
+    dynamic rule is a projection."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("t"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("t", "event_type")
+    gapped = e.select(
+        "user_id",
+        "t",
+        (F.col("t") - F.lag("t").over(wu)).alias("gap"),
+        F.lag("event_type").over(wu).alias("prev_type"),
+    )
+    thr = F.when(
+        F.col("prev_type") == "purchase", _GAP_PURCHASE_US
+    ).otherwise(_GAP_BASE_US)
+    marked = gapped.select(
+        "user_id",
+        "t",
+        F.when(F.col("gap").isNull() | (F.col("gap") > thr), 1)
+        .otherwise(0)
+        .alias("new_s"),
+        F.when(
+            (F.col("prev_type") == "purchase")
+            & (F.col("gap") > _GAP_BASE_US)
+            & (F.col("gap") <= _GAP_PURCHASE_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("extended"),
+    )
+    wuo = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(wuo).cast("long")
+    ).persist()
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST((max(t) - min(t)) DIV 1000000 AS BIGINT)").alias(
+            "dur_s"
+        ),
+    )
+    ext = sess.agg(F.sum("extended").cast("long").alias("n_extended_gaps"))
+    return (
+        per_sess.agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST((SUM(n_events) * 10000) DIV count(*) AS BIGINT)"
+            ).alias("events_per_session_fx"),
+            F.expr(
+                "CAST((SUM(dur_s) * 10000) DIV count(*) AS BIGINT)"
+            ).alias("avg_dur_s_fx"),
+        )
+        .crossJoin(F.broadcast(ext))
+    )
+
+
+@query(
+    "q_source_json_quarantine",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN o_orderkey % 11 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quarantined,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                     THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                END) AS BIGINT) AS good_total_cents
+FROM orders
+""",
+)
+def q_source_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingestion with a quarantine lane — the
+    q_source_csv_quarantine contract on the OTHER text format: orders
+    serialized to NDJSON with every o_orderkey ≡ 0 (mod 11) document
+    truncated mid-object (the classic partial-write/flush glitch),
+    read back with mode=PERMISSIVE + columnNameOfCorruptRecord. The
+    oracle derives every count and the parsed-good total from the
+    clean parquet plus the corruption rule alone, proving truncated
+    documents were quarantined exactly — not dropped, not
+    null-coerced. JSON's parser has a different failure surface than
+    CSV (structural truncation vs field-level type noise), so both
+    lanes deserve their own contract.
+
+    Scale shape: serialize and parse are full-scan streaming passes
+    (no shuffle); the verdict is one 1-row aggregate. The SPARK-21610
+    contract (corrupt-record column requires a real parse, not a
+    cached pruned scan) is honored by aggregating immediately."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from highload_kafka_streams_spark.sources.formats import _SCRATCH
+
+    src = load_table(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "o_custkey": '),
+        F.col("o_custkey").cast("string"),
+        F.lit(', "o_totalprice": '),
+        F.col("o_totalprice").cast("string"),
+        F.lit("}"),
+    )
+    lines = src.select(
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.substring(doc, 1, 20),  # truncated mid-object → malformed
+        )
+        .otherwise(doc)
+        .alias("value")
+    )
+    path = os.path.join(
+        _SCRATCH,
+        f"orders_dirty_json_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            )
+        ).alias("good_total_cents"),
+    )

@@ -422,6 +422,11 @@ _QUERY_LEDGER = (
     "q_graph_random_walks",
     "q_events_shapley_attribution",
     "q_agg_gumbel_maxima",
+    "q_text_code_detection",
+    "q_multimodal_alignment_audit",
+    "q_setop_bag_semantics",
+    "q_window_session_dynamic_gap",
+    "q_source_json_quarantine",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
