@@ -112,6 +112,13 @@ R6 = [
     "q_embed_power_iteration",
     "q_agg_hodges_lehmann",
     "q_eval_lift_gains",
+    # final round-6 batch (iterative matching, mutual-kNN CC, bounded
+    # all-pairs profile, spectral hash, graded retrieval eval)
+    "q_alloc_stable_matching",
+    "q_embed_semantic_clusters",
+    "q_ts_matrix_profile",
+    "q_multimodal_phash_dct",
+    "q_eval_ndcg",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -426,20 +426,26 @@ def q_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
-    components by iterative min-label propagation. Returns
-    (doc_id, cluster_root) for every doc that appears in a pair; the
-    root (cluster minimum doc_id) is the canonical survivor — dedup
-    keeps one root per cluster instead of dropping one side of each
-    pair (pairwise dropping over-deletes on transitive chains A~B~C).
+    components by iterative min-label propagation WITH pointer
+    jumping. Returns (doc_id, cluster_root) for every doc that appears
+    in a pair; the root (cluster minimum doc_id) is the canonical
+    survivor — dedup keeps one root per cluster instead of dropping
+    one side of each pair (pairwise dropping over-deletes on
+    transitive chains A~B~C).
 
-    Iterative-algorithm shape: the DRIVER controls the loop (bounded by
-    the component diameter, ≤ max_iter) but every step is a distributed
-    join + aggregate; no data ever reaches the driver — the per-round
-    scalar is a metadata count for convergence. Label propagation
-    halves the longest path each round on typical graphs; dedup
-    clusters are near-cliques, so 2-3 rounds converge. At 100 TB this
-    is the standard large-scale CC recipe (the alternating-algorithm
-    family); checkpoint every few rounds to cut lineage."""
+    Iterative-algorithm shape: the DRIVER controls the loop but every
+    step is a distributed join + aggregate; no data ever reaches the
+    driver — the per-round scalar is a metadata count for convergence.
+    Each round is (1) neighbor-min hooking (label := min over direct
+    neighbors) then (2) pointer jumping (label := label's label),
+    which SQUARES the compressed path length per round, so convergence
+    is O(log diameter) — near-clique dedup graphs finish in 2-3 rounds
+    as before, and long-chain graphs (mutual-kNN over embeddings,
+    where plain propagation needs diameter ≈ hundreds of rounds and
+    silently emits a non-fixpoint under any bounded budget) finish in
+    ~log₂(diameter). At 100 TB this is the standard large-scale CC
+    recipe (the alternating/two-phase family); lineage is truncated
+    every round."""
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -457,15 +463,34 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("u")
             .agg(F.min("root").alias("nb_root"))
         )
+        # localCheckpoint (not just persist) is load-bearing: persist
+        # caches blocks but keeps the full logical plan, so a
+        # long-diameter graph (e.g. mutual-kNN chains, ~25 rounds)
+        # grows the analyzer tree ~3x per round until plan-string
+        # generation alone OOMs the driver. Truncating lineage each
+        # round keeps the plan O(1); the round's count() below would
+        # materialize it anyway, so eager costs nothing extra.
+        hooked = labels.join(nb, labels.doc_id == nb.u, "left").select(
+            "doc_id",
+            F.least(F.col("root"), F.coalesce("nb_root", "root")).alias(
+                "root"
+            ),
+        )
+        # pointer jump: root := root's root (roots are component
+        # members with smaller-or-equal ids, so the invariant holds
+        # and the fixpoint — the component minimum — is unchanged)
+        ptr = hooked.select(
+            F.col("doc_id").alias("p_doc"), F.col("root").alias("p_root")
+        )
         new_labels = (
-            labels.join(nb, labels.doc_id == nb.u, "left")
+            hooked.join(ptr, hooked.root == F.col("p_doc"), "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("root"), F.coalesce("nb_root", "root")
+                    F.col("root"), F.coalesce("p_root", "root")
                 ).alias("root"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -47,6 +47,8 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6",
     "highload_kafka_streams_spark.plans.round6b",
     "highload_kafka_streams_spark.plans.round6c",
+    "highload_kafka_streams_spark.plans.round6d",
+    "highload_kafka_streams_spark.plans.round6e",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -427,6 +429,18 @@ _QUERY_LEDGER = (
     "q_setop_bag_semantics",
     "q_window_session_dynamic_gap",
     "q_source_json_quarantine",
+    "q_eval_ndcg",
+    "q_privacy_k_anonymity",
+    "q_embed_semantic_clusters",
+    "q_alloc_stable_matching",
+    "q_ts_matrix_profile",
+    "q_time_croston",
+    "q_multimodal_phash_dct",
+    "q_agg_ipf_raking",
+    "q_sample_reservoir_bottomk",
+    "q_agg_kmv_setops",
+    "q_eval_brier_decomposition",
+    "q_time_acf_ladder",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -1844,3 +1844,188 @@ def test_gumbel_fit_is_two_rollups(spark, sf_smoke):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
                  "CartesianProduct"):
         assert node not in plan, plan
+
+
+def test_code_detection_is_projection_rollup(spark, sf_smoke):
+    """Symbol/digit counts are regexp sizes as pure projection — the
+    match arrays must never become rows — and the per-source rollup
+    must combine map-side. No joins, no windows."""
+    plan = plan_of(get_queries()["q_text_code_detection"](spark, sf_smoke))
+    for node in ("Generate", "SortMergeJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "Window"):
+        assert node not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_alignment_audit_full_join_never_broadcasts(spark, sf_smoke):
+    """The coverage audit's full outer join carries two corpus-sized
+    sides — it must plan as a shuffled join (both sides exchange on
+    the id), never a broadcast of either table; the joined frame is
+    persisted so the two summary aggregates share one pass."""
+    import re
+
+    plan = plan_of(get_queries()["q_multimodal_alignment_audit"](spark, sf_smoke))
+    assert "FullOuter" in plan, plan
+    assert not re.search(r"BroadcastHashJoin .*FullOuter", plan), plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_bag_semantics_replicates_not_joins(spark, sf_smoke):
+    """EXCEPT ALL / INTERSECT ALL must plan as Spark's count-tagged
+    aggregate + replicaterows Generate — multiplicities are rebuilt by
+    replication, never by a key join whose output explodes with the
+    product of duplicate counts."""
+    plan = plan_of(get_queries()["q_setop_bag_semantics"](spark, sf_smoke))
+    assert "replicaterows" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_gap_windows_all_ride_user_exchange(spark, sf_smoke):
+    """Every window in the dynamic-gap sessionizer must partition by
+    user_id — the lag pass and the island prefix-sum share ONE hash
+    exchange; the dynamic threshold itself is a projection."""
+    import re
+
+    plan = plan_of(get_queries()["q_window_session_dynamic_gap"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "user_id" for p in specs), specs
+
+
+def test_json_quarantine_is_scan_plus_one_aggregate(spark, sf_smoke):
+    """The PERMISSIVE read must reduce to scan → project → one global
+    aggregate: no joins, no windows, no exchange other than the final
+    single-partition gather."""
+    plan = plan_of(get_queries()["q_source_json_quarantine"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                 "CartesianProduct"):
+        assert node not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ndcg_panel_broadcasts_corpus_never_self_joins(spark, sf_smoke):
+    """NDCG eval: the bounded query panel must broadcast into the
+    corpus scoring pass (corpus x panel, never corpus x corpus); the
+    per-query top-k rides ONE row_number window partitioned by q_id."""
+    import re
+
+    plan = plan_of(get_queries()["q_eval_ndcg"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "q_id" for p in specs), specs
+
+
+def test_k_anonymity_is_two_rollups_plus_broadcast_dims(spark, sf_smoke):
+    """QI-class audit: nation/region dims broadcast; the class-size
+    rollups must combine map-side (partial agg), and nothing shuffles
+    beyond the grouping exchanges."""
+    plan = plan_of(get_queries()["q_privacy_k_anonymity"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_semantic_clusters_pairs_are_cell_bounded(spark, sf_smoke):
+    """Embedding kNN clustering: candidate pairs must form via the
+    label equi-join (IVF-cell bound), never a cartesian corpus
+    product; kNN selection is one window partitioned by src."""
+    plan = plan_of(get_queries()["q_embed_semantic_clusters"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stable_matching_candidates_are_band_bounded(spark, sf_smoke):
+    """Gale-Shapley: the supplier x part candidate join must be the
+    md5-band equi-join (blocking), never an unconditioned cross of
+    the two entity tables; the preference index is one window
+    partitioned by the proposer."""
+    plan = plan_of(get_queries()["q_alloc_stable_matching"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_matrix_profile_corpus_feeds_one_rollup(spark, sf_smoke):
+    """Matrix profile: the events corpus must appear only in the
+    hour-grain pre-aggregation (map-side combine); the all-pairs
+    window join is calendar-bounded by construction so its join
+    strategy is free, but the corpus-side rollup must be partial."""
+    plan = plan_of(get_queries()["q_ts_matrix_profile"](spark, sf_smoke))
+    assert "partial_sum" in plan, plan
+    # the window table and pair table are persisted, so every branch
+    # re-reads the cache (raw scans printed under InMemoryRelation are
+    # lineage, not executed passes)
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_croston_windows_share_partkey_exchange(spark, sf_smoke):
+    """Croston: the lag and recency windows must both partition by
+    l_partkey (one hash exchange); no window may be unpartitioned."""
+    import re
+
+    plan = plan_of(get_queries()["q_time_croston"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "l_partkey" for p in specs), specs
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_phash_dct_signature_is_pure_projection(spark, sf_smoke):
+    """pHash: grid -> DCT -> threshold must stay projection (nested
+    higher-order functions; no Generate explodes the 64-element
+    arrays into rows); the dominant-signature table broadcasts back."""
+    plan = plan_of(get_queries()["q_multimodal_phash_dct"](spark, sf_smoke))
+    assert "Generate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ipf_rounds_broadcast_marginals(spark, sf_smoke):
+    """IPF raking: the corpus appears once (initial cell rollup with
+    map-side combine); every round's marginal tables are cell-bounded
+    and must broadcast — no sort-merge join anywhere in the loop."""
+    plan = plan_of(get_queries()["q_agg_ipf_raking"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") <= 1 or "InMemory" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_reservoir_global_sample_is_take_ordered(spark, sf_smoke):
+    """Bottom-k sampling: the global sample must plan
+    TakeOrderedAndProject (per-task k-heap merge, never a global
+    sort); the stratified sample's window partitions by the stratum."""
+    import re
+
+    plan = plan_of(get_queries()["q_sample_reservoir_bottomk"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the stratified branch must partition by the stratum AND carry
+    # Spark's rank-pushdown (WindowGroupLimit: per-task top-k before
+    # the exchange); the only unpartitioned window is the rank stamp
+    # over the already-limited global k rows, which is bounded
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert "o_orderpriority" in specs, specs
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_setops_sketches_are_take_ordered(spark, sf_smoke):
+    """KMV set algebra: each per-set bottom-k must plan
+    TakeOrderedAndProject; everything downstream is k-bounded, so the
+    only corpus-scale join is the exact-intersection equi-join (no
+    cartesian products of corpus-sized sides)."""
+    plan = plan_of(get_queries()["q_agg_kmv_setops"](spark, sf_smoke))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brier_decomposition_is_one_pass_bin_rollup(spark, sf_smoke):
+    """Murphy decomposition: one corpus pass into a 10-row bin rollup
+    with map-side combine; the global row and the decomposition are
+    bin-grain arithmetic — no sort-merge join, no window."""
+    plan = plan_of(get_queries()["q_eval_brier_decomposition"](spark, sf_smoke))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    for node in ("SortMergeJoin", "Window", "CartesianProduct"):
+        assert node not in plan, plan
+
+
+def test_acf_corpus_feeds_one_hourly_rollup(spark, sf_smoke):
+    """ACF ladder: the events corpus appears once, in the hour-grain
+    rollup (map-side combine); lag alignment is a calendar-bounded
+    self-join on the spine (persisted centered series)."""
+    plan = plan_of(get_queries()["q_time_acf_ladder"](spark, sf_smoke))
+    assert "partial_sum" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
