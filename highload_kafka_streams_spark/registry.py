@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6c",
     "highload_kafka_streams_spark.plans.round6d",
     "highload_kafka_streams_spark.plans.round6e",
+    "highload_kafka_streams_spark.plans.round6f",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -441,6 +442,10 @@ _QUERY_LEDGER = (
     "q_agg_kmv_setops",
     "q_eval_brier_decomposition",
     "q_time_acf_ladder",
+    "q_eval_mcnemar",
+    "q_eval_roc_curve",
+    "q_multimodal_shot_boundary",
+    "q_agg_kendall_tau",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

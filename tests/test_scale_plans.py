@@ -2029,3 +2029,45 @@ def test_acf_corpus_feeds_one_hourly_rollup(spark, sf_smoke):
     plan = plan_of(get_queries()["q_time_acf_ladder"](spark, sf_smoke))
     assert "partial_sum" in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_mcnemar_is_one_pass_priority_rollup(spark, sf_smoke):
+    """McNemar: one corpus pass into a per-priority rollup with
+    map-side combine; no joins, no windows."""
+    plan = plan_of(get_queries()["q_eval_mcnemar"](spark, sf_smoke))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                 "CartesianProduct"):
+        assert node not in plan, plan
+
+
+def test_roc_thresholds_join_bounded_buckets_not_corpus(spark, sf_smoke):
+    """ROC sweep: the corpus appears once (the (bucket, label) rollup,
+    persisted); the nine thresholds join the <=22-row bucket table,
+    so the sweep is O(1) after the single pass."""
+    plan = plan_of(get_queries()["q_eval_roc_curve"](spark, sf_smoke))
+    assert "InMemoryTableScan" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shot_boundary_lag_rides_doc_partition(spark, sf_smoke):
+    """Shot boundaries: the frame lag must partition by doc_id and the
+    top-20 must plan TakeOrderedAndProject; no joins anywhere."""
+    import re
+
+    plan = plan_of(get_queries()["q_multimodal_shot_boundary"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "doc_id" for p in specs), specs
+    assert "TakeOrderedAndProject" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+
+
+def test_kendall_pairs_form_on_bounded_grid(spark, sf_smoke):
+    """Kendall tau-b: the corpus must collapse to the <=125-cell grid
+    BEFORE the O(cells^2) pair join — the pair join's inputs are the
+    persisted grid, never the customer table."""
+    plan = plan_of(get_queries()["q_agg_kendall_tau"](spark, sf_smoke))
+    assert "InMemoryTableScan" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
