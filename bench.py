@@ -199,10 +199,16 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # warm-up must not pre-fill persisted tables
 
+    # SPARK_GRAFT_BENCH_RUNS: timed passes per query (default 2,
+    # best-of). The scale-linearity harness sets 1 — with the driver-loop
+    # iteratives in the set, best-of-2 at a 10x fixture pushes the wall
+    # past its subprocess budget, and RATIOS between two same-protocol
+    # runs are what it needs, not absolute best-case numbers.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             # force full evaluation of every row/column without driver collect

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6d",
     "highload_kafka_streams_spark.plans.round6e",
     "highload_kafka_streams_spark.plans.round6f",
+    "highload_kafka_streams_spark.plans.round6g",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -446,6 +447,7 @@ _QUERY_LEDGER = (
     "q_eval_roc_curve",
     "q_multimodal_shot_boundary",
     "q_agg_kendall_tau",
+    "q_events_poisson_dispersion",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

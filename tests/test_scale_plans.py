@@ -2071,3 +2071,14 @@ def test_kendall_pairs_form_on_bounded_grid(spark, sf_smoke):
     plan = plan_of(get_queries()["q_agg_kendall_tau"](spark, sf_smoke))
     assert "InMemoryTableScan" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_poisson_dispersion_is_two_grain_rollup(spark, sf_smoke):
+    """Dispersion test: corpus -> (type, hour) rollup -> per-type
+    rollup of algebraic sums; both combine map-side, no joins, no
+    windows."""
+    plan = plan_of(get_queries()["q_events_poisson_dispersion"](spark, sf_smoke))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                 "CartesianProduct"):
+        assert node not in plan, plan

@@ -33,7 +33,7 @@ def run_bench(sf_dir: str) -> dict:
         text=True,
         env=env,
         cwd=_HERE,
-        timeout=3600,
+        timeout=10800,
     )
     # the JVM can interleave GC warnings into stdout under memory
     # pressure — take the last line that parses as the bench JSON
