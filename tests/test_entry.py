@@ -245,3 +245,45 @@ def test_coverage_header_counts_match_registry():
     assert int(m.group(2)) == len(registry.ORACLE), (
         m.group(2), len(registry.ORACLE)
     )
+
+
+def test_full_preflight_refuses_on_drifted_ledger(monkeypatch):
+    """The full-preflight CLI (no explicit names) must FAIL before
+    touching Spark when QUERY_HASHES.json is stale — the round-end
+    ritual then cannot certify a tree whose driver evidence is about to
+    be hash-demoted (the round-6 snapshot shipped exactly that)."""
+    import sys
+
+    from highload_kafka_streams_spark import qhash
+    from highload_kafka_streams_spark.plans import oracle
+
+    # simulate drift: ledger missing one registered query
+    real = qhash.load_ledger()
+    assert real, "needs a real ledger to perturb"
+    drifted_ledger = dict(real)
+    victim = sorted(drifted_ledger)[0]
+    del drifted_ledger[victim]
+    monkeypatch.setattr(qhash, "load_ledger", lambda root=None: drifted_ledger)
+    assert victim in oracle.ledger_drift()
+
+    # full run (argv names empty) → exit 2 BEFORE get_spark is reached
+    monkeypatch.setattr(sys, "argv", ["oracle", "/root/testdata/sf0.001"])
+
+    def boom():  # pragma: no cover - reaching Spark means the gate failed
+        raise AssertionError("preflight must refuse before starting Spark")
+
+    import highload_kafka_streams_spark.session as session
+    monkeypatch.setattr(session, "get_spark", boom)
+    assert oracle.main() == 2
+
+    # targeted run (explicit names) skips the gate — but we stop at the
+    # stubbed get_spark to keep the test cheap
+    monkeypatch.setattr(
+        sys, "argv", ["oracle", "/root/testdata/sf0.001", "q_anything"]
+    )
+    try:
+        oracle.main()
+    except AssertionError as e:
+        assert "refuse before starting Spark" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("targeted run should have reached get_spark")
