@@ -1065,16 +1065,28 @@ _DCT_T = tuple(
     for u in range(8)
     for x in range(8)
 )
-_DCT_T_SQL = "[" + ", ".join(str(t) for t in _DCT_T) + "]"
-_DCT_T_SPARK = "array(" + ", ".join(str(t) for t in _DCT_T) + ")"
 # the 15 low-frequency AC coefficients: (u, v) in [0,4)^2 minus DC
 _DCT_UV = tuple(
     (u, v) for u in range(4) for v in range(4) if (u, v) != (0, 0)
 )
-_UV_SQL = "[" + ", ".join(f"{{'u': {u}, 'v': {v}}}" for u, v in _DCT_UV) + "]"
-_UV_SPARK = "array(" + ", ".join(
-    f"named_struct('u', {u}, 'v', {v})" for u, v in _DCT_UV
-) + ")"
+# Per-(u,v) separable weights PRECOMBINED at import:
+#   W_uv[i] = T[u*8 + i//8] * T[v*8 + i%8]
+# so each coefficient is one zip_with dot product against a literal
+# array evaluated once per row. The round-6 form indexed the 64-literal
+# T array INSIDE the aggregate lambda (element_at twice per term);
+# higher-order-function lambdas are interpreted and constant-folding
+# does not reach inside them, so the 64-child CreateArray re-evaluated
+# per element access — ~123k literal evals/row, 693 s at sf0.1
+# (~139 ms/row). Same integers either way (integer multiplication is
+# associative), so the oracle values are unchanged.
+_DCT_W = tuple(
+    tuple(_DCT_T[u * 8 + i // 8] * _DCT_T[v * 8 + i % 8] for i in range(64))
+    for (u, v) in _DCT_UV
+)
+_W_SQL = tuple("[" + ", ".join(str(w) for w in ws) + "]" for ws in _DCT_W)
+_W_SPARK = tuple(
+    "array(" + ", ".join(str(w) for w in ws) + ")" for ws in _DCT_W
+)
 
 
 @query(
@@ -1089,12 +1101,11 @@ WITH px AS (
 ),
 co AS (
   SELECT doc_id, channel,
-         list_transform({_UV_SQL},
-           uv -> CAST(list_sum(list_transform(range(64),
-             i -> pix[i + 1]
-                  * ({_DCT_T_SQL})[uv.u * 8 + i // 8 + 1]
-                  * ({_DCT_T_SQL})[uv.v * 8 + i % 8 + 1]))
-             AS BIGINT)) AS c
+         [{", ".join(
+             f"CAST(list_sum(list_transform(range(64),"
+             f" i -> pix[i + 1] * ({w})[i + 1])) AS BIGINT)"
+             for w in _W_SQL
+         )}] AS c
   FROM px
 ),
 sig AS (
@@ -1160,12 +1171,13 @@ def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "channel",
         F.expr(
-            f"transform({_UV_SPARK},"
-            f" uv -> CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
-            f" (acc, i) -> acc + element_at(pix, i + 1)"
-            f" * element_at({_DCT_T_SPARK}, uv.u * 8 + CAST(i / 8 AS INT) + 1)"
-            f" * element_at({_DCT_T_SPARK}, uv.v * 8 + i % 8 + 1))"
-            f" AS BIGINT))"
+            "array("
+            + ", ".join(
+                f"aggregate(zip_with(pix, {w}, (p, x) -> p * x),"
+                f" CAST(0 AS BIGINT), (a, t) -> a + t)"
+                for w in _W_SPARK
+            )
+            + ")"
         ).alias("c"),
     )
     sig = co.select(

@@ -2082,3 +2082,79 @@ def test_poisson_dispersion_is_two_grain_rollup(spark, sf_smoke):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "Window",
                  "CartesianProduct"):
         assert node not in plan, plan
+
+
+def _hof_query_names():
+    """Registered queries whose FUNCTION BODY (decorator excluded — the
+    DuckDB oracle SQL uses `->` for list lambdas everywhere) contains a
+    Spark higher-order-function lambda arrow."""
+    import ast
+    import inspect
+    import textwrap
+
+    from highload_kafka_streams_spark import registry
+
+    registry.load_all()
+    out = []
+    for n, fn in registry.QUERIES.items():
+        src = textwrap.dedent(inspect.getsource(fn))
+        try:
+            fdef = ast.parse(src).body[0]
+            seg = "\n".join(
+                ast.get_source_segment(src, s) or "" for s in fdef.body
+            )
+        except (SyntaxError, IndexError):
+            seg = src
+        if "->" in seg:
+            out.append(n)
+    return sorted(out)
+
+
+def _lambda_spans(plan: str):
+    """Balanced-paren argument spans of every lambdafunction( node."""
+    spans = []
+    i = 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return spans
+        k = j + len("lambdafunction(")
+        depth = 1
+        while k < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        spans.append(plan[j:k])
+        i = k
+
+
+def test_no_large_literal_array_inside_hof_lambda(spark, sf_smoke):
+    """Round-6 pathology lock: a literal CreateArray indexed INSIDE a
+    higher-order-function lambda re-evaluates all its children per
+    element access (HOF lambdas are interpreted; constant folding does
+    not reach inside them) — q_multimodal_phash_dct paid ~123k literal
+    evals/row (693 s at sf0.1) until its 64-literal DCT table moved out
+    of the lambda into a zip_with argument. Assert the ANALYZED plan of
+    every HOF-using query has no literal array of >8 numeric elements
+    inside any lambdafunction body. Literal arrays OUTSIDE lambdas
+    (zip_with/transform arguments, evaluated once per row) are fine."""
+    import re
+
+    from highload_kafka_streams_spark.registry import get_queries
+
+    queries = get_queries()
+    # >8 numeric elements after array( — tolerant of the plan printer's
+    # "... N more fields" truncation (no closing-paren anchor)
+    big_lit = re.compile(r"array\(\s*(?:-?\d+(?:\.\d+)?\s*,\s*){8,}")
+    offenders = {}
+    for name in _hof_query_names():
+        df = queries[name](spark, sf_smoke)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for span in _lambda_spans(plan):
+            m = big_lit.search(span)
+            if m:
+                offenders[name] = m.group(0)[:80]
+                break
+    assert not offenders, (
+        "literal array(>8 elems) inside a HOF lambda — hoist it to a "
+        f"zip_with/transform argument: {offenders}"
+    )
