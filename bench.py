@@ -150,31 +150,95 @@ TPCH = [
 ]
 
 
-def _prev_bench(here: str) -> tuple[int, dict] | None:
-    """Latest BENCH_r{N}.json in the repo root, or None. Feeds the
-    `vs_prev` section (VERDICT r4 item 3): per-query drift ratios vs
-    the previous round, computed by the harness itself so >1.3x
-    regressions surface as data instead of a host-noise shrug."""
+def _scrape_tail(data: dict) -> dict | None:
+    """Best-effort recovery of a driver BENCH file whose `parsed` is null.
+
+    The driver records only a 2000-char stdout TAIL; once the queries
+    dict outgrew it (round 6), `parsed` became null and vs_prev silently
+    produced nothing — which is exactly how a 693 s outlier shipped
+    without a flag. The tail still holds most of the per-query JSON, so
+    scrape `"q_*": <num>` pairs and any trailing series totals out of
+    the raw string rather than giving up."""
+    import re
+
+    tail = data.get("tail")
+    if not isinstance(tail, str):
+        return None
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"(q_\w+)":\s*(-?\d+(?:\.\d+)?)', tail)
+    }
+    if not queries:
+        return None
+    out: dict = {"queries": queries, "sf": data.get("sf")}
+    for key in ("value", "extended_total_sec", "tpch_total_sec", "r6_total_sec"):
+        m = re.search(rf'"{key}":\s*(-?\d+(?:\.\d+)?)', tail)
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
+def _prev_bench(here: str, cur_round: int) -> tuple[int, dict] | None:
+    """Best prior-round bench data: highest round < cur_round, preferring
+    the harness's own full-JSON `BENCH_LOCAL_r{N}.json` over the driver's
+    truncated `BENCH_r{N}.json` tail for the same round. Feeds `vs_prev`
+    (VERDICT r4 item 3, artifact self-ownership r6 item 2): per-query
+    drift ratios computed by the harness itself so >1.3x regressions
+    surface as data instead of a host-noise shrug."""
     import glob
     import re
 
-    best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(path))
-        if not m:
-            continue
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        rnd = int(m.group(1))
-        # the driver wraps our JSON line under a "parsed" key
-        if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        if isinstance(data, dict) and (best is None or rnd > best[0]):
-            best = (rnd, data)
-    return best
+    # round -> (priority, data); LOCAL files (priority 1) beat driver tails
+    candidates: dict[int, tuple[int, dict]] = {}
+    for pattern, prio in (("BENCH_LOCAL_r*.json", 1), ("BENCH_r*.json", 0)):
+        for path in glob.glob(os.path.join(here, pattern)):
+            name = os.path.basename(path)
+            if prio == 0 and name.startswith("BENCH_LOCAL"):
+                continue  # glob overlap guard
+            m = re.search(r"r(\d+)", name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            if rnd >= cur_round:
+                continue
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            # the driver wraps our JSON line under a "parsed" key
+            if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            elif isinstance(data, dict) and "queries" not in data:
+                data = _scrape_tail(data) or data
+            if not isinstance(data, dict) or "queries" not in data:
+                continue
+            have = candidates.get(rnd)
+            if have is None or prio > have[0]:
+                candidates[rnd] = (prio, data)
+    if not candidates:
+        return None
+    rnd = max(candidates)
+    return rnd, candidates[rnd][1]
+
+
+def _current_round(here: str) -> int:
+    """Round in progress: $SPARK_GRAFT_ROUND, else one past the newest
+    driver-written BENCH_r{N}.json (the driver writes it at round end)."""
+    import glob
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if not os.path.basename(path).startswith("BENCH_LOCAL")
+        for m in [re.search(r"r(\d+)", os.path.basename(path))]
+        if m
+    ]
+    return max(rounds, default=0) + 1
 
 
 def main() -> None:
@@ -231,7 +295,8 @@ def main() -> None:
         "tpch_total_sec": tpch_total,
         "r6_total_sec": r6_total,
     }
-    prev = _prev_bench(_HERE)
+    cur_round = _current_round(_HERE)
+    prev = _prev_bench(_HERE, cur_round)
     # drift ratios only make sense against the same scale factor (a
     # custom $SPARK_GRAFT_SF_DIR run must not "regress" vs sf0.1)
     if prev is not None and prev[1].get("sf") == sf:
@@ -254,6 +319,32 @@ def main() -> None:
             "flagged_over_1_3x": flagged,
             "ratios": ratios,
         }
+    # Absolute outlier flag (VERDICT r6 item 2): a query >30x the series
+    # median is a phash-class expression defect, not host noise — fail
+    # LOUDLY on stderr even with no prior round to compare against.
+    vals = sorted(timings.values())
+    median = vals[len(vals) // 2] if vals else 0.0
+    outliers = {
+        n: t for n, t in sorted(timings.items())
+        if median > 0 and t > 30 * median
+    }
+    out["outliers_over_30x_median"] = outliers
+    if outliers:
+        print(
+            f"OUTLIER WARNING: {len(outliers)} query(ies) exceed 30x the "
+            f"series median ({median:.3f}s): {outliers}",
+            file=sys.stderr,
+        )
+    # Self-owned full artifact: the driver's BENCH_r{N}.json keeps only a
+    # 2000-char stdout tail, which truncated to garbage in round 6 and
+    # killed vs_prev. The harness persists its OWN complete JSON so the
+    # next round always has a full prior to diff against. Commit it.
+    local_path = os.path.join(_HERE, f"BENCH_LOCAL_r{cur_round:02d}.json")
+    if sf_dir == "/root/testdata/sf0.1" and runs >= 2:
+        # only the canonical protocol overwrites the round artifact
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
     print(json.dumps(out))
     spark.stop()
 

@@ -465,9 +465,12 @@ _WINDOW_TAIL = (
 )
 
 
-def _driver_green_rounds(root=None) -> dict[str, int]:
+def _driver_green_rounds(root=None, *, pre_gate: bool = False) -> dict[str, int]:
     """Latest driver round each query was GREEN in, from the
     ``CORRECTNESS_r*.json`` files the driver writes to the repo root.
+    ``pre_gate=True`` skips the hash-staleness gate — the callers use the
+    difference (pre-gate green minus gated green) to identify REWRITTEN-
+    since-green queries, which lead the verification queue.
 
     Green = the row ran without error, row counts matched, and (for
     oracle-backed queries) the value hash matched. An errored or
@@ -514,6 +517,8 @@ def _driver_green_rounds(root=None) -> dict[str, int]:
             )
             latest[name] = (rnd, ok)
     green = {n: rnd for n, (rnd, ok) in latest.items() if ok}
+    if pre_gate:
+        return green
 
     from . import qhash
 
@@ -539,15 +544,24 @@ def _ledger_order() -> list[str]:
 
 
 def _ordered_names() -> list[str]:
-    """Never-driver-green oracle-backed queries first (ledger order), then
-    green ones oldest-evidence-first, then rows-only queries tail-pinned.
-    See the _QUERY_LEDGER comment for the full policy."""
+    """Never-driver-green oracle-backed queries first, then green ones
+    oldest-evidence-first, then rows-only queries tail-pinned. Within the
+    never-green tier (r6 verdict item 6): queries REWRITTEN after a green
+    round (formerly green, demoted by the hash-staleness gate) lead, in
+    ledger order, ahead of never-yet-verified new additions — a stale
+    rewrite is a regression-in-waiting on already-claimed surface and
+    must not queue behind ~90 newer queries for four rounds. See the
+    _QUERY_LEDGER comment for the full policy."""
     green = _driver_green_rounds()
+    stale_rewrites = set(_driver_green_rounds(pre_gate=True)) - set(green)
     order = _ledger_order()
     age = {n: i for i, n in enumerate(order)}
     tail_set = set(_WINDOW_TAIL)
     oracle_backed = [n for n in order if n in ORACLE and n not in tail_set]
-    never = [n for n in oracle_backed if n not in green]
+    never = sorted(
+        (n for n in oracle_backed if n not in green),
+        key=lambda n: (0 if n in stale_rewrites else 1, age[n]),
+    )
     verified = sorted(
         (n for n in oracle_backed if n in green),
         key=lambda n: (green[n], age[n]),

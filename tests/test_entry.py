@@ -287,3 +287,32 @@ def test_full_preflight_refuses_on_drifted_ledger(monkeypatch):
         assert "refuse before starting Spark" in str(e)
     else:  # pragma: no cover
         raise AssertionError("targeted run should have reached get_spark")
+
+
+def test_stale_rewrites_lead_never_green_tier():
+    """r6 verdict item 6: a query rewritten AFTER a driver-green round
+    (pre-gate green minus gated green) is a regression-in-waiting on
+    already-claimed surface — it must lead the never-green tier, ahead
+    of never-yet-verified new additions, so the next driver window
+    re-verifies it instead of queueing it behind ~90 newer queries."""
+    from highload_kafka_streams_spark import registry
+
+    registry.load_all()
+    names = list(ent.queries())
+    green = registry._driver_green_rounds()
+    stale = set(registry._driver_green_rounds(pre_gate=True)) - set(green)
+    tail = set(registry._WINDOW_TAIL)
+    never = [
+        n for n in names
+        if n in registry.ORACLE and n not in green and n not in tail
+    ]
+    if not stale:
+        return  # nothing demoted right now — vacuously ordered
+    last_stale = max(i for i, n in enumerate(never) if n in stale)
+    first_fresh = min(
+        (i for i, n in enumerate(never) if n not in stale), default=len(never)
+    )
+    assert last_stale < first_fresh, (
+        f"stale rewrites must lead the never-green tier: "
+        f"stale={sorted(stale)}, never[:10]={never[:10]}"
+    )
