@@ -302,17 +302,40 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3
 
 
+# md5-derived sub-cell: first 4 hex nibbles of md5('sc:'||vec_id) mod the
+# data-proportional sub-cell count (r6 verdict item 4: a FIXED 10-label
+# vocabulary is not a coarse quantizer — cell population grows linearly
+# with the corpus, so label-only blocking is O(n²/10)). nsub =
+# greatest(1, n DIV 640) targets ~64 vectors per (label, sub) cell
+# (10 labels × 64 ≈ 640 rows per sub-cell step), so within-cell kNN work
+# is n × O(64) — linear. DuckDB reproduces the nibbles via strpos.
+_SC_NIBBLE_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('sc:' || CAST(vec_id AS "
+    f"VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+    for j in range(4)
+)
+
+
 @query(
     "q_embed_semantic_clusters",
     oracle=f"""
-WITH pairs AS (
+WITH meta AS (
+  SELECT greatest(CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) // 640) AS nsub
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, label, embedding,
+         CAST(({_SC_NIBBLE_SQL}) AS BIGINT) % (SELECT nsub FROM meta) AS sc
+  FROM embeddings
+),
+pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          ({_DOT_SQL.format(a='a.embedding', b='b.embedding')})
          / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
             * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
            AS cos_sim
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id,
+  FROM sub a
+  JOIN sub b ON a.label = b.label AND a.sc = b.sc AND a.vec_id <> b.vec_id,
        (SELECT unnest(range(1, 65)) AS i) i
   GROUP BY a.vec_id, b.vec_id
 ),
@@ -346,8 +369,7 @@ ORDER BY vec_id
 )
 def q_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus: exact kNN (k=3)
-    inside each coarse cell (the label — IVF semantics: coarse
-    quantizer first, exact scoring within the cell), kept only where
+    inside each coarse cell — (label, md5 sub-cell) — kept only where
     MUTUAL (both endpoints choose each other — the standard trick that
     prevents hub vectors from chaining unrelated regions), then
     connected components over the mutual graph via the same iterative
@@ -355,25 +377,68 @@ def q_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dedup — the near-dup family's third axis after n-gram
     Jaccard and MinHash.
 
-    Scale shape: the only quadratic is WITHIN a cell (cells bound the
-    candidate set exactly like IVF probe lists; corpus² never forms);
-    kNN selection is one row_number window partitioned by the source
+    Scale shape (r6 verdict item 4): the label vocabulary is FIXED
+    (10 values), so label-only cells grow linearly with the corpus and
+    within-cell kNN would be O(n²/10). Each label cell is therefore
+    sub-bucketed by md5(vec_id) mod a DATA-PROPORTIONAL count —
+    nsub = max(1, n DIV 640) targets ~64 vectors per (label, sub)
+    cell — making candidate generation n × O(64), linear. The count
+    enters the plan as a broadcast 1-row frame (no driver action);
+    DuckDB mirrors the same integer rule via a scalar subquery. kNN
+    selection is one row_number window partitioned by the source
     vector; the CC loop is the driver-bounded distributed recipe
     (metadata-count convergence, llm/dedup.py::duplicate_clusters).
     DuckDB pins the fixpoint through its RECURSIVE closure."""
+    mutual = _semantic_mutual_knn_edges(spark, sf_dir)
+    return (
+        duplicate_clusters(mutual)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_root")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edge build for q_embed_semantic_clusters, exposed as
+    its own frame so tests can assert the candidate join's plan shape
+    (duplicate_clusters localCheckpoints, which truncates lineage —
+    the final frame's plan no longer shows the join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    nsub = emb.agg(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), count(*) DIV 640)"
+        ).alias("nsub")
+    )
+    sub = emb.crossJoin(F.broadcast(nsub)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sc:"), F.col("vec_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("nsub")
+        ).alias("sc"),
+    )
+    a = sub.select(
         F.col("label").alias("blk"),
+        F.col("sc").alias("sblk"),
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"),
     )
-    b = emb.select(
+    b = sub.select(
         F.col("label").alias("blk"),
+        F.col("sc").alias("sblk"),
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("eb"),
     )
     pairs = (
-        a.join(b, "blk")
+        a.join(b, ["blk", "sblk"])
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
@@ -390,18 +455,13 @@ def q_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = directed.select(
         F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
     )
-    mutual = (
+    return (
         directed.join(
             e2,
             (directed["src"] == e2["r_dst"]) & (directed["dst"] == e2["r_src"]),
         )
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-    )
-    return (
-        duplicate_clusters(mutual)
-        .select(F.col("doc_id").alias("vec_id"), "cluster_root")
-        .orderBy("vec_id")
     )
 
 
@@ -1083,8 +1143,8 @@ _DCT_W = tuple(
     tuple(_DCT_T[u * 8 + i // 8] * _DCT_T[v * 8 + i % 8] for i in range(64))
     for (u, v) in _DCT_UV
 )
-_W_SQL = tuple("[" + ", ".join(str(w) for w in ws) + "]" for ws in _DCT_W)
-_W_SPARK = tuple(
+_PHW_SQL = tuple("[" + ", ".join(str(w) for w in ws) + "]" for ws in _DCT_W)
+_PHW_SPARK = tuple(
     "array(" + ", ".join(str(w) for w in ws) + ")" for ws in _DCT_W
 )
 
@@ -1104,7 +1164,7 @@ co AS (
          [{", ".join(
              f"CAST(list_sum(list_transform(range(64),"
              f" i -> pix[i + 1] * ({w})[i + 1])) AS BIGINT)"
-             for w in _W_SQL
+             for w in _PHW_SQL
          )}] AS c
   FROM px
 ),
@@ -1175,7 +1235,7 @@ def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(
                 f"aggregate(zip_with(pix, {w}, (p, x) -> p * x),"
                 f" CAST(0 AS BIGINT), (a, t) -> a + t)"
-                for w in _W_SPARK
+                for w in _PHW_SPARK
             )
             + ")"
         ).alias("c"),

@@ -2158,3 +2158,28 @@ def test_no_large_literal_array_inside_hof_lambda(spark, sf_smoke):
         "literal array(>8 elems) inside a HOF lambda — hoist it to a "
         f"zip_with/transform argument: {offenders}"
     )
+
+
+def test_semantic_clusters_join_includes_subcell(spark, sf_smoke):
+    """r6 verdict item 4 lock: q_embed_semantic_clusters' kNN candidate
+    self-join must block on (label, md5-sub-cell), never label alone —
+    the label vocabulary is FIXED (10 values), so a label-only pair
+    join is O(n²/10) at scale. The sub-cell count is data-proportional
+    (nsub = max(1, n DIV 640), ~64 vectors per cell), entering the plan
+    as a broadcast 1-row frame, not a driver action."""
+    from highload_kafka_streams_spark.plans.round6d import (
+        _semantic_mutual_knn_edges,
+    )
+
+    df = _semantic_mutual_knn_edges(spark, sf_smoke)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join Inner" in ln and "blk" in ln
+    ]
+    assert join_lines, "expected the blocked kNN self-join in the plan"
+    blocked = [ln for ln in join_lines if "sblk" in ln]
+    assert blocked, (
+        "kNN pair join blocks on label only (fixed fan-out quadratic); "
+        f"join conditions seen: {join_lines[:2]}"
+    )
