@@ -472,15 +472,34 @@ def _semantic_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GS_LIST = 8     # bounded candidate list per proposer (blocking output)
 _GS_ROUNDS = 24  # fixed synchronous rounds; idempotent once converged
 
+# Band-prefix LENGTH derived from receiver-table size (r6 verdict item
+# 3: a FIXED 16-band split is suppliers×parts/16 — a quadratic with a
+# constant divisor). Integer CASE ladder, identical in both engines:
+# one more hex char per 16× more parts, so the expected per-proposer
+# candidate population n_parts/16^blen stays in [16, 256) — always
+# enough to fill the 8-deep proposal list, never data-quadratic; band
+# pair volume is suppliers × O(256), linear.
+_GS_BLEN_CASE = """CASE WHEN {n} < 4096 THEN 1
+              WHEN {n} < 65536 THEN 2
+              WHEN {n} < 1048576 THEN 3
+              WHEN {n} < 16777216 THEN 4
+              WHEN {n} < 268435456 THEN 5
+              ELSE 6 END"""
+
 _GS_CAND_SQL = f"""
+meta AS (
+  SELECT {_GS_BLEN_CASE.format(n='count(*)')} AS blen FROM part
+),
 sb AS (
   SELECT s_suppkey AS s,
-         substr(md5('sb:' || CAST(s_suppkey AS VARCHAR)), 1, 1) AS band
+         substr(md5('sb:' || CAST(s_suppkey AS VARCHAR)), 1,
+                (SELECT blen FROM meta)) AS band
   FROM supplier
 ),
 pb AS (
   SELECT p_partkey AS r,
-         substr(md5('pb:' || CAST(p_partkey AS VARCHAR)), 1, 1) AS band
+         substr(md5('pb:' || CAST(p_partkey AS VARCHAR)), 1,
+                (SELECT blen FROM meta)) AS band
   FROM part
 ),
 scored AS (
@@ -603,18 +622,21 @@ def q_alloc_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's state and unpersist the last to keep lineage flat."""
     sup = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
-    sb = sup.select(
+    # data-proportional band-prefix length (see _GS_BLEN_CASE): one
+    # broadcast 1-row frame, no driver action
+    blen = part.agg(
+        F.expr(_GS_BLEN_CASE.format(n="count(*)")).alias("blen")
+    )
+    sb = sup.crossJoin(F.broadcast(blen)).select(
         F.col("s_suppkey").alias("s"),
-        F.substring(
-            F.md5(F.concat(F.lit("sb:"), F.col("s_suppkey").cast("string"))),
-            1, 1,
+        F.expr(
+            "substr(md5(concat('sb:', CAST(s_suppkey AS STRING))), 1, blen)"
         ).alias("band"),
     )
-    pb = part.select(
+    pb = part.crossJoin(F.broadcast(blen)).select(
         F.col("p_partkey").alias("r"),
-        F.substring(
-            F.md5(F.concat(F.lit("pb:"), F.col("p_partkey").cast("string"))),
-            1, 1,
+        F.expr(
+            "substr(md5(concat('pb:', CAST(p_partkey AS STRING))), 1, blen)"
         ).alias("band"),
     )
     scored = sb.join(pb, "band").select(

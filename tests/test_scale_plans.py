@@ -2183,3 +2183,33 @@ def test_semantic_clusters_join_includes_subcell(spark, sf_smoke):
         "kNN pair join blocks on label only (fixed fan-out quadratic); "
         f"join conditions seen: {join_lines[:2]}"
     )
+
+
+def test_stable_matching_band_length_scales_with_parts():
+    """r6 verdict item 3 lock: the Gale-Shapley band-prefix length must
+    grow one hex char per 16x more parts (expected per-proposer
+    candidates n/16^blen stay in [16, 256) — enough to fill the 8-deep
+    list, never data-quadratic). The rule is one integer CASE ladder
+    interpolated into BOTH engines; lock its breakpoints via DuckDB."""
+    import duckdb
+
+    from highload_kafka_streams_spark.plans.round6d import _GS_BLEN_CASE
+
+    expect = [
+        (200, 1), (2000, 1), (4095, 1),      # sf0.001 / sf0.01 fixtures
+        (4096, 2), (20000, 2), (65535, 2),   # sf0.1 fixture
+        (65536, 3), (1048575, 3),
+        (1048576, 4), (16777216, 5), (268435456, 6), (10**10, 6),
+    ]
+    for n, want in expect:
+        got = duckdb.sql(
+            "SELECT " + _GS_BLEN_CASE.format(n=str(n))
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        # population invariant: enough candidates to fill the list,
+        # bounded enough to stay linear. Below the first breakpoint the
+        # whole part table is small and blen=1 trivially bounds work.
+        if n >= 4096:
+            assert 16 <= n / 16 ** want < 256, (n, want)
+        else:
+            assert want == 1, (n, want)
