@@ -484,7 +484,9 @@ _GS_BLEN_CASE = """CASE WHEN {n} < 4096 THEN 1
               WHEN {n} < 1048576 THEN 3
               WHEN {n} < 16777216 THEN 4
               WHEN {n} < 268435456 THEN 5
-              ELSE 6 END"""
+              WHEN {n} < 4294967296 THEN 6
+              WHEN {n} < 68719476736 THEN 7
+              ELSE 8 END"""
 
 _GS_CAND_SQL = f"""
 meta AS (

@@ -2199,7 +2199,8 @@ def test_stable_matching_band_length_scales_with_parts():
         (200, 1), (2000, 1), (4095, 1),      # sf0.001 / sf0.01 fixtures
         (4096, 2), (20000, 2), (65535, 2),   # sf0.1 fixture
         (65536, 3), (1048575, 3),
-        (1048576, 4), (16777216, 5), (268435456, 6), (10**10, 6),
+        (1048576, 4), (16777216, 5), (268435456, 6),
+        (4294967296, 7), (10**10, 7), (68719476736, 8), (10**12, 8),
     ]
     for n, want in expect:
         got = duckdb.sql(
