@@ -470,11 +470,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # generation alone OOMs the driver. Truncating lineage each
         # round keeps the plan O(1); the round's count() below would
         # materialize it anyway, so eager costs nothing extra.
-        hooked = labels.join(nb, labels.doc_id == nb.u, "left").select(
-            "doc_id",
-            F.least(F.col("root"), F.coalesce("nb_root", "root")).alias(
-                "root"
-            ),
+        # persist: `hooked` feeds BOTH sides of the pointer-jump self-
+        # join below, so without a cache the hooking join + min-agg
+        # subtree executes twice per round (r6 advisor finding)
+        hooked = (
+            labels.join(nb, labels.doc_id == nb.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("root"), F.coalesce("nb_root", "root")).alias(
+                    "root"
+                ),
+            )
+            .persist()
         )
         # pointer jump: root := root's root (roots are component
         # members with smaller-or-equal ids, so the invariant holds
@@ -498,6 +505,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .filter(F.col("n.root") != F.col("o.root"))
             .count()
         )
+        hooked.unpersist()
+        # NOTE (documented, accepted): for a localCheckpointed frame
+        # unpersist() does not free the checkpoint RDD blocks — those
+        # are released by the ContextCleaner once the RDD is GC'd, so a
+        # run near max_iter retains up to O(rounds) label tables until
+        # the driver GCs the dataframe handles. Each table is one row
+        # per vertex (two longs); at any realistic max_iter (~25 for
+        # log-diameter convergence) this is bounded metadata-scale
+        # storage, and dropping the Python reference (`labels =
+        # new_labels`) makes the old one collectable immediately.
         labels.unpersist()
         labels = new_labels
         if changed == 0:
