@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6e",
     "highload_kafka_streams_spark.plans.round6f",
     "highload_kafka_streams_spark.plans.round6g",
+    "highload_kafka_streams_spark.plans.round7",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -448,6 +449,20 @@ _QUERY_LEDGER = (
     "q_multimodal_shot_boundary",
     "q_agg_kendall_tau",
     "q_events_poisson_dispersion",
+    # round 7
+    "q_er_levenshtein_linkage",
+    "q_time_pettitt",
+    "q_alloc_huntington_hill",
+    "q_embed_jl_projection",
+    "q_graph_jaccard_neighbors",
+    "q_join_interval_allen",
+    "q_sample_class_balanced",
+    "q_events_cuped",
+    "q_multimodal_vad_runs",
+    "q_text_char_trigram_perplexity",
+    "q_select_kcenter_greedy",
+    "q_alloc_set_cover_greedy",
+    "q_agg_median_of_means",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
