@@ -121,6 +121,26 @@ R6 = [
     "q_eval_ndcg",
 ]
 
+# Round-7 additions as their own series (`r7_total_sec`, first measured
+# in BENCH_LOCAL_r07): linkage, changepoint, apportionment, projection
+# audit, link prediction, interval algebra, balanced sampling, CUPED,
+# VAD runs, char-LM surprisal, and the three greedy/robust selections.
+R7 = [
+    "q_er_levenshtein_linkage",
+    "q_time_pettitt",
+    "q_alloc_huntington_hill",
+    "q_embed_jl_projection",
+    "q_graph_jaccard_neighbors",
+    "q_join_interval_allen",
+    "q_sample_class_balanced",
+    "q_events_cuped",
+    "q_multimodal_vad_runs",
+    "q_text_char_trigram_perplexity",
+    "q_select_kcenter_greedy",
+    "q_alloc_set_cover_greedy",
+    "q_agg_median_of_means",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -247,7 +267,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -285,6 +305,7 @@ def main() -> None:
     extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
     tpch_total = round(sum(timings[n] for n in TPCH if n in timings), 3)
     r6_total = round(sum(timings[n] for n in R6 if n in timings), 3)
+    r7_total = round(sum(timings[n] for n in R7 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -294,6 +315,7 @@ def main() -> None:
         "extended_total_sec": extended_total,
         "tpch_total_sec": tpch_total,
         "r6_total_sec": r6_total,
+        "r7_total_sec": r7_total,
     }
     cur_round = _current_round(_HERE)
     prev = _prev_bench(_HERE, cur_round)
