@@ -280,6 +280,10 @@ def main() -> None:
     # allocation failure, observed at sf1) long before any single query
     # is at fault.
     for name in names:
+        # progress to stderr: when a query dies at a big fixture (r7: an
+        # sf1 broadcast OOM was undiagnosable from the logs), the last
+        # line names the culprit
+        print(f"warmup {name}", file=sys.stderr, flush=True)
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # warm-up must not pre-fill persisted tables
 
@@ -291,6 +295,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
+        print(f"timing {name}", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

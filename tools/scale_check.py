@@ -27,6 +27,14 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # The 10x leg needs real heap: local-mode Spark puts ALL executor
+    # memory inside the one driver JVM, and the 8g session default OOMs
+    # a broadcast hash relation at sf1 (r7: q_dedup_minhash_lsh died in
+    # UnsafeHashedRelation.readExternal). Both legs get the same value
+    # so the ratios share a protocol. One timed pass per query for the
+    # same reason (ratios, not absolutes).
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    env.setdefault("SPARK_GRAFT_BENCH_RUNS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(_HERE, "bench.py")],
         capture_output=True,
