@@ -880,6 +880,7 @@ def q_multimodal_vad_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frames = d.select(
         "doc_id",
+        "text",
         (F.col("doc_id") % 3).cast("int").alias("channel"),
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_no"),
     ).select(
