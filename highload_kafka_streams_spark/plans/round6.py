@@ -1425,10 +1425,17 @@ def q_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum·10⁴ div n), gaps and the ATT are integer arithmetic with one
     final integer division each.
 
-    Scale shape: per-user rollup (map-side combinable), then ONE sort
-    by score.  The unpartitioned window is the textbook asof caveat —
-    at 100 TB you range-partition the score axis and patch boundaries
-    (the documented q_join_asof recipe); semantics unchanged."""
+    Scale shape (r7): per-user rollup (map-side combinable), then the
+    score axis is RANGE-BUCKETED (fixed width 2²²) so the asof windows
+    partition by bucket and sort in parallel; bucket BOUNDARIES are
+    patched exactly — per-bucket first/last control summaries (a
+    bucket-count-sized table) get exclusive cumulative fills across the
+    bucket spine and are broadcast back, so a treated row whose bucket
+    holds no control on one side falls back to the adjacent buckets'
+    control. Semantics identical to the single sort (the oracle keeps
+    the unpartitioned form); wall-clock is no longer bounded by one
+    task. r7 scale run measured the old single-task form at ~5× for
+    10× data with every stage (0+1)/1 — this removes that ceiling."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
     u = (
@@ -1461,24 +1468,62 @@ def q_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    bucket_w = 1 << 22  # fixed score-axis range bucket (~120 buckets here)
+    s2 = s.withColumn("bkt", F.expr(f"CAST(score DIV {bucket_w} AS BIGINT)"))
     order = [F.col("score"), F.col("treated"), F.col("user_id")]
     wb = (
-        Window.orderBy(*order)
+        Window.partitionBy("bkt").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
-        Window.orderBy(*order)
+        Window.partitionBy("bkt").orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    nb = s.select(
+    local = s2.select(
         "user_id",
         "treated",
         "score",
         "outcome",
-        F.last("cs", ignorenulls=True).over(wb).alias("prev_cs"),
-        F.last("co", ignorenulls=True).over(wb).alias("prev_co"),
-        F.first("cs", ignorenulls=True).over(wf).alias("next_cs"),
-        F.first("co", ignorenulls=True).over(wf).alias("next_co"),
+        "bkt",
+        F.last("cs", ignorenulls=True).over(wb).alias("l_prev_cs"),
+        F.last("co", ignorenulls=True).over(wb).alias("l_prev_co"),
+        F.first("cs", ignorenulls=True).over(wf).alias("l_next_cs"),
+        F.first("co", ignorenulls=True).over(wf).alias("l_next_co"),
+    )
+    # boundary patch: per-bucket first/last CONTROL summaries, filled
+    # exclusively across the bucket spine (bucket-count-sized — the
+    # unpartitioned windows here run over ~120 rows, not the corpus)
+    ctrl_sum = (
+        s2.filter(~F.col("treated"))
+        .groupBy("bkt")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cs', cs, 'co', co),"
+                " named_struct('s', score, 'u', user_id))"
+            ).alias("lastc"),
+            F.expr(
+                "min_by(named_struct('cs', cs, 'co', co),"
+                " named_struct('s', score, 'u', user_id))"
+            ).alias("firstc"),
+        )
+    )
+    spine = s2.select("bkt").distinct().join(ctrl_sum, "bkt", "left")
+    wsp = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wsf = Window.orderBy("bkt").rowsBetween(1, Window.unboundedFollowing)
+    cum = spine.select(
+        "bkt",
+        F.last("lastc", ignorenulls=True).over(wsp).alias("cum_prev"),
+        F.first("firstc", ignorenulls=True).over(wsf).alias("cum_next"),
+    )
+    nb = local.join(F.broadcast(cum), "bkt").select(
+        "user_id",
+        "treated",
+        "score",
+        "outcome",
+        F.coalesce("l_prev_cs", F.col("cum_prev.cs")).alias("prev_cs"),
+        F.coalesce("l_prev_co", F.col("cum_prev.co")).alias("prev_co"),
+        F.coalesce("l_next_cs", F.col("cum_next.cs")).alias("next_cs"),
+        F.coalesce("l_next_co", F.col("cum_next.co")).alias("next_co"),
     )
     pick_prev = (
         F.col("next_cs").isNull()
