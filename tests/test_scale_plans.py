@@ -1575,11 +1575,19 @@ def test_periodogram_spectral_sums_post_rollup(spark, sf_smoke):
 
 
 def test_propensity_matching_is_sorted_merge_not_join(spark, sf_smoke):
-    """The match must be the sorted-merge window recipe — no self-join
-    of treated×controls anywhere in the plan."""
+    """The match must be the sorted-merge window recipe — no pair-wise
+    treated×controls self-join anywhere. r7 form: the score axis is
+    range-bucketed so the asof windows PARTITION by bucket (parallel
+    sorts — the r7 scale run showed the old unpartitioned form running
+    every stage single-task), and the only joins are broadcasts of the
+    bucket-count-sized boundary-patch summaries. A pair-matching
+    regression would surface as a SortMergeJoin / CartesianProduct or
+    as the partitioned windows disappearing."""
     plan = plan_of(get_queries()["q_eval_propensity_matching"](spark, sf_smoke))
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+    for node in ("SortMergeJoin", "CartesianProduct"):
         assert node not in plan, plan
+    # the asof windows must be partitioned by the score bucket
+    assert "windowspecdefinition(bkt#" in plan, plan
 
 
 def test_median_polish_sweeps_run_on_rollup_grid(spark, sf_smoke):
