@@ -9,6 +9,14 @@ much less); a ratio well ABOVE the data factor flags super-linear work
 (quadratic candidate growth, driver-side accumulation, broadcast of a
 data-proportional table). Writes one JSON artifact.
 
+Flag triage protocol (r7): a superlinear flag from this 1-run,
+~140-query shared-JVM protocol is a LEAD, not a verdict — fixed-
+overhead queries (driver-loop rounds of tiny jobs) are very sensitive
+to GC pauses late in the session (observed: 33 s in-context vs 3 s
+quiet for the same query+data). Confirm every flag with a quiet
+back-to-back warm remeasure at both scales before calling it
+superlinear, and record the triage under `flag_triage` in the artifact.
+
 Usage:
     python tools/scale_check.py --base /root/testdata/sf0.1 \
         --big .scale/sf1 --factor 10 --out SCALE_r05.json
