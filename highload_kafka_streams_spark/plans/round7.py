@@ -1249,7 +1249,12 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain = remaining.groupBy("s").agg(
             F.count("*").cast("long").alias("gain")
         )
-        pick = gain.orderBy(F.col("gain").desc(), "s").limit(1)
+        # persist the 1-row pick: every later round's anti-join AND the
+        # final 5-row union reference it, and without a cache the lazy
+        # chain re-executes all earlier rounds per branch (measured 11 s
+        # at sf0.1 for 5 rounds; ~2 s persisted). The pick is one row —
+        # caching it is metadata, same as the GS/k-center loop state.
+        pick = gain.orderBy(F.col("gain").desc(), "s").limit(1).persist()
         row = pick.select(
             F.lit(r).cast("long").alias("step"),
             F.col("s").alias("suppkey"),
@@ -1264,7 +1269,13 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p")
             .distinct()
         )
-        covered = new_cov if covered is None else covered.unionByName(new_cov).distinct()
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+        if r < _SC_ROUNDS:
+            covered = covered.persist()
     return out.orderBy("step")
 
 
