@@ -2222,3 +2222,50 @@ def test_stable_matching_band_length_scales_with_parts():
             assert 16 <= n / 16 ** want < 256, (n, want)
         else:
             assert want == 1, (n, want)
+
+
+def test_levenshtein_linkage_is_window_pass_not_pair_join(spark, sf_smoke):
+    """Sorted-neighborhood edit-distance linkage: candidates come from
+    lead() over a block-partitioned sort — NO pair table may form (a
+    regression to a within-block self-join is the O(n²/blocks)
+    quadratic the sorted-neighborhood recipe exists to avoid)."""
+    plan = plan_of(get_queries()["q_er_levenshtein_linkage"](spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_vad_runs_windows_share_one_doc_exchange(spark, sf_smoke):
+    """The three VAD windows (forward-fill, lag, seg prefix-sum) all
+    partition by doc_id with the same ordering — they must ride ONE
+    hash exchange on doc_id, not three."""
+    plan = plan_of(get_queries()["q_multimodal_vad_runs"](spark, sf_smoke))
+    n_doc_exchanges = plan.count("hashpartitioning(doc_id")
+    assert 1 <= n_doc_exchanges <= 2, (n_doc_exchanges, plan)
+
+
+def test_trigram_perplexity_vocab_join_broadcasts(spark, sf_smoke):
+    """The trigram-count join back onto occurrences must broadcast the
+    vocabulary (bounded by charset³), never shuffle the exploded
+    occurrence table into a sort-merge join."""
+    plan = plan_of(
+        get_queries()["q_text_char_trigram_perplexity"](spark, sf_smoke)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_jaccard_neighbors_topk_is_take_ordered(spark, sf_smoke):
+    """The top-20 must plan as TakeOrderedAndProject (per-partition
+    k-heaps), not a global sort of all pairs."""
+    plan = plan_of(get_queries()["q_graph_jaccard_neighbors"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interval_allen_no_pair_table(spark, sf_smoke):
+    """Allen census: consecutive intervals come from lag() over the
+    per-customer timeline — no interval×interval join may appear (the
+    only join is orders×lineitem to build each interval)."""
+    plan = plan_of(get_queries()["q_join_interval_allen"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
