@@ -139,6 +139,8 @@ R7 = [
     "q_select_kcenter_greedy",
     "q_alloc_set_cover_greedy",
     "q_agg_median_of_means",
+    "q_time_ljung_box",
+    "q_eval_two_proportion_z",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -1387,3 +1387,257 @@ def q_agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "mean_fx", "mom_fx")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_time_ljung_box — portmanteau whiteness test over the ACF ladder
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 10   # lags 1..10 pooled
+_LB_DAYS = 30   # calendar-bounded daily spine
+# chi-square 0.95 critical value for df=10, milli-fixed (standard table)
+_LB_CRIT_MILLI = 18307
+
+
+@query(
+    "q_time_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           // 86400 AS x,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(x) AS d0 FROM daily),
+spine AS (
+  SELECT ti.event_type, ti.idx, coalesce(d.v, 0) AS v
+  FROM (SELECT t.event_type, i.i AS idx
+        FROM (SELECT DISTINCT event_type FROM daily) t,
+             (SELECT unnest(range({_LB_DAYS})) AS i) i) ti
+  LEFT JOIN (SELECT event_type, x - d0.d0 AS idx, v FROM daily, d0) d
+    ON d.event_type = ti.event_type AND d.idx = ti.idx
+),
+m AS (
+  SELECT event_type, CAST(SUM(v) // {_LB_DAYS} AS BIGINT) AS mu
+  FROM spine GROUP BY 1
+),
+d AS (
+  SELECT s.event_type, s.idx, s.v - m.mu AS d
+  FROM spine s JOIN m ON m.event_type = s.event_type
+),
+den AS (
+  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
+  FROM d GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS num
+  FROM (SELECT unnest(range(1, {_LB_LAGS + 1})) AS lag) l
+  JOIN d a ON TRUE
+  JOIN d b ON b.event_type = a.event_type AND b.idx = a.idx + l.lag
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT n.event_type,
+         CAST((n.num * n.num * 1000)
+              // (den.den * den.den * ({_LB_DAYS} - n.lag)) AS BIGINT)
+           AS t_milli
+  FROM num n JOIN den ON den.event_type = n.event_type
+)
+SELECT event_type,
+       CAST({_LB_DAYS} AS BIGINT) AS n_days,
+       CAST({_LB_LAGS} AS BIGINT) AS n_lags,
+       CAST({_LB_DAYS} * ({_LB_DAYS} + 2) * SUM(t_milli) AS BIGINT)
+         AS q_milli,
+       CASE WHEN {_LB_DAYS} * ({_LB_DAYS} + 2) * SUM(t_milli)
+                 > {_LB_CRIT_MILLI} THEN 1 ELSE 0 END AS autocorrelated
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_time_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type — POOLS the first 10
+    autocorrelations of the daily count series into one whiteness
+    statistic Q = n(n+2)·Σ r_k²/(n−k), the standard residual-diagnostic
+    companion to the per-lag ACF (q_time_acf_ladder answers "how big is
+    lag k"; this answers "is the series white at all", which is what a
+    forecasting-residual audit actually needs). One truncated integer
+    mean centers each series; numerators/denominator are exact BIGINT;
+    each pooled term is one integer division (num_k²·10³ //
+    (den²·(n−k))), and the χ²₁₀ 0.95 critical value enters milli-fixed
+    from the standard table. Magnitude bound: den² ≤ ~10¹⁴ at 10× the
+    fixture density — inside int64 with the 10³ scale (documented).
+
+    Scale shape: the corpus appears once (type×day rollup, map-side
+    combine); everything downstream — spine, centering, the lag
+    alignment self-join — is calendar-bounded (30 rows/type), so the
+    statistic costs the same at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(date_trunc('day', ts)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("x"),
+    ).agg(F.count("*").cast("long").alias("v"))
+    d0 = daily.agg(F.min("x").alias("d0"))
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(
+            F.broadcast(
+                spark.range(_LB_DAYS).select(F.col("id").alias("idx"))
+            )
+        )
+        .crossJoin(F.broadcast(d0))
+        .join(
+            daily.withColumnRenamed("event_type", "et2"),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("x") == F.col("idx") + F.col("d0")),
+            "left",
+        )
+        .select("event_type", "idx", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    m = spine.groupBy("event_type").agg(
+        F.expr(f"CAST(SUM(v) DIV {_LB_DAYS} AS BIGINT)").alias("mu")
+    )
+    d = (
+        spine.join(F.broadcast(m), "event_type")
+        .select("event_type", "idx", (F.col("v") - F.col("mu")).alias("d"))
+        .persist()
+    )
+    den = d.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
+    )
+    b = d.select(
+        F.col("event_type").alias("b_et"),
+        F.col("idx").alias("b_idx"),
+        F.col("d").alias("b_d"),
+    )
+    num = (
+        d.select(
+            "event_type",
+            "idx",
+            "d",
+            F.explode(F.sequence(F.lit(1), F.lit(_LB_LAGS))).alias("lag"),
+        )
+        .join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (F.col("b_idx") == F.col("idx") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("d") * F.col("b_d")).cast("long").alias("num"))
+    )
+    terms = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.expr(
+            f"CAST((num * num * 1000)"
+            f" DIV (den * den * ({_LB_DAYS} - lag)) AS BIGINT)"
+        ).alias("t_milli"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.lit(_LB_DAYS).cast("long").alias("n_days"),
+            F.lit(_LB_LAGS).cast("long").alias("n_lags"),
+            F.expr(
+                f"CAST({_LB_DAYS} * ({_LB_DAYS} + 2) * SUM(t_milli)"
+                f" AS BIGINT)"
+            ).alias("q_milli"),
+            F.expr(
+                f"CASE WHEN {_LB_DAYS} * ({_LB_DAYS} + 2) * SUM(t_milli)"
+                f" > {_LB_CRIT_MILLI} THEN 1 ELSE 0 END"
+            ).alias("autocorrelated"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_eval_two_proportion_z — conversion-rate z-test (exact cross-multiplied)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_two_proportion_z",
+    oracle="""
+WITH arms AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS c2
+  FROM arms
+)
+SELECT n1, c1, n2, c2,
+       CAST((c1 * 10000) // n1 AS BIGINT) AS p1_fx,
+       CAST((c2 * 10000) // n2 AS BIGINT) AS p2_fx,
+       CAST((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2) * 10000
+            // NULLIF(n1 * n2 * (c1 + c2)
+                      * (n1 + n2 - c1 - c2), 0) AS BIGINT) AS z2_fx,
+       CASE WHEN (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)
+                 * (n1 + n2) * 10000
+                 > 38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+            THEN 1 ELSE 0 END AS significant
+FROM agg
+""",
+)
+def q_eval_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (did the user purchase
+    at all) between the parity arms — the PROPORTION counterpart of the
+    experimentation family's mean-based readouts (CUPED/diff-in-diff
+    compare spend; conversion-rate A/B tests are the more common
+    launch gate). The pooled-variance z² collapses to one exact
+    integer inequality: (c₁n₂−c₂n₁)²·N·10⁴ > 1.96²·n₁n₂·C·(N−C) — no
+    square roots, no floats; z²_fx (10⁻⁴ units) is the same expression
+    with one integer division. Magnitude bound: (c₁n₂−c₂n₁)²·N·10⁴ ≤
+    ~5·10¹⁸ at 10× the fixture's user count — inside int64, documented
+    (beyond that, drop the 10⁴ to 10² or test in two steps).
+
+    Scale shape: one user-grain rollup (max-flag, map-side combine),
+    then a single 4-sum scalar aggregate — nothing wider than the user
+    table shuffles, output is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("grp"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted"),
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("long").alias("c2"),
+    )
+    return agg.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr("CAST((c1 * 10000) DIV n1 AS BIGINT)").alias("p1_fx"),
+        F.expr("CAST((c2 * 10000) DIV n2 AS BIGINT)").alias("p2_fx"),
+        F.expr(
+            "CAST((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)"
+            " * (n1 + n2) * 10000"
+            " DIV NULLIF(n1 * n2 * (c1 + c2)"
+            " * (n1 + n2 - c1 - c2), 0) AS BIGINT)"
+        ).alias("z2_fx"),
+        F.expr(
+            "CASE WHEN (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)"
+            " * (n1 + n2) * 10000"
+            " > 38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)"
+            " THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )

@@ -463,6 +463,8 @@ _QUERY_LEDGER = (
     "q_select_kcenter_greedy",
     "q_alloc_set_cover_greedy",
     "q_agg_median_of_means",
+    "q_time_ljung_box",
+    "q_eval_two_proportion_z",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative
