@@ -382,7 +382,7 @@ pairs AS (
   WHERE a.vec_id % 2 = 0
 )
 SELECT va, vb, d2_orig, d2_proj,
-       CAST((d2_proj * 10000) // ({_JL_DIM} * d2_orig) AS BIGINT)
+       CAST((d2_proj * 10000) // NULLIF({_JL_DIM} * d2_orig, 0) AS BIGINT)
          AS ratio_fx
 FROM pairs
 ORDER BY va
@@ -404,7 +404,11 @@ def q_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal sign arrays (outside any lambda — the r7 HOF guard shape),
     so corpus-wide application is a projection; the audit's pair join
     is on consecutive probe ids (16 bounded rows). Magnitudes: |ax| ≤
-    ~10⁶, |y| ≤ 64·10⁶, diff² ≤ ~1.6e16 — inside int64."""
+    ~10⁶, |y| ≤ 64·10⁶, diff² ≤ ~1.6e16 — inside int64. The distortion
+    divisor is NULLIF-guarded in BOTH engines (r7 advisor): identical
+    adjacent probe embeddings give d2_orig = 0, where unguarded Spark
+    DIV returns NULL but DuckDB // errors — the guard makes both emit
+    NULL for that (degenerate) pair."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
     fx = emb.select(
         "vec_id",
@@ -453,7 +457,8 @@ def q_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2_orig",
         "d2_proj",
         F.expr(
-            f"CAST((d2_proj * 10000) DIV ({_JL_DIM} * d2_orig) AS BIGINT)"
+            f"CAST((d2_proj * 10000) DIV NULLIF({_JL_DIM} * d2_orig, 0)"
+            " AS BIGINT)"
         ).alias("ratio_fx"),
     ).orderBy("va")
 
@@ -728,7 +733,7 @@ SELECT t.grp AS treatment,
        t.n_g AS n_users,
        CAST((t.s_post * 10000) // t.n_g AS BIGINT) AS mean_post_fx,
        CAST((t.s_post * 10000) // t.n_g
-            - ((SELECT num * 10000 // den FROM theta)
+            - ((SELECT num * 10000 // NULLIF(den, 0) FROM theta)
                * ((t.s_pre * 10000) // t.n_g
                   - (SELECT (SUM(pre) * 10000) // count(*) FROM per_user)))
               // 10000
@@ -745,7 +750,11 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each arm reports mean(post) and the ADJUSTED mean(post) −
     θ·(mean(pre) − grand mean(pre)), all in fixed-point BIGINT with one
     deterministic integer division per step (identical order of
-    operations in both engines). Completes the experimentation family
+    operations in both engines). θ's denominator n·Σpre²−(Σpre)² is
+    NULLIF-guarded in BOTH engines (r7 advisor): constant pre-period
+    spend makes var(pre) = 0, where unguarded Spark DIV returns NULL
+    but DuckDB // errors — the guard makes both emit NULL adjusted
+    means for that (covariate-free) degenerate case. Completes the experimentation family
     (diff-in-diff, propensity matching, permutation test) with the
     covariate-adjustment axis.
 
@@ -794,7 +803,7 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_post_fx"),
             F.expr(
                 "CAST((s_post * 10000) DIV n_g"
-                " - ((num * 10000 DIV den)"
+                " - ((num * 10000 DIV NULLIF(den, 0))"
                 "    * ((s_pre * 10000) DIV n_g - grand_pre_fx))"
                 "   DIV 10000 AS BIGINT)"
             ).alias("mean_adj_fx"),
@@ -1113,14 +1122,21 @@ def q_select_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance and comparison is exact BIGINT; ties break by vec_id in
     both engines.
 
-    Scale shape: the running min-distance frame is UPDATED incrementally
-    (least(d2min, dist-to-new-center)) — the standard distributed
-    Gonzalez recipe: each of the k−1 rounds is one broadcast of a
-    SINGLE center row against the corpus plus one TakeOrdered(1), so
-    total work is O(k·n) with no pair table and no driver-side vector
-    collection (the loop composes lazily; nothing executes until the
-    final 5-row union is consumed). k is fixed; the corpus frame is
-    persisted so each round's scan hits cache."""
+    Scale shape (r7 advisor rewrite): the running min-distance frame is
+    UPDATED incrementally (least(d2min, dist-to-new-center)) — the
+    standard distributed Gonzalez recipe. The former all-lazy loop
+    re-derived each round's frame from the previous one TWICE (base +
+    its own limit(1)) without persisting it, so execution re-evaluated
+    prior rounds ~2^k times; now each round PERSISTS its min-distance
+    frame, materializes it through the round's TakeOrdered(1) pick
+    (one 67-value row collected to the driver — the bounded-scalar
+    driver-state pattern of operators/selection.py), unpersists the
+    superseded frame, and folds the collected center back in as a
+    literal zip_with argument (outside any lambda — the r7 HOF-guard
+    shape). Total work is exactly O(k·n): each round is one cached-
+    corpus scan + projection; no pair table; all loop caches are
+    released before return, so nothing leaks into the shared session.
+    The result is a 5-row driver-local frame."""
     emb = load_table(spark, sf_dir, "embeddings")
     fx = emb.select(
         "vec_id",
@@ -1128,7 +1144,7 @@ def q_select_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding,"
             " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
         ).alias("ax"),
-    ).persist()
+    )
     c0 = fx.filter(F.col("vec_id") == 0)
     d = fx.crossJoin(
         F.broadcast(c0.select(F.col("ax").alias("cx")))
@@ -1140,34 +1156,34 @@ def q_select_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (a, t) -> a + t) AS BIGINT)"
         ).alias("d2min"),
     )
-    out = c0.select(
-        F.lit(0).cast("long").alias("step"),
-        "vec_id",
-        F.lit(0).cast("long").alias("radius_fx"),
-    )
+    rows = [(0, 0, 0)]
+    prev = None
     for s in range(1, _KC_K):
-        c = d.orderBy(F.col("d2min").desc(), "vec_id").limit(1)
-        out = out.unionByName(
-            c.select(
-                F.lit(s).cast("long").alias("step"),
-                "vec_id",
-                F.col("d2min").alias("radius_fx"),
-            )
-        )
+        d = d.persist()
+        top = d.orderBy(F.col("d2min").desc(), "vec_id").limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = d
+        rows.append((s, int(top["vec_id"]), int(top["d2min"])))
         if s < _KC_K - 1:
-            d = d.crossJoin(
-                F.broadcast(c.select(F.col("ax").alias("ncx")))
-            ).select(
+            center = "array(" + ", ".join(
+                f"CAST({int(v)} AS BIGINT)" for v in top["ax"]
+            ) + ")"
+            d = d.select(
                 "vec_id",
                 "ax",
                 F.expr(
-                    "least(d2min,"
-                    " CAST(aggregate(zip_with(ax, ncx,"
+                    f"least(d2min,"
+                    f" CAST(aggregate(zip_with(ax, {center},"
                     " (p, q) -> (p - q) * (p - q)),"
                     " CAST(0 AS BIGINT), (a, t) -> a + t) AS BIGINT))"
                 ).alias("d2min"),
             )
-    return out.orderBy("step")
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        rows, "step BIGINT, vec_id BIGINT, radius_fx BIGINT"
+    ).orderBy("step")
 
 
 # ---------------------------------------------------------------------------
@@ -1223,13 +1239,19 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     break by supplier key; marginal gains are exact counts, so the
     oracle reproduces every pick.
 
-    Scale shape: the classic distributed greedy-coverage round loop —
-    each of the 5 fixed rounds is one anti-join of the (supplier, part)
-    edge table against the covered-part set (keyed shuffle on part),
-    one supplier-grain count, one TakeOrdered(1), and a covered-set
-    union; the edge table is persisted and everything composes lazily
-    (no driver action inside the loop). Work is O(rounds · |edges|);
-    no pair table, no corpus² anywhere."""
+    Scale shape (r7 advisor rewrite): the classic distributed greedy-
+    coverage round loop — each of the 5 fixed rounds is one anti-join
+    of the (supplier, part) edge table against the covered-part set
+    (keyed shuffle on part), one supplier-grain count, and one
+    TakeOrdered(1) whose single row is collected to the driver (the
+    bounded-scalar driver-state pattern of operators/selection.py) so
+    the pick folds back in as a LITERAL — no lingering 1-row caches.
+    The covered-part set is persisted per round, materialized through
+    the next round's pick, and the superseded round's cache is
+    unpersisted eagerly; the edge table and final covered set are
+    released before return, so nothing leaks into the shared session.
+    Work is O(rounds · |edges|); no pair table, no corpus² anywhere.
+    The result is a 5-row driver-local frame."""
     li = load_table(spark, sf_dir, "lineitem")
     sp = (
         li.select(
@@ -1239,7 +1261,7 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     covered = None
-    out = None
+    rows = []
     for r in range(1, _SC_ROUNDS + 1):
         remaining = (
             sp
@@ -1249,34 +1271,28 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain = remaining.groupBy("s").agg(
             F.count("*").cast("long").alias("gain")
         )
-        # persist the 1-row pick: every later round's anti-join AND the
-        # final 5-row union reference it, and without a cache the lazy
-        # chain re-executes all earlier rounds per branch (measured 11 s
-        # at sf0.1 for 5 rounds; ~2 s persisted). The pick is one row —
-        # caching it is metadata, same as the GS/k-center loop state.
-        pick = gain.orderBy(F.col("gain").desc(), "s").limit(1).persist()
-        row = pick.select(
-            F.lit(r).cast("long").alias("step"),
-            F.col("s").alias("suppkey"),
-            F.col("gain").alias("n_new_covered"),
-        )
-        out = row if out is None else out.unionByName(row)
-        new_cov = (
-            sp.join(
-                pick.select(F.col("s").alias("ps")),
-                sp["s"] == F.col("ps"),
-            )
-            .select("p")
-            .distinct()
-        )
-        covered = (
-            new_cov
-            if covered is None
-            else covered.unionByName(new_cov).distinct()
-        )
+        top = gain.orderBy(F.col("gain").desc(), "s").limit(1).collect()[0]
+        rows.append((r, int(top["s"]), int(top["gain"])))
         if r < _SC_ROUNDS:
-            covered = covered.persist()
-    return out.orderBy("step")
+            new_cov = (
+                sp.filter(F.col("s") == F.lit(int(top["s"])))
+                .select("p")
+            )
+            nxt = (
+                new_cov
+                if covered is None
+                else covered.unionByName(new_cov).distinct()
+            ).persist()
+            nxt.count()  # materialize before dropping the predecessor
+            if covered is not None:
+                covered.unpersist()
+            covered = nxt
+    if covered is not None:
+        covered.unpersist()
+    sp.unpersist()
+    return spark.createDataFrame(
+        rows, "step BIGINT, suppkey BIGINT, n_new_covered BIGINT"
+    ).orderBy("step")
 
 
 # ---------------------------------------------------------------------------
@@ -1575,18 +1591,21 @@ agg AS (
     CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1,
     CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS c2
   FROM arms
+),
+core AS (
+  SELECT n1, c1, n2, c2,
+         (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2) AS lhs,
+         NULLIF(n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2), 0) AS rhs
+  FROM agg
 )
 SELECT n1, c1, n2, c2,
        CAST((c1 * 10000) // n1 AS BIGINT) AS p1_fx,
        CAST((c2 * 10000) // n2 AS BIGINT) AS p2_fx,
-       CAST((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2) * 10000
-            // NULLIF(n1 * n2 * (c1 + c2)
-                      * (n1 + n2 - c1 - c2), 0) AS BIGINT) AS z2_fx,
-       CASE WHEN (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)
-                 * (n1 + n2) * 10000
-                 > 38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+       CAST((lhs // rhs) * 10000 + (lhs % rhs) * 10000 // rhs
+            AS BIGINT) AS z2_fx,
+       CASE WHEN 625 * lhs > 2401 * rhs
             THEN 1 ELSE 0 END AS significant
-FROM agg
+FROM core
 """,
 )
 def q_eval_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1595,11 +1614,18 @@ def q_eval_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     experimentation family's mean-based readouts (CUPED/diff-in-diff
     compare spend; conversion-rate A/B tests are the more common
     launch gate). The pooled-variance z² collapses to one exact
-    integer inequality: (c₁n₂−c₂n₁)²·N·10⁴ > 1.96²·n₁n₂·C·(N−C) — no
-    square roots, no floats; z²_fx (10⁻⁴ units) is the same expression
-    with one integer division. Magnitude bound: (c₁n₂−c₂n₁)²·N·10⁴ ≤
-    ~5·10¹⁸ at 10× the fixture's user count — inside int64, documented
-    (beyond that, drop the 10⁴ to 10² or test in two steps).
+    integer inequality: 625·(c₁n₂−c₂n₁)²·N > 2401·n₁n₂·C·(N−C) — the
+    reduced form of z² > 1.96² (38416/10⁴ = 2401/625 in lowest terms;
+    r7 advisor: the unreduced 10⁴ factor cost 16× of int64 headroom
+    for nothing). z²_fx (10⁻⁴ units) is the same ratio via an EXACT
+    two-step division, (L DIV R)·10⁴ + (L mod R)·10⁴ DIV R ≡
+    ⌊L·10⁴/R⌋ with L·10⁴ never materialized — the remainder term
+    needs only R·10⁴ < 2⁶³. Magnitude bound: worst case (c ≈ n/2)
+    puts 625·L ≤ 625·n⁵/16 inside int64 through n ≈ 27k users (~27×
+    this fixture's user count; beyond that, pre-divide both sides by
+    gcd-free n factors or split the comparison the same two-step way).
+    R is NULLIF-guarded in both engines (all-convert / none-convert
+    arms give zero pooled variance → NULL z², flag 0).
 
     Scale shape: one user-grain rollup (max-flag, map-side combine),
     then a single 4-sum scalar aggregate — nothing wider than the user
@@ -1621,7 +1647,19 @@ def q_eval_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
         .cast("long").alias("c2"),
     )
-    return agg.select(
+    core = agg.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr(
+            "(c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2)"
+        ).alias("lhs"),
+        F.expr(
+            "NULLIF(n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2), 0)"
+        ).alias("rhs"),
+    )
+    return core.select(
         "n1",
         "c1",
         "n2",
@@ -1629,15 +1667,10 @@ def q_eval_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((c1 * 10000) DIV n1 AS BIGINT)").alias("p1_fx"),
         F.expr("CAST((c2 * 10000) DIV n2 AS BIGINT)").alias("p2_fx"),
         F.expr(
-            "CAST((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)"
-            " * (n1 + n2) * 10000"
-            " DIV NULLIF(n1 * n2 * (c1 + c2)"
-            " * (n1 + n2 - c1 - c2), 0) AS BIGINT)"
+            "CAST((lhs DIV rhs) * 10000 + (lhs % rhs) * 10000 DIV rhs"
+            " AS BIGINT)"
         ).alias("z2_fx"),
         F.expr(
-            "CASE WHEN (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1)"
-            " * (n1 + n2) * 10000"
-            " > 38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)"
-            " THEN 1 ELSE 0 END"
+            "CASE WHEN 625 * lhs > 2401 * rhs THEN 1 ELSE 0 END"
         ).alias("significant"),
     )
