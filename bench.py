@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON record {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...} followed by a COMPACT one-line summary (same shape,
+headline queries only) as the LAST stdout line — the driver keeps a
+2000-char stdout tail, and the tail must always end with one parseable
+record (r7 verdict item 2). The complete per-query data is also
+persisted to BENCH_LOCAL_r{N}.json.
 
 Headline set = one representative per operator class (SURVEY.md §2) so the
 number tracks engine-wide health, not one hot loop. Each query executes via
@@ -186,6 +190,14 @@ def _scrape_tail(data: dict) -> dict | None:
     tail = data.get("tail")
     if not isinstance(tail, str):
         return None
+    # r7 advisor: the tail also contains vs_prev's `ratios` /
+    # `flagged_over_1_3x` maps, whose '"q_*": <num>' pairs would
+    # OVERWRITE real timings in the comprehension below (feeding ~1.0
+    # ratio values into next round's drift math as seconds). Only the
+    # text before the first vs_prev block holds timings.
+    cut = tail.find('"vs_prev"')
+    if cut != -1:
+        tail = tail[:cut]
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"(q_\w+)":\s*(-?\d+(?:\.\d+)?)', tail)
@@ -274,6 +286,15 @@ def main() -> None:
     missing = [n for n in all_names if n not in queries]
     if missing:
         print(f"WARNING: missing headline queries: {missing}", file=sys.stderr)
+    # SPARK_GRAFT_BENCH_ONLY="q_a,q_b": time just those queries — the
+    # scale-check flag-remeasure protocol (r7 verdict item 3) re-runs
+    # flagged queries back-to-back at both scales without paying for the
+    # full ~140-query sweep. Partial runs never overwrite the round's
+    # BENCH_LOCAL artifact (guarded below).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
 
     # warm-up: prime codegen/JIT, Python workers, parquet footer caches.
     # Clear after EVERY query, not once at the end: each call persists its
@@ -369,12 +390,48 @@ def main() -> None:
     # killed vs_prev. The harness persists its OWN complete JSON so the
     # next round always has a full prior to diff against. Commit it.
     local_path = os.path.join(_HERE, f"BENCH_LOCAL_r{cur_round:02d}.json")
-    if sf_dir == "/root/testdata/sf0.1" and runs >= 2:
+    if sf_dir == "/root/testdata/sf0.1" and runs >= 2 and not only:
         # only the canonical protocol overwrites the round artifact
         with open(local_path, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
     print(json.dumps(out))
+    # The driver's BENCH_r{N}.json records only a 2000-char stdout TAIL;
+    # the full JSON above outgrew it in round 6 (`parsed: null`, r7
+    # verdict item 2). Emit a compact self-contained summary as the LAST
+    # line — headline per-query timings, every series total, the worst
+    # drift flags — small enough that the tail always ends with one
+    # parseable record. The full artifact lives in BENCH_LOCAL_r{N}.json.
+    compact = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+        "extended_total_sec": extended_total,
+        "tpch_total_sec": tpch_total,
+        "r6_total_sec": r6_total,
+        "r7_total_sec": r7_total,
+        "n_queries_timed": len(timings),
+        "full_artifact": os.path.basename(local_path),
+    }
+    if outliers:
+        compact["outliers_over_30x_median"] = dict(
+            sorted(outliers.items(), key=lambda kv: -kv[1])[:10]
+        )
+    if "vs_prev" in out:
+        vp = out["vs_prev"]
+        compact["vs_prev"] = {
+            "round": vp["round"],
+            "headline_ratio": vp["headline_ratio"],
+            "flagged_over_1_3x": dict(
+                sorted(
+                    vp["flagged_over_1_3x"].items(), key=lambda kv: -kv[1]
+                )[:10]
+            ),
+            "n_flagged": len(vp["flagged_over_1_3x"]),
+        }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -9,13 +9,15 @@ much less); a ratio well ABOVE the data factor flags super-linear work
 (quadratic candidate growth, driver-side accumulation, broadcast of a
 data-proportional table). Writes one JSON artifact.
 
-Flag triage protocol (r7): a superlinear flag from this 1-run,
-~140-query shared-JVM protocol is a LEAD, not a verdict — fixed-
-overhead queries (driver-loop rounds of tiny jobs) are very sensitive
-to GC pauses late in the session (observed: 33 s in-context vs 3 s
-quiet for the same query+data). Confirm every flag with a quiet
-back-to-back warm remeasure at both scales before calling it
-superlinear, and record the triage under `flag_triage` in the artifact.
+Flag triage protocol (r7, AUTOMATED in r8): a superlinear flag from
+this 1-run, ~140-query shared-JVM protocol is a LEAD, not a verdict —
+fixed-overhead queries (driver-loop rounds of tiny jobs) are very
+sensitive to GC pauses late in the session (observed: 33 s in-context
+vs 3 s quiet for the same query+data). Every flag is therefore
+re-measured automatically: the flagged queries re-run back-to-back at
+both scales in fresh quiet JVMs (SPARK_GRAFT_BENCH_ONLY), and both
+samples plus a machine verdict (confirmed_superlinear /
+in_context_noise) land under `flag_triage` in the artifact.
 
 Usage:
     python tools/scale_check.py --base /root/testdata/sf0.1 \
@@ -33,8 +35,10 @@ import sys
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, only: list[str] | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     # The 10x leg needs real heap: local-mode Spark puts ALL executor
     # memory inside the one driver JVM, and the 8g session default OOMs
     # a broadcast hash relation at sf1 (r7: q_dedup_minhash_lsh died in
@@ -52,14 +56,19 @@ def run_bench(sf_dir: str) -> dict:
         timeout=10800,
     )
     # the JVM can interleave GC warnings into stdout under memory
-    # pressure — take the last line that parses as the bench JSON
-    for line in reversed(out.stdout.strip().splitlines()):
+    # pressure — and bench.py r8+ prints a COMPACT summary (headline
+    # queries only) after the full record, so keep the parseable
+    # bench line with the LARGEST queries dict, not merely the last
+    candidates = []
+    for line in out.stdout.strip().splitlines():
         try:
             parsed = json.loads(line)
         except ValueError:
             continue
         if isinstance(parsed, dict) and "metric" in parsed:
-            return parsed
+            candidates.append(parsed)
+    if candidates:
+        return max(candidates, key=lambda d: len(d.get("queries", {})))
     raise RuntimeError(
         f"bench.py produced no JSON line (rc={out.returncode}); "
         f"stderr tail: {out.stderr[-500:]}"
@@ -87,6 +96,38 @@ def main() -> None:
     # super-linear = scaling worse than the data factor itself; the
     # interesting band is ratio > factor (time grew MORE than the data)
     superlinear = {n: r for n, r in sorted(ratios.items()) if r > ns.factor}
+    # Auto-remeasure (r7 verdict item 3): a flag from the 1-run shared-JVM
+    # sweep is a LEAD, not a verdict — late-session GC pauses inflate
+    # fixed-overhead queries 10x (observed 33 s in-context vs 3 s quiet).
+    # Re-run every flagged query back-to-back at both scales in fresh
+    # quiet JVMs and record both samples plus a machine verdict, so the
+    # artifact carries its own triage instead of prose.
+    triage = {}
+    if superlinear:
+        flagged = sorted(superlinear)
+        print(
+            f"remeasuring {len(flagged)} flagged query(ies) quietly ...",
+            file=sys.stderr,
+        )
+        re_base = run_bench(ns.base, flagged)
+        re_big = run_bench(ns.big, flagged)
+        for n in flagged:
+            tb = re_base["queries"].get(n)
+            tg = re_big["queries"].get(n)
+            r2 = round(tg / tb, 2) if tb and tg else None
+            triage[n] = {
+                "first_ratio": superlinear[n],
+                "remeasure_base_sec": tb,
+                "remeasure_big_sec": tg,
+                "remeasure_ratio": r2,
+                "verdict": (
+                    "remeasure_failed"
+                    if r2 is None
+                    else "confirmed_superlinear"
+                    if r2 > ns.factor
+                    else "in_context_noise"
+                ),
+            }
     artifact = {
         "metric": "scale_linearity",
         "factor": ns.factor,
@@ -106,6 +147,7 @@ def main() -> None:
         },
         "time_ratio_per_query": ratios,
         "superlinear_over_factor": superlinear,
+        "flag_triage": triage,
         "headline_ratio": round(big["value"] / base["value"], 2),
     }
     print(json.dumps(artifact))
