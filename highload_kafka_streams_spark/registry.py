@@ -465,6 +465,12 @@ _QUERY_LEDGER = (
     "q_agg_median_of_means",
     "q_time_ljung_box",
     "q_eval_two_proportion_z",
+    # late-round-7 additions (r8 ledger backfill: these registered via
+    # @query but missed their append — the registration-order fallback
+    # in _ledger_order kept their window position identical, so this is
+    # bookkeeping, not a behavior change)
+    "q_stream_circuit_breaker",
+    "q_text_naive_bayes",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -132,9 +132,17 @@ def write_stream(
 
 
 def kafka_package_available(spark: SparkSession) -> bool:
-    """True if the spark-sql-kafka integration is on the classpath."""
+    """True if the spark-sql-kafka integration is on the classpath.
+
+    Same pitfall as the Avro probe below (r8 fix): py4j attribute
+    access is lazy — a missing class comes back as a JavaPackage
+    object, no error — so the old ``spark._jvm.…KafkaSourceProvider``
+    probe answered True in THIS container, which ships no kafka jar.
+    ``Class.forName`` is the real classpath test."""
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False
