@@ -147,6 +147,18 @@ R7 = [
     "q_eval_two_proportion_z",
 ]
 
+# Round-8 additions as their own series (`r8_total_sec`, first measured
+# in BENCH_LOCAL_r08): data selection, per-group relative filtering,
+# community quality, split hygiene, tail risk, Theta forecasting.
+R8 = [
+    "q_select_dsir_importance",
+    "q_text_quality_per_lang_filter",
+    "q_graph_modularity",
+    "q_sample_group_kfold",
+    "q_agg_pot_tail",
+    "q_time_theta_forecast",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -281,7 +293,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -334,6 +346,7 @@ def main() -> None:
     tpch_total = round(sum(timings[n] for n in TPCH if n in timings), 3)
     r6_total = round(sum(timings[n] for n in R6 if n in timings), 3)
     r7_total = round(sum(timings[n] for n in R7 if n in timings), 3)
+    r8_total = round(sum(timings[n] for n in R8 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -344,6 +357,7 @@ def main() -> None:
         "tpch_total_sec": tpch_total,
         "r6_total_sec": r6_total,
         "r7_total_sec": r7_total,
+        "r8_total_sec": r8_total,
     }
     cur_round = _current_round(_HERE)
     prev = _prev_bench(_HERE, cur_round)
@@ -412,6 +426,7 @@ def main() -> None:
         "tpch_total_sec": tpch_total,
         "r6_total_sec": r6_total,
         "r7_total_sec": r7_total,
+        "r8_total_sec": r8_total,
         "n_queries_timed": len(timings),
         "full_artifact": os.path.basename(local_path),
     }

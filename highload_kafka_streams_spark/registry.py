@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6f",
     "highload_kafka_streams_spark.plans.round6g",
     "highload_kafka_streams_spark.plans.round7",
+    "highload_kafka_streams_spark.plans.round8",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -471,6 +472,14 @@ _QUERY_LEDGER = (
     # bookkeeping, not a behavior change)
     "q_stream_circuit_breaker",
     "q_text_naive_bayes",
+    # round 8 (capped at 6 — r7 verdict item 1 — so the driver's 50-slot
+    # window drains the never-green backlog before reaching these)
+    "q_select_dsir_importance",
+    "q_text_quality_per_lang_filter",
+    "q_graph_modularity",
+    "q_sample_group_kfold",
+    "q_agg_pot_tail",
+    "q_time_theta_forecast",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

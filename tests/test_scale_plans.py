@@ -2269,3 +2269,78 @@ def test_interval_allen_no_pair_table(spark, sf_smoke):
     plan = plan_of(get_queries()["q_join_interval_allen"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# round-8 additions
+# --------------------------------------------------------------------------
+
+
+def test_dsir_vocab_broadcasts_and_topk_is_take_ordered(spark, sf_smoke):
+    """DSIR importance selection: the 256-row bucket-weight table must
+    BROADCAST back onto the token stream (never a shuffled join of
+    token-grain against vocab), and the final selection must plan
+    TakeOrderedAndProject (per-task k-heap), never a global sort."""
+    plan = plan_of(get_queries()["q_select_dsir_importance"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_per_lang_filter_windows_only_histogram_cells(spark, sf_smoke):
+    """Per-language quality gate: the quantile must come from the
+    (lang, score) HISTOGRAM (map-side-combinable rollup before any
+    window), and the threshold table must broadcast back — no
+    per-document window, no sort-merge join."""
+    plan = plan_of(
+        get_queries()["q_text_quality_per_lang_filter"](spark, sf_smoke)
+    )
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pot_tail_windows_only_histogram_cells(spark, sf_smoke):
+    """Peaks-over-threshold: same bucketed two-pass shape — histogram
+    rollup with map-side combine, window over cells, broadcast
+    threshold join, second combinable rollup. No raw-value sort."""
+    plan = plan_of(get_queries()["q_agg_pot_tail"](spark, sf_smoke))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_modularity_edge_stream_collapses_once(spark, sf_smoke):
+    """Brand modularity: the per-order pair join feeds ONE persisted
+    (brand_a, brand_b) cell rollup; m / intra / degree readouts must
+    re-read that cache (InMemory scans), never re-run the edge build.
+    The part dimension must broadcast; no cartesian anywhere."""
+    plan = plan_of(get_queries()["q_graph_modularity"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_kfold_assignment_is_projection(spark, sf_smoke):
+    """Grouped k-fold: the fold must derive per ROW from user_id (pure
+    projection — no group table, no join to assign folds); the only
+    join is the broadcast of per-type totals onto k x |types| cells."""
+    plan = plan_of(get_queries()["q_sample_group_kfold"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_theta_windows_partition_by_event_type(spark, sf_smoke):
+    """Theta forecast: the day-index window must partition by
+    event_type (no unpartitioned single-task window), and the corpus
+    must collapse in the daily rollup with map-side combine."""
+    import re
+
+    plan = plan_of(get_queries()["q_time_theta_forecast"](spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "event_type" for p in specs), specs
+    assert "partial_sum" in plan, plan
