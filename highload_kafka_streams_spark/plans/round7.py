@@ -1156,11 +1156,20 @@ def q_select_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (a, t) -> a + t) AS BIGINT)"
         ).alias("d2min"),
     )
-    rows = [(0, 0, 0)]
+    rows = []
     prev = None
     for s in range(1, _KC_K):
         d = d.persist()
-        top = d.orderBy(F.col("d2min").desc(), "vec_id").limit(1).collect()[0]
+        picked = d.orderBy(F.col("d2min").desc(), "vec_id").limit(1).collect()
+        if not picked:
+            # degenerate fixture (no vec_id 0 seed row → d is empty) —
+            # the oracle's c0/c{s} CTEs are all empty too; emit nothing
+            prev = d
+            break
+        if s == 1:
+            # the seed row exists exactly when d is non-empty
+            rows.append((0, 0, 0))
+        top = picked[0]
         if prev is not None:
             prev.unpersist()
         prev = d
@@ -1271,7 +1280,12 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain = remaining.groupBy("s").agg(
             F.count("*").cast("long").alias("gain")
         )
-        top = gain.orderBy(F.col("gain").desc(), "s").limit(1).collect()[0]
+        picked = gain.orderBy(F.col("gain").desc(), "s").limit(1).collect()
+        if not picked:
+            # every part already covered — the oracle's pick{r} CTE is
+            # empty for this and all later rounds, so stop emitting too
+            break
+        top = picked[0]
         rows.append((r, int(top["s"]), int(top["gain"])))
         if r < _SC_ROUNDS:
             new_cov = (
