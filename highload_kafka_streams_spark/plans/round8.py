@@ -74,8 +74,8 @@ tot AS (
 w AS (
   SELECT bucket,
          CAST(((cnt_t + 1) * 100000000 // (cnt_r + 1)) * 1000000
-              // ((SELECT (n_t + {_DSIR_B}) * 100000000
-                          // (n_r + {_DSIR_B}) FROM tot))
+              // NULLIF((SELECT (n_t + {_DSIR_B}) * 100000000
+                                // (n_r + {_DSIR_B}) FROM tot), 0)
               AS BIGINT) AS w_ppm
   FROM vocab
 ),
@@ -143,8 +143,8 @@ def q_select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.expr(
             f"CAST(((cnt_t + 1) * 100000000 DIV (cnt_r + 1)) * 1000000"
-            f" DIV ((n_t + {_DSIR_B}) * 100000000 DIV (n_r + {_DSIR_B}))"
-            " AS BIGINT)"
+            f" DIV NULLIF((n_t + {_DSIR_B}) * 100000000"
+            f" DIV (n_r + {_DSIR_B}), 0) AS BIGINT)"
         ).alias("w_ppm"),
     )
     scored = (
@@ -549,8 +549,8 @@ exceed AS (
 )
 SELECT event_type, n, u_fx, n_exceed,
        CAST(s1 // n_exceed AS BIGINT) AS mean_excess_fx,
-       CAST((n_exceed * s2 // (s1 * s1)) * 10000
-            + ((n_exceed * s2) % (s1 * s1)) * 10000 // (s1 * s1)
+       CAST((s2 // n_exceed) * 10000
+            // NULLIF((s1 // n_exceed) * (s1 // n_exceed), 0)
             AS BIGINT) AS dispersion_fx
 FROM exceed
 ORDER BY event_type
@@ -562,13 +562,16 @@ def q_agg_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     above an EXACT per-type P95 (smallest value whose cumulative count
     passes 19/20 of the mass, from a value-grid histogram), their mean
     excess (the GPD scale readout), and the moment dispersion
-    n·Σd²/(Σd)² in 10⁻⁴ units — ≈2·10⁴ signals an exponential tail
+    E[d²]/E[d]² in 10⁻⁴ units — ≈2·10⁴ signals an exponential tail
     (GPD ξ≈0), larger means heavier. Latency/risk pipelines use the
     mean-excess + dispersion pair to decide whether P99-style SLOs are
-    even estimable from the data. The dispersion divides via the exact
-    two-step ((q·10⁴) + (rem·10⁴)/R form), so n·Σd²·10⁴ is never
-    materialized; bounds documented: d ≤ ~5·10⁴ fx-units keeps
-    n_exc·Σd² inside int64 through ~sf10.
+    even estimable from the data. Overflow posture (the r8 10× scale
+    run caught the naive n·Σd²/(Σd)² form: its two-step-division
+    remainder is bounded by (Σd)² ≈ 10¹⁶, so rem·10⁴ leaves int64):
+    both moments PRE-DIVIDE by n_exceed — m₂ = Σd²/n and mₑ = Σd/n
+    are bounded by the per-row value grid (≤ ~6·10⁶ and ~5·10⁴ fx),
+    so m₂·10⁴ / mₑ² fits int64 at ANY corpus size; the truncation
+    lattice is identical in both engines.
 
     Scale shape: one value-grid histogram rollup per type (map-side
     combine; cells bounded by the 100-step fx grid, not the corpus), a
@@ -622,8 +625,8 @@ def q_agg_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exceed",
         F.expr("CAST(s1 DIV n_exceed AS BIGINT)").alias("mean_excess_fx"),
         F.expr(
-            "CAST((n_exceed * s2 DIV (s1 * s1)) * 10000"
-            " + ((n_exceed * s2) % (s1 * s1)) * 10000 DIV (s1 * s1)"
+            "CAST((s2 DIV n_exceed) * 10000"
+            " DIV NULLIF((s1 DIV n_exceed) * (s1 DIV n_exceed), 0)"
             " AS BIGINT)"
         ).alias("dispersion_fx"),
     ).orderBy("event_type")
@@ -661,16 +664,19 @@ ols AS (
 ),
 coef AS (
   SELECT event_type, n,
-         CAST((s_num - ((s_num % s_den) + s_den) % s_den) // s_den
-              AS BIGINT) AS b,
-         CAST((sv - ((s_num - ((s_num % s_den) + s_den) % s_den) // s_den)
-                    * st) // n AS BIGINT) AS a
+         CAST((s_num - ((s_num % NULLIF(s_den, 0)) + s_den) % NULLIF(s_den, 0))
+              // NULLIF(s_den, 0) AS BIGINT) AS b
   FROM ols
+),
+coef2 AS (
+  SELECT c.event_type, c.n, c.b,
+         CAST((o.sv - c.b * o.st) // c.n AS BIGINT) AS a
+  FROM coef c JOIN ols o ON o.event_type = c.event_type
 ),
 theta AS (
   SELECT i.event_type, i.t,
          CAST(2 * i.v_fp - (c.a + c.b * i.t) AS BIGINT) AS y
-  FROM idx i JOIN coef c ON c.event_type = i.event_type
+  FROM idx i JOIN coef2 c ON c.event_type = i.event_type
 ),
 rec AS (
   SELECT event_type, CAST(1 AS BIGINT) AS t, y AS s
@@ -685,7 +691,8 @@ SELECT c.event_type, c.n AS n_days, c.b AS slope_fx, rec.s AS ses_theta_fx,
        CAST(((rec.s + c.a + c.b * (c.n + 1))
              - (((rec.s + c.a + c.b * (c.n + 1)) % 2) + 2) % 2) // 2
             AS BIGINT) AS forecast_fx
-FROM rec JOIN coef c ON c.event_type = rec.event_type AND rec.t = c.n
+FROM rec JOIN coef2 c ON c.event_type = rec.event_type AND rec.t = c.n
+WHERE c.n >= 2
 ORDER BY c.event_type
 """,
 )
@@ -740,8 +747,8 @@ def q_time_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.expr(
-            "CAST((s_num - ((s_num % s_den) + s_den) % s_den) DIV s_den"
-            " AS BIGINT)"
+            "CAST((s_num - ((s_num % NULLIF(s_den, 0)) + s_den)"
+            " % NULLIF(s_den, 0)) DIV NULLIF(s_den, 0) AS BIGINT)"
         ).alias("b"),
         "sv",
         "st",
