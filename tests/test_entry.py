@@ -316,3 +316,55 @@ def test_stale_rewrites_lead_never_green_tier():
         f"stale rewrites must lead the never-green tier: "
         f"stale={sorted(stale)}, never[:10]={never[:10]}"
     )
+
+
+def test_rotation_engages_when_never_green_tier_empties(monkeypatch):
+    """r7 verdict item 5: once every oracle-backed query has driver
+    evidence, the window must ROTATE — oldest-evidence-first — so stale
+    r1/r2 greens get re-verified. Simulate the r9 state (never-green
+    tier empty) with synthetic green rounds and assert the prefix is
+    exactly the oldest evidence, ledger-age-tied."""
+    from highload_kafka_streams_spark import registry
+
+    registry.load_all()
+    order_now = registry._ledger_order()
+    oracle_backed = [
+        n for n in order_now
+        if n in registry.ORACLE and n not in set(registry._WINDOW_TAIL)
+    ]
+    # synthetic: every oracle-backed query green, rounds cycling 1..8 so
+    # plenty of ties exercise the ledger-age tiebreak
+    fake_green = {n: 1 + (i % 8) for i, n in enumerate(oracle_backed)}
+    monkeypatch.setattr(
+        registry, "_driver_green_rounds",
+        lambda root=None, pre_gate=False: dict(fake_green),
+    )
+    ordered = registry._ordered_names()
+    verified = [n for n in ordered if n in fake_green]
+    rounds = [fake_green[n] for n in verified]
+    assert rounds == sorted(rounds), "rotation must be oldest-evidence-first"
+    # the 50-slot window lands entirely on the stalest evidence
+    assert all(fake_green[n] == 1 for n in verified[:50])
+    # rows-only queries still never take a verified-window slot
+    head = ordered[: len(oracle_backed)]
+    assert all(n in registry.ORACLE for n in head)
+
+
+def test_bench_scrape_tail_ignores_vs_prev_ratios():
+    """r7 ADVICE item 1: a driver stdout tail contains vs_prev's ratio
+    maps whose '"q_*": <num>' pairs must NOT overwrite real timings
+    when scraping a legacy truncated artifact."""
+    import bench
+
+    tail = (
+        '{"metric": "headline_total_sec", "value": 6.5, "unit": "sec", '
+        '"queries": {"q_pricing_summary": 0.45, "q_window_tumbling": 0.29}, '
+        '"sf": 0.1, "extended_total_sec": 20.0, '
+        '"vs_prev": {"round": 6, "ratios": {"q_pricing_summary": 1.01, '
+        '"q_window_tumbling": 0.97}}}'
+    )
+    got = bench._scrape_tail({"tail": tail, "sf": 0.1})
+    assert got is not None
+    assert got["queries"]["q_pricing_summary"] == 0.45
+    assert got["queries"]["q_window_tumbling"] == 0.29
+    assert got["value"] == 6.5

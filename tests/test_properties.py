@@ -534,3 +534,32 @@ def test_interval_scheduling_matches_python_greedy_at_sf01(spark):
                 cnt += 1
                 last = e
         assert got[u] == (len(ivs), cnt), (u, got[u], len(ivs), cnt)
+
+
+def test_cell_local_cc_agrees_with_shared_cc(spark, sf_smoke):
+    """r8 semantic-clusters rewrite soundness: the cell-grouped
+    union-find (applyInPandas) must produce exactly the same
+    (vec_id, cluster_root) assignment as the shared global iterative
+    CC (duplicate_clusters) on the same mutual-kNN edge set — the
+    rewrite is only valid because edges are cell-local by
+    construction, and this pins that equivalence."""
+    from highload_kafka_streams_spark.llm.dedup import duplicate_clusters
+    from highload_kafka_streams_spark.plans.round6d import (
+        _sc_cell_cc,
+        _semantic_mutual_knn_edges,
+    )
+
+    edges = _semantic_mutual_knn_edges(spark, sf_smoke, with_cell=True)
+    fast = {
+        (r["vec_id"], r["cluster_root"])
+        for r in edges.groupBy("blk", "sblk")
+        .applyInPandas(_sc_cell_cc, "vec_id long, cluster_root long")
+        .collect()
+    }
+    slow = {
+        (r["doc_id"], r["cluster_root"])
+        for r in duplicate_clusters(
+            edges.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert fast == slow
