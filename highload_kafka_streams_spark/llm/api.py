@@ -307,3 +307,133 @@ def embedding_dim_stats(
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
     )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    is_target,
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-shaped importance weight per document (see
+    q_select_dsir_importance for the fixture-bound twin): hash unigrams
+    into ``buckets`` cells, build the target LM (rows where the
+    ``is_target`` Column predicate holds) and the raw LM in ONE rollup,
+    and score each doc the mean per-token ratio of bucket target-share
+    to global target-share, in ppm (>1e6 = target-like). Exact integer
+    arithmetic; the weight table is ``buckets`` rows broadcast, so the
+    only wide exchanges are the two token-grain aggregates — the LM is
+    mergeable across shards by construction.
+
+    Returns (doc_id, n_tokens, avg_wppm); select candidates with
+    ``.orderBy(F.desc("avg_wppm"))`` + limit (TakeOrderedAndProject)."""
+    toks = corpus.select(
+        "doc_id",
+        is_target.cast("int").alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "_t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("bucket"),
+    )
+    vocab = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cnt_r"),
+        F.sum("_t").cast("long").alias("cnt_t"),
+    )
+    tot = vocab.agg(
+        F.sum("cnt_r").cast("long").alias("n_r"),
+        F.sum("cnt_t").cast("long").alias("n_t"),
+    )
+    w = vocab.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(((cnt_t + 1) * 100000000 DIV (cnt_r + 1)) * 1000000"
+            f" DIV NULLIF((n_t + {int(buckets)}) * 100000000"
+            f" DIV (n_r + {int(buckets)}), 0) AS BIGINT)"
+        ).alias("w_ppm"),
+    )
+    return (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr("CAST(SUM(w_ppm) DIV count(*) AS BIGINT)")
+            .alias("avg_wppm"),
+        )
+    )
+
+
+def relative_quality_filter(
+    corpus: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_percent: int = 90,
+) -> DataFrame:
+    """Keep each group's rows with ``score_col`` STRICTLY below the
+    group's exact ``keep_percent`` quantile — the per-group relative
+    gate that avoids one absolute threshold gutting minority groups
+    (see q_text_quality_per_lang_filter). Exact histogram quantile: a
+    (group, score) cell rollup, a cumulative window over CELLS only,
+    and a broadcast threshold join — no per-row window, no raw-value
+    sort. ``score_col`` must be integer-valued (fixed-point your score
+    first); ties at the threshold are excluded, deterministically."""
+    from pyspark.sql.window import Window
+
+    hist = corpus.groupBy(group_col, score_col).agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    wl = Window.partitionBy(group_col).orderBy(score_col)
+    wn = Window.partitionBy(group_col)
+    thr = (
+        hist.select(
+            group_col,
+            score_col,
+            F.sum("__cnt").over(wl).cast("long").alias("__cum"),
+            F.sum("__cnt").over(wn).cast("long").alias("__n"),
+        )
+        .filter(F.col("__cum") * 100 > F.col("__n") * int(keep_percent))
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("__thr"))
+    )
+    return (
+        corpus.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def group_kfold(df: DataFrame, group_col: str, k: int = 5) -> DataFrame:
+    """Add a ``fold`` column that is a pure function of the group key
+    (first four md5 nibbles mod k — 65536 % k keeps the structural
+    modulus skew ≤ k/65536), so every row of a group lands in one fold
+    (leakage-safe), the assignment survives any repartition or task
+    retry, and adding data never reshuffles existing groups. See
+    q_sample_group_kfold for the audited fixture-bound twin."""
+    return df.withColumn(
+        "fold",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"), F.col(group_col).cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % int(k)
+        ),
+    )

@@ -341,3 +341,67 @@ def test_embedding_dim_stats_api(spark):
     rows = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
     assert rows[0]["n"] == 2 and rows[0]["mn"] == 1.0 and rows[0]["mx"] == 3.0
     assert rows[1]["sum6"] == 2_000_000  # (-2 + 4) * 1e6
+
+
+def test_importance_weights_api(spark):
+    """Docs sharing the target sub-corpus's vocabulary must out-score
+    docs whose tokens never appear in the target; weights are
+    deterministic and partitioning-invariant."""
+    rows = [
+        (1, "alpha beta gamma delta", 1),
+        (2, "alpha beta gamma epsilon", 1),
+        (3, "alpha beta gamma zeta", 0),      # target-like non-target
+        (4, "omega psi chi phi", 0),          # off-distribution
+    ]
+    c = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "tgt"])
+    )
+    w = api.importance_weights(c, F.col("tgt") == 1)
+    got = {r["doc_id"]: r["avg_wppm"] for r in w.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3] > got[4], got
+    again = {
+        r["doc_id"]: r["avg_wppm"]
+        for r in api.importance_weights(
+            c.repartition(7), F.col("tgt") == 1
+        ).collect()
+    }
+    assert got == again
+
+
+def test_relative_quality_filter_api(spark):
+    """Strictly-below-threshold keep per group: with scores 1..10 in one
+    group, keep_percent=90 keeps 1..9 (threshold lands on 10); a group
+    whose scores are all equal keeps nothing (threshold = that score,
+    strict <)."""
+    rows = [("a", i, i) for i in range(1, 11)] + [
+        ("b", 100 + j, 5) for j in range(4)
+    ]
+    c = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["grp", "doc_id", "score"])
+    )
+    kept = api.relative_quality_filter(c, "score", "grp", keep_percent=90)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9], got
+
+
+def test_group_kfold_api(spark):
+    """Same group -> same fold always; folds in [0, k); assignment
+    survives repartitioning."""
+    rows = [(u, e) for u in range(40) for e in range(3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user", "event"]))
+    f1 = api.group_kfold(df, "user", k=5)
+    per_user = (
+        f1.groupBy("user")
+        .agg(F.countDistinct("fold").alias("nf"), F.min("fold").alias("f"))
+        .collect()
+    )
+    assert all(r["nf"] == 1 for r in per_user)
+    assert all(0 <= r["f"] < 5 for r in per_user)
+    m1 = {r["user"]: r["f"] for r in per_user}
+    m2 = {
+        r["user"]: r["f"]
+        for r in api.group_kfold(df.repartition(11), "user", k=5)
+        .groupBy("user").agg(F.min("fold").alias("f")).collect()
+    }
+    assert m1 == m2
