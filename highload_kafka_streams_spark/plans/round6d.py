@@ -661,20 +661,32 @@ def q_alloc_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     proposer-side objective the proposer-optimality guarantees
     minimal.
 
-    Custom-operator lane (a): Spark has no iterative matching
-    primitive, so the DRIVER runs the bounded round loop (the
-    q_dedup_clusters / PageRank precedent) while every step stays
-    distributed: one equi-join of the state against the candidate
-    list on (s, ptr), one min_by-per-receiver aggregate, one join
-    back — all keyed shuffles on proposer/receiver ids, nothing
-    corpus-sized on the driver, early-exit on a metadata count. The
-    oracle unrolls the identical {_GS_ROUNDS} rounds as chained CTEs.
+    Custom-operator lane (b) — r8 rewrite (the key-local pattern that
+    cut semantic clusters 3x): candidate edges exist ONLY between a
+    supplier and a part in the SAME md5 band (both sides are banded
+    before the equi-join), so each band is an independent matching
+    instance — no proposal, eviction, or blocking pair can cross
+    bands. The previous form ran {_GS_ROUNDS} driver-loop rounds of
+    join + min_by + join-back (2 jobs/round of fixed scheduling cost =
+    the suite's heaviest query at ~10 s/sf0.1 despite tiny data); now
+    ONE shuffle groups candidates by band and an Arrow-batched pandas
+    kernel (applyInPandas) replays the IDENTICAL synchronous protocol
+    — same list build (row_number by ckey, depth 8), same round
+    budget, same early exit, same blocking-pair audit — over each
+    bounded group, emitting per-band partial counts that a final
+    1-row SUM merges. The oracle's unrolled round CTEs are unchanged;
+    the kernel is semantics-equivalent by construction, not by
+    re-derivation.
 
-    Scale shape: candidate generation is band-bounded (never
-    suppliers × parts); per round, state is proposer-cardinality and
-    bids are ≤ proposers + matches. At 10⁹ proposers this is the
-    standard distributed auction/matching round loop; persist each
-    round's state and unpersist the last to keep lineage flat."""
+    Scale shape: the blen CASE ladder (locked in
+    test_stable_matching_band_length_scales_with_parts) keeps expected
+    per-band receivers in [16, 256), so kernel groups are
+    O(suppliers_in_band x 256) rows — bounded, never data-quadratic —
+    and band count grows linearly with the part table: embarrassingly
+    parallel at 100 TB with zero synchronization between rounds
+    (rounds happen inside one task). Partial aggregation (per-band
+    counts -> global SUM) is the same mergeable-summary discipline as
+    the HLL/KMV family."""
     sup = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     # data-proportional band-prefix length (see _GS_BLEN_CASE): one
@@ -695,6 +707,7 @@ def q_alloc_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     )
     scored = sb.join(pb, "band").select(
+        "band",
         "s",
         "r",
         F.md5(
@@ -714,160 +727,119 @@ def q_alloc_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rkey"),
     )
-    ws = Window.partitionBy("s").orderBy("ckey")
-    cand = (
-        scored.withColumn("idx", F.row_number().over(ws).cast("int"))
-        .filter(F.col("idx") <= _GS_LIST)
-        .select("s", "r", "rkey", "idx")
-        .persist()
+    partials = scored.groupBy("band").applyInPandas(
+        _gs_band_kernel, _GS_PARTIAL_SCHEMA
     )
-    state = (
-        cand.select("s")
-        .distinct()
-        .select(
-            "s",
-            F.lit(1).alias("ptr"),
-            F.lit(None).cast("long").alias("match_r"),
-            F.lit(None).cast("string").alias("match_rkey"),
-            F.lit(None).cast("int").alias("match_idx"),
-        )
-        .persist()
-    )
-    state.count()
-    # Join-dedicated projection with FRESH attribute ids: `state`'s
-    # lineage contains `cand` from round 2 on, so joining the raw
-    # `cand` back would trip Spark's ambiguous-self-join detection.
-    cand_j = cand.select(
-        F.col("s").alias("c_s"),
-        F.col("r").alias("c_r"),
-        F.col("rkey").alias("c_rkey"),
-        F.col("idx").alias("c_idx"),
-    )
+    agg_cols = [
+        F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+        for c in _GS_OUT_COLS
+    ]
+    return partials.agg(*agg_cols)
+
+
+_GS_OUT_COLS = (
+    "n_proposers",
+    "n_receivers",
+    "n_candidate_pairs",
+    "n_matched",
+    "n_exhausted_unmatched",
+    "n_active_end",
+    "sum_regret",
+    "n_blocking_pairs",
+)
+_GS_PARTIAL_SCHEMA = ", ".join(f"{c} long" for c in _GS_OUT_COLS)
+
+
+def _gs_band_kernel(pdf):
+    """One band's complete Gale–Shapley instance, replaying the exact
+    synchronous protocol the oracle unrolls as CTEs (_gs_round_sql):
+
+    - candidate list: per proposer, candidates ordered by ckey,
+      1-based idx, depth <= _GS_LIST (the row_number window, local);
+    - each round, FREE proposers (no match, ptr <= _GS_LIST) bid their
+      ptr-th candidate IF the list reaches that deep, HELD proposers
+      re-bid their current match; each receiver keeps the min-rkey
+      bid; every free proposer advances ptr whether or not it bid or
+      won (short lists still burn rounds — the SQL CASE does too);
+    - early exit when no proposer is free with ptr <= _GS_LIST
+      (converged state is a fixed point: held re-bids win again);
+    - after min(_GS_ROUNDS, convergence) rounds, count matches,
+      exhausted/active leftovers, sum matched idx (regret), and audit
+      blocking pairs over the band's own candidate set (candidates
+      are band-contained, so the audit is band-local too).
+    """
+    import pandas as pd
+
+    pdf = pdf.sort_values(["s", "ckey"])
+    pos = pdf.groupby("s").cumcount() + 1
+    cand = pdf[pos <= _GS_LIST]
+    cand_idx = pos[pos <= _GS_LIST]
+
+    lists: dict[int, list[tuple[int, str, int]]] = {}
+    for s, r, rkey, i in zip(
+        cand["s"], cand["r"], cand["rkey"], cand_idx
+    ):
+        lists.setdefault(int(s), []).append((int(r), rkey, int(i)))
+
+    ptr = {s: 1 for s in lists}
+    match: dict[int, tuple[int, str, int]] = {}
     for _ in range(_GS_ROUNDS):
-        n_active = state.filter(
-            F.col("match_r").isNull() & (F.col("ptr") <= _GS_LIST)
-        ).count()
-        if n_active == 0:
+        active = [
+            s for s in lists if s not in match and ptr[s] <= _GS_LIST
+        ]
+        if not active:
             break
-        free_bids = (
-            state.filter(
-                F.col("match_r").isNull() & (F.col("ptr") <= _GS_LIST)
-            )
-            .select("s", "ptr")
-            .join(
-                cand_j,
-                (F.col("s") == F.col("c_s")) & (F.col("c_idx") == F.col("ptr")),
-            )
-            .select(
-                "s",
-                F.col("c_r").alias("r"),
-                F.col("c_rkey").alias("rkey"),
-                F.col("c_idx").alias("idx"),
-            )
-        )
-        held_bids = state.filter(F.col("match_r").isNotNull()).select(
-            "s",
-            F.col("match_r").alias("r"),
-            F.col("match_rkey").alias("rkey"),
-            F.col("match_idx").alias("idx"),
-        )
-        bids = free_bids.unionByName(held_bids)
-        win = bids.groupBy("r").agg(
-            F.expr("min_by(s, rkey)").alias("ws"),
-            F.min("rkey").alias("wrkey"),
-            F.expr("min_by(idx, rkey)").alias("widx"),
-        )
-        w = win.select(
-            F.col("ws").alias("s"),
-            F.col("r").alias("w_r"),
-            F.col("wrkey").alias("w_rkey"),
-            F.col("widx").alias("w_idx"),
-        )
-        new_state = (
-            state.join(w, "s", "left")
-            .select(
-                "s",
-                F.when(
-                    F.col("match_r").isNull() & (F.col("ptr") <= _GS_LIST),
-                    F.col("ptr") + 1,
-                )
-                .otherwise(F.col("ptr"))
-                .alias("ptr"),
-                F.col("w_r").alias("match_r"),
-                F.col("w_rkey").alias("match_rkey"),
-                F.col("w_idx").alias("match_idx"),
-            )
-            .persist()
-        )
-        new_state.count()
-        state.unpersist()
-        state = new_state
-    matched_recv = state.filter(F.col("match_r").isNotNull()).select(
-        F.col("match_r").alias("rm_r"), F.col("match_rkey").alias("rm_rkey")
-    )
-    blocking = (
-        cand_j.join(
-            state.select(
-                F.col("s").alias("b_s"),
-                F.col("match_r").alias("b_match_r"),
-                F.col("match_idx").alias("b_match_idx"),
-            ),
-            F.col("c_s") == F.col("b_s"),
-        )
-        .join(matched_recv, F.col("c_r") == F.col("rm_r"), "left")
-        .filter(
-            (
-                F.col("b_match_r").isNull()
-                | (F.col("c_idx") < F.col("b_match_idx"))
-            )
-            & (
-                F.col("b_match_r").isNull()
-                | (F.col("b_match_r") != F.col("c_r"))
-            )
-            & (F.col("rm_r").isNull() | (F.col("c_rkey") < F.col("rm_rkey")))
-        )
-        .agg(F.count("*").alias("n_blocking_pairs"))
-    )
-    summary = state.agg(
-        F.count("*").alias("n_proposers"),
-        F.sum(F.when(F.col("match_r").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_matched"),
-        F.sum(
-            F.when(
-                F.col("match_r").isNull() & (F.col("ptr") > _GS_LIST), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_exhausted_unmatched"),
-        F.sum(
-            F.when(
-                F.col("match_r").isNull() & (F.col("ptr") <= _GS_LIST), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_active_end"),
-        F.coalesce(F.sum("match_idx"), F.lit(0))
-        .cast("long")
-        .alias("sum_regret"),
-    )
-    cand_stats = cand.agg(
-        F.countDistinct("r").alias("n_receivers"),
-        F.count("*").alias("n_candidate_pairs"),
-    )
-    return (
-        summary.crossJoin(F.broadcast(cand_stats))
-        .crossJoin(F.broadcast(blocking))
-        .select(
-            "n_proposers",
-            "n_receivers",
-            "n_candidate_pairs",
-            "n_matched",
-            "n_exhausted_unmatched",
-            "n_active_end",
-            "sum_regret",
-            "n_blocking_pairs",
-        )
+        # bids: receiver -> (rkey, proposer, idx), keep the min rkey
+        bids: dict[int, tuple[str, int, int]] = {}
+        for s, (r, rk, i) in match.items():
+            b = bids.get(r)
+            if b is None or rk < b[0]:
+                bids[r] = (rk, s, i)
+        for s in active:
+            lst = lists[s]
+            p = ptr[s]
+            if p <= len(lst):
+                r, rk, i = lst[p - 1]
+                b = bids.get(r)
+                if b is None or rk < b[0]:
+                    bids[r] = (rk, s, i)
+        match = {s: (r, rk, i) for r, (rk, s, i) in bids.items()}
+        for s in active:
+            ptr[s] += 1
+
+    matched_recv = {r: rk for (r, rk, _i) in match.values()}
+    n_blocking = 0
+    for s, r, rkey, i in zip(
+        cand["s"], cand["r"], cand["rkey"], cand_idx
+    ):
+        s, r, i = int(s), int(r), int(i)
+        m = match.get(s)
+        if m is not None and (i >= m[2] or m[0] == r):
+            continue
+        rm = matched_recv.get(r)
+        if rm is None or rkey < rm:
+            n_blocking += 1
+    return pd.DataFrame(
+        [
+            {
+                "n_proposers": len(lists),
+                "n_receivers": int(cand["r"].nunique()),
+                "n_candidate_pairs": int(len(cand)),
+                "n_matched": len(match),
+                "n_exhausted_unmatched": sum(
+                    1
+                    for s in lists
+                    if s not in match and ptr[s] > _GS_LIST
+                ),
+                "n_active_end": sum(
+                    1
+                    for s in lists
+                    if s not in match and ptr[s] <= _GS_LIST
+                ),
+                "sum_regret": sum(i for (_r, _rk, i) in match.values()),
+                "n_blocking_pairs": n_blocking,
+            }
+        ]
     )
 
 
