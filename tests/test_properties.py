@@ -563,3 +563,106 @@ def test_cell_local_cc_agrees_with_shared_cc(spark, sf_smoke):
         ).collect()
     }
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# r8 stable-matching band-kernel soundness
+# ---------------------------------------------------------------------------
+
+def _gs_pdf(edges):
+    """Build the kernel's input frame from a set of (s, r) candidate
+    pairs using the production key derivation (md5 of the same tagged
+    strings), so preference orders are deterministic and collision-free
+    exactly as in the query."""
+    import hashlib
+
+    rows = [
+        {
+            "band": "t",
+            "s": s,
+            "r": r,
+            "ckey": hashlib.md5(f"c:{s}:{r}".encode()).hexdigest(),
+            "rkey": hashlib.md5(f"r:{r}:{s}".encode()).hexdigest(),
+        }
+        for s, r in sorted(edges)
+    ]
+    return pd.DataFrame(
+        rows, columns=["band", "s", "r", "ckey", "rkey"]
+    )
+
+
+def _sequential_gale_shapley(pdf):
+    """Textbook sequential deferred acceptance over the kernel's own
+    truncated lists (top-_GS_LIST by ckey): the reference the
+    round-parallel protocol must agree with at convergence
+    (McVitie-Wilson: the proposer-optimal stable matching is unique
+    regardless of proposal order)."""
+    from highload_kafka_streams_spark.plans.round6d import _GS_LIST
+
+    pdf = pdf.sort_values(["s", "ckey"])
+    pos = pdf.groupby("s").cumcount() + 1
+    cand = pdf[pos <= _GS_LIST]
+    lists = {}
+    for s, r, rkey in zip(cand["s"], cand["r"], cand["rkey"]):
+        lists.setdefault(int(s), []).append((int(r), rkey))
+    nxt = {s: 0 for s in lists}
+    held = {}  # r -> (rkey, s, 1-based rank in s's list)
+    free = sorted(lists)
+    while free:
+        s = free.pop()
+        while nxt[s] < len(lists[s]):
+            r, rk = lists[s][nxt[s]]
+            nxt[s] += 1
+            cur = held.get(r)
+            if cur is None or rk < cur[0]:
+                if cur is not None:
+                    free.append(cur[1])
+                held[r] = (rk, s, nxt[s])
+                break
+    return {s: (r, rank) for r, (_rk, s, rank) in held.items()}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 6), st.integers(0, 9)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_gs_kernel_invariants_and_proposer_optimal_fixpoint(edges):
+    """The band kernel must (a) keep its counts mutually consistent on
+    ANY instance, and (b) at convergence (n_active_end == 0) be both
+    STABLE (its own blocking-pair audit finds nothing) and equal to
+    textbook sequential Gale-Shapley on the same truncated lists —
+    the McVitie-Wilson equivalence the rewrite's distribution argument
+    rests on. Small instances (<=7 proposers x 8-deep lists) always
+    converge inside the fixed _GS_ROUNDS budget."""
+    from highload_kafka_streams_spark.plans.round6d import (
+        _GS_LIST,
+        _gs_band_kernel,
+    )
+
+    pdf = _gs_pdf(edges)
+    out = _gs_band_kernel(pdf).iloc[0]
+    n_prop = pdf["s"].nunique()
+    assert out["n_proposers"] == n_prop
+    assert out["n_receivers"] == pdf["r"].nunique()  # lists <= 10 <= 8+2
+    assert (
+        out["n_matched"]
+        + out["n_exhausted_unmatched"]
+        + out["n_active_end"]
+        == n_prop
+    )
+    assert out["n_candidate_pairs"] == min(
+        len(pdf), sum(min(c, _GS_LIST) for c in pdf.groupby("s").size())
+    )
+    if out["n_active_end"] == 0:
+        assert out["n_blocking_pairs"] == 0
+        want = _sequential_gale_shapley(pdf)
+        assert out["n_matched"] == len(want)
+        # the stable matching is UNIQUE (proposer-optimal), so the sum
+        # of matched list ranks fingerprints the whole assignment
+        assert out["sum_regret"] == sum(
+            rank for (_r, rank) in want.values()
+        )
