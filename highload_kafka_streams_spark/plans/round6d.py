@@ -371,8 +371,7 @@ def q_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each coarse cell — (label, md5 sub-cell) — kept only where
     MUTUAL (both endpoints choose each other — the standard trick that
     prevents hub vectors from chaining unrelated regions), then
-    connected components over the mutual graph via the same iterative
-    min-label propagation as q_dedup_clusters. This is embedding-side
+    connected components over the mutual graph. Embedding-side
     semantic dedup — the near-dup family's third axis after n-gram
     Jaccard and MinHash.
 
@@ -383,29 +382,124 @@ def q_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nsub = max(1, n DIV 640) targets ~64 vectors per (label, sub)
     cell — making candidate generation n × O(64), linear. The count
     enters the plan as a broadcast 1-row frame (no driver action);
-    DuckDB mirrors the same integer rule via a scalar subquery. kNN
-    selection is one row_number window partitioned by the source
-    vector.
+    DuckDB mirrors the same integer rule via a scalar subquery.
 
-    CC shape (r8 rewrite, verdict item 4): mutual-kNN edges join ONLY
-    vectors in the same (label, sub-cell) block, so a connected
-    component can never span cells — the global iterative pointer-
-    jumping CC (llm/dedup.py::duplicate_clusters, ~7 rounds × 2 jobs
-    of driver-loop fixed cost = the suite's heaviest residual at
-    14 s/sf0.1) is replaced by ONE shuffle grouping edges by cell and
-    a union-find over each ≤~64-node group in an Arrow-batched pandas
-    kernel (applyInPandas). At 100 TB this is embarrassingly parallel:
-    group count grows linearly with the corpus, per-group work is
-    bounded by the cell size the quantizer already enforces. General
-    (cross-cell) pair graphs still use duplicate_clusters — this
+    Fused-kernel shape (r8, second cut): after the r8a CC cut the
+    residual ~5-6 s was the EDGE BUILD — a within-cell self-join whose
+    per-pair fixed-point dot runs as a zip_with/aggregate HOF chain,
+    plus a row_number window and a mutual self-join. Every one of
+    those stages is cell-local, so the whole pipeline (pairwise dots →
+    top-k → mutual filter → union-find) now runs inside ONE
+    applyInPandas kernel per (label, sub-cell) group: one shuffle of
+    (vec_id, embedding) rows, then a vectorized numpy kernel whose
+    fixed-point arithmetic replays fdot bit-for-bit (float32→float64
+    widening is exact; (x·y)·1e12, floor(+0.5), int64 sum — all IEEE
+    ops in the same order as the JVM expression, so cos_sim is
+    IDENTICAL, not approximately equal; ranking uses the same
+    (cos desc, vec_id asc) tie order). The staged DataFrame form is
+    kept as _semantic_mutual_knn_edges for the plan-shape tests, and
+    test_semantic_fused_kernel_equals_staged_pipeline pins the
+    equivalence on real fixture data. At 100 TB this is the canonical
+    IVF shape: linear cell count, bounded O(64²·d) work per cell,
+    embarrassingly parallel, no window/self-join shuffles. General
+    (cross-cell) pair graphs still use duplicate_clusters — the
     shortcut is valid exactly because the blocking key is part of the
     edge-generation contract. DuckDB pins the same fixpoint through
     its RECURSIVE closure over the identical edge set."""
-    edges = _semantic_mutual_knn_edges(spark, sf_dir, with_cell=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    nsub = emb.agg(
+        F.expr("greatest(CAST(1 AS BIGINT), count(*) DIV 640)").alias("nsub")
+    )
+    cells = emb.crossJoin(F.broadcast(nsub)).select(
+        F.col("label").alias("blk"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sc:"), F.col("vec_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("nsub")
+        ).alias("sblk"),
+        "vec_id",
+        "embedding",
+    )
     return (
-        edges.groupBy("blk", "sblk")
-        .applyInPandas(_sc_cell_cc, "vec_id long, cluster_root long")
+        cells.groupBy("blk", "sblk")
+        .applyInPandas(_sc_cell_cluster, "vec_id long, cluster_root long")
         .orderBy("vec_id")
+    )
+
+
+def _sc_cell_cluster(pdf):
+    """One (label, sub-cell) group's COMPLETE clustering: exact
+    pairwise fixed-point cosine (bit-identical to llm.similarity.fdot:
+    per element floor((x·y)·1e12 + 0.5) as int64, order-free integer
+    sum, /1e12; norms from the diagonal; cos = ab/(√aa·√bb) in the
+    same IEEE op order), k=3 nearest by (cos desc, vec_id asc), mutual
+    filter, then union-by-min connected components (_sc_cell_cc's
+    algorithm inlined on the local edge list). NaN cos (zero-norm
+    vector) sorts FIRST like Spark's NaN-greatest double order."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"vec_id": [], "cluster_root": []}).astype("int64")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    E = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+    )
+    # fdot replay: (x*y)*SCALE, floor(+0.5), int64, sum over dims
+    prods = np.floor((E[:, None, :] * E[None, :, :]) * 1e12 + 0.5).astype(
+        np.int64
+    )
+    dots = prods.sum(axis=2)
+    fd = dots.astype(np.float64) / 1e12
+    norm = np.sqrt(np.diag(fd))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = fd / np.outer(norm, norm)
+    directed: set[tuple[int, int]] = set()
+    for i in range(n):
+        row = cos[i].copy()
+        key = np.where(np.isnan(row), -np.inf, -row)
+        cand = np.lexsort((ids, key))
+        picked = 0
+        for j in cand:
+            if j == i:
+                continue
+            directed.add((int(ids[i]), int(ids[j])))
+            picked += 1
+            if picked == _KNN_K:
+                break
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in directed:
+        if u < v and (v, u) in directed:
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {
+            "vec_id": np.asarray(nodes, dtype=np.int64),
+            "cluster_root": np.asarray(
+                [find(x) for x in nodes], dtype=np.int64
+            ),
+        }
     )
 
 

@@ -666,3 +666,32 @@ def test_gs_kernel_invariants_and_proposer_optimal_fixpoint(edges):
         assert out["sum_regret"] == sum(
             rank for (_r, rank) in want.values()
         )
+
+
+def test_semantic_fused_kernel_equals_staged_pipeline(spark, sf_smoke):
+    """r8 second-cut soundness: the fused per-cell kernel (numpy
+    fixed-point dots -> top-k -> mutual -> union-find inside ONE
+    applyInPandas) must reproduce the staged DataFrame pipeline
+    (_semantic_mutual_knn_edges + _sc_cell_cc) exactly — the fixed-
+    point replay claim is bit-level, so the assignments must be
+    identical, not merely isomorphic."""
+    from highload_kafka_streams_spark import registry
+    from highload_kafka_streams_spark.plans.round6d import (
+        _sc_cell_cc,
+        _semantic_mutual_knn_edges,
+    )
+
+    fused = {
+        (r["vec_id"], r["cluster_root"])
+        for r in registry.get_queries()["q_embed_semantic_clusters"](
+            spark, sf_smoke
+        ).collect()
+    }
+    edges = _semantic_mutual_knn_edges(spark, sf_smoke, with_cell=True)
+    staged = {
+        (r["vec_id"], r["cluster_root"])
+        for r in edges.groupBy("blk", "sblk")
+        .applyInPandas(_sc_cell_cc, "vec_id long, cluster_root long")
+        .collect()
+    }
+    assert fused == staged and len(fused) > 0
