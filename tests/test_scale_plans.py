@@ -767,9 +767,16 @@ def test_pagerank_rank_join_is_not_hint_broadcast(spark, sf_smoke):
     logical plan for hints on the rank joins (condition `src = id`),
     not the physical operator choice. The only hinted frames must be
     the 1-row meta and whatever the jaccard sub-pipeline broadcasts —
-    none of which join on the rank id."""
-    df = get_queries()["q_graph_pagerank_fx"](spark, sf_smoke)
+    none of which join on the rank id. The public query eagerly
+    localCheckpoints the converged ranks (so it can unpersist its edge
+    cache before returning), which hides the iteration joins from the
+    returned plan — inspect the pre-checkpoint plan the helper builds,
+    which is exactly what the checkpoint executes."""
+    from highload_kafka_streams_spark.llm.dedup import _pagerank_fx_ranks
+
+    df, edges = _pagerank_fx_ranks(spark, sf_smoke)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
+    edges.unpersist()
     offenders = [
         line.strip()
         for line in opt.splitlines()
