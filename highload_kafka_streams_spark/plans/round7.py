@@ -1270,6 +1270,7 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     covered = None
+    prev_cov = None  # superseded round's cache, dropped once unused
     rows = []
     for r in range(1, _SC_ROUNDS + 1):
         remaining = (
@@ -1280,7 +1281,15 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain = remaining.groupBy("s").agg(
             F.count("*").cast("long").alias("gain")
         )
+        # ONE job per round: this collect materializes the (lazy)
+        # covered cache as a side effect of the anti-join, so the
+        # previous round's cache only becomes droppable here — fusing
+        # the old per-round count() job into the pick (5 jobs total,
+        # was 9)
         picked = gain.orderBy(F.col("gain").desc(), "s").limit(1).collect()
+        if prev_cov is not None:
+            prev_cov.unpersist()
+            prev_cov = None
         if not picked:
             # every part already covered — the oracle's pick{r} CTE is
             # empty for this and all later rounds, so stop emitting too
@@ -1292,17 +1301,15 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sp.filter(F.col("s") == F.lit(int(top["s"])))
                 .select("p")
             )
-            nxt = (
+            prev_cov = covered
+            covered = (
                 new_cov
                 if covered is None
                 else covered.unionByName(new_cov).distinct()
             ).persist()
-            nxt.count()  # materialize before dropping the predecessor
-            if covered is not None:
-                covered.unpersist()
-            covered = nxt
-    if covered is not None:
-        covered.unpersist()
+    for handle in (covered, prev_cov):
+        if handle is not None:
+            handle.unpersist()
     sp.unpersist()
     return spark.createDataFrame(
         rows, "step BIGINT, suppkey BIGINT, n_new_covered BIGINT"
