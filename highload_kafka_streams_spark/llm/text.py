@@ -2454,9 +2454,6 @@ def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     toks = toks.persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    toks.count()
     train = toks.filter(~F.col("is_test"))
     cls = train.groupBy(F.col("lang").alias("c")).agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),

@@ -1402,9 +1402,6 @@ def q_events_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("s"), F.max("t").alias("e"))
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    sess.count()
     bounds = sess.agg(
         F.expr("min(s) DIV 3600000000").alias("h0"),
         F.expr("max(e) DIV 3600000000").alias("h1"),
@@ -1851,9 +1848,6 @@ def q_eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.d").alias("d"),
         (F.col("a.x") - F.col("f.x")).alias("diff"),
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    paired.count()
     obs = paired.groupBy("event_type").agg(
         F.count("*").alias("n_pairs"),
         F.abs(F.sum("diff")).alias("t_obs"),
@@ -1990,9 +1984,6 @@ def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR(CAST(xv AS DOUBLE) * {_PI_SCALE} + 0.5) AS BIGINT)"
         ).alias("x"),
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    xf.count()
 
     def norm(df: DataFrame) -> DataFrame:
         mx = df.agg(F.max(F.abs(F.col("v"))).alias("mx"))
@@ -2006,9 +1997,6 @@ def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(F.sum(F.col("x") * F.col("s")).alias("v"))
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    v1.count()
     s2 = (
         xf.join(F.broadcast(v1), "dim")
         .groupBy("vec_id")

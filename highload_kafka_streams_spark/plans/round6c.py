@@ -405,9 +405,6 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = c.join(rt, "src").select(
         "src", "dst", F.expr("(n * 1000000) DIV tot").alias("p_fx")
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    p.count()
     k = p.select("src").distinct().agg(F.count("*").alias("k"))
     v0 = (
         p.select("src")
@@ -662,9 +659,6 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    sym.count()
     frontier = sym.select(F.col("u").alias("start")).distinct().select(
         "start", F.col("start").alias("cur")
     )
@@ -1081,9 +1075,6 @@ def q_multimodal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = d.join(nrm, d["doc_id"] == nrm["vec_id"], "full").select(
         "doc_id", F.col("n_chars").alias("a"), "vec_id", "b"
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    j.count()
     counts = j.agg(
         F.sum(
             F.when(
@@ -1290,9 +1281,6 @@ def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = marked.withColumn(
         "sid", F.sum("new_s").over(wuo).cast("long")
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    sess.count()
     per_sess = sess.groupBy("user_id", "sid").agg(
         F.count("*").alias("n_events"),
         F.expr("CAST((max(t) - min(t)) DIV 1000000 AS BIGINT)").alias(

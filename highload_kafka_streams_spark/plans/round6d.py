@@ -1057,9 +1057,6 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    win.count()
     b = win.select(F.col("i").alias("j"), F.col("w").alias("wb"))
     pairs = (
         win.join(b, F.col("j") >= F.col("i") + _MP_EXCL)
@@ -1073,9 +1070,6 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    pairs.count()
     motif = (
         pairs.orderBy("dist", "i", "j")
         .limit(5)
@@ -1217,9 +1211,6 @@ def q_time_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day") - F.lag("day").over(wp)).alias("p"),
         F.row_number().over(wd).alias("rdesc"),
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    occ.count()
     wexpr = (
         f"CAST(1 AS BIGINT) << ({_CROSTON_TAPS} - 1 - (rdesc - 1))"
     )
@@ -1403,9 +1394,6 @@ def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END) AS BIGINT)"
         ).alias("h"),
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    sig.count()
     per_sig = sig.groupBy("channel", "h").agg(F.count("*").alias("cnt"))
     wch = Window.partitionBy("channel").orderBy(F.col("cnt").desc(), "h")
     top = (
@@ -1517,9 +1505,6 @@ def q_agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") * _IPF_FX).cast("long").alias("w"))
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    w.count()
     tot = w.agg(
         F.sum("w").cast("long").alias("t"),
         F.countDistinct("rk").alias("nr"),

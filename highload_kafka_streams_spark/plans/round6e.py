@@ -205,11 +205,6 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = hset("2-HIGH").persist()
     sa = ha.orderBy("hx").limit(_KMVS_K).persist()
     sb = hb.orderBy("hx").limit(_KMVS_K).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d);
-    # sa/sb materialization fills the ha/hb caches transitively
-    sa.count()
-    sb.count()
     su = (
         sa.unionByName(sb)
         .distinct()
@@ -370,9 +365,6 @@ def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    b.count()
     g = b.agg(
         F.sum("n_k").cast("long").alias("n"),
         F.expr(f"CAST((SUM(sy_k) * {_PPM}) DIV SUM(n_k) AS BIGINT)").alias(
@@ -497,9 +489,6 @@ def q_time_acf_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("idx", (F.col("v") - F.col("mu")).alias("d"))
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    d.count()
     den = d.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
     b = d.select(F.col("idx").alias("b_idx"), F.col("d").alias("b_d"))
     num = (

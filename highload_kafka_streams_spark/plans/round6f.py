@@ -252,9 +252,6 @@ def q_eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    bk.count()
     tot = bk.agg(
         F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0))
         .cast("long")
@@ -501,9 +498,6 @@ def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
     ).persist()
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    idx.count()
     b = idx.select(
         F.col("i").alias("j"), F.col("x").alias("bx"), F.col("y").alias("by")
     )

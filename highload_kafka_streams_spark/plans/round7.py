@@ -1543,9 +1543,6 @@ def q_time_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "idx", (F.col("v") - F.col("mu")).alias("d"))
         .persist()
     )
-    # eager-materialize: multiple independent consumer stages on a cold
-    # lazy cache re-run the build subtree (measured; see PLANS.md 9d)
-    d.count()
     den = d.groupBy("event_type").agg(
         F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
     )

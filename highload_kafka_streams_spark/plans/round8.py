@@ -365,11 +365,6 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
         .persist()
     )
-    # materialize the 625-row rollup NOW: three readouts (m, intra,
-    # deg) branch off it in the final job, and their scan stages have
-    # no dependency on each other — on a cold lazy cache they race and
-    # each re-runs the per-order edge build (the expensive subtree)
-    cells.count()
     m = cells.agg(F.sum("cnt").cast("long").alias("m"))
     intra = (
         cells.filter(F.col("ca") == F.col("cb"))
