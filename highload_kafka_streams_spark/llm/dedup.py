@@ -1736,16 +1736,12 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: documents sharing ≥ 2 distinct word-3-grams, blocked by
     language — one similarity band below the ≥ 0.5 Jaccard dedup
     threshold. Same inverted-index join as q_dedup_ngram_jaccard
-    (hashed grams, Σ df(g)² cost).
-
-    Returned PERSISTED AND MATERIALIZED (r8): every consumer
-    symmetrizes this frame through a two-branch union, and with a lazy
-    cache both branches race to compute the same partitions — each
-    task that misses the not-yet-filled cache re-runs the inverted-
-    index join, so the expensive subtree executed up to twice per
-    consumer. One count() here makes the cache warm before any
-    consumer plan runs. Consumers that re-call .persist() on the
-    handle are no-ops; consumers that unpersist when done free it."""
+    (hashed grams, Σ df(g)² cost); consumers persist as needed (the
+    per-block locks in the block manager make a consumer-side persist
+    sufficient: concurrent scans of a cold cache serialize per
+    partition instead of recomputing — verified by A/B timing the
+    graph consumers with and without an eager pre-count, which was a
+    wash)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
@@ -1764,7 +1760,7 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = tok_df.select("doc_id", "lang", F.explode(gram_h).alias("g"))
     ia, ib = inv.alias("ia"), inv.alias("ib")
-    out = (
+    return (
         ia.join(
             ib,
             (F.col("ia.g") == F.col("ib.g"))
@@ -1778,10 +1774,7 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 2)
         .select("doc_a", "doc_b")
-        .persist()
     )
-    out.count()
-    return out
 
 
 _AFFINITY_PAIRS_SQL = """
