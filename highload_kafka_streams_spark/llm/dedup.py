@@ -1039,6 +1039,12 @@ def _pagerank_fx_ranks(
     # (one bounded long — the BFS-seed class of driver value)
     n_nodes = edges.select("src").distinct().count()
     sh.unpersist()
+    if n_nodes == 0:
+        # degenerate fixture: no near-dup pair anywhere — the oracle's
+        # pr3 CTE is empty too (and the old in-plan DIV never fired)
+        edges.unpersist()
+        empty = spark.createDataFrame([], "doc_id long, pagerank_fx long")
+        return empty, edges
     pr = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -2246,12 +2252,19 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize with ONE explode instead of a self-union: cop (the
+    # expensive co-purchase self-join) is not persisted, so the union's
+    # two branches each executed it in full when the sym cache first
+    # materialized (r8 fix, the q_graph_pagerank_fx edges discipline)
     sym = cop.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(cop.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    # the co-purchase self-join is the expensive subtree and every LPA
-    # round references it twice — persist so it builds once (the
-    # q_graph_pagerank_fx edges discipline)
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    # every LPA round references sym twice — persist so it builds once
     sym = sym.persist()
     # neighbor-label view of round 0: identity labels, lab(v) = v
     lab = sym.select("u", F.col("v").alias("lv"))

@@ -793,6 +793,22 @@ def test_pagerank_rank_join_is_not_hint_broadcast(spark, sf_smoke):
     assert len(rank_joins) == 3, rank_joins
 
 
+def test_pagerank_returned_plan_is_checkpoint_backed(spark, sf_smoke):
+    """Cache-lifetime lock (PLANS.md §12): the public pagerank query
+    unpersists its edge cache before returning, which is only legal
+    because the converged ranks are ALREADY localCheckpointed — the
+    returned plan must therefore be a checkpoint scan plus the
+    presentation sort, never a live reference to the jaccard pipeline
+    (the r8 defect: collect re-derived the pair join ~5× through a
+    dead cache). Lock: no parquet/jaccard operators in the optimized
+    plan of the returned frame."""
+    df = get_queries()["q_graph_pagerank_fx"](spark, sf_smoke)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for live_op in ("Relation", "Join", "Aggregate", "Generate"):
+        assert live_op not in opt, (live_op, opt)
+    assert "LogicalRDD" in opt or "ExistingRDD" in opt, opt
+
+
 def test_repeated_spans_no_pairwise_doc_join(spark, sf_smoke):
     """Span dedup must never plan a document-pair join: its only joins
     are the digest-keyed semi join (candidates) — no cartesian/nested-
