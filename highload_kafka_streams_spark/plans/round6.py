@@ -1626,12 +1626,17 @@ def q_agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     averaging.
 
     Scale shape: the corpus-sized pass is the ONE grid rollup
-    (map-side combinable onto |priorities|·|months| = 60 keys); all
-    four median sweeps run windows PARTITIONED by row/col key over
-    that 60-row grid — model-sized, like every polish that follows an
-    aggregation.  At 100 TB only the rollup grows."""
-    from pyspark.sql import Window
-
+    (map-side combinable onto |priorities|·|months| = 60 keys); the
+    polish itself runs DRIVER-SIDE on the collected grid — the
+    bounded-driver-state pattern of operators/selection.py, legal here
+    because the grid is DIMENSION-bounded (priorities × months), not
+    corpus-sized, and guarded by an explicit cap exactly like
+    selection.py's max_groups. The r8 rewrite replaced the previous
+    all-lazy dataframe polish (4 key-partitioned windows + 6 joins
+    over a cached 60-row grid — ~15 plan references whose stage
+    overhead dwarfed the actual work) with exact integer arithmetic on
+    the driver: one corpus job, then O(grid) Python. At 100 TB only
+    the rollup grows; the polish stays O(|priorities|·|months|)."""
     o = load_table(spark, sf_dir, "orders")
     g = (
         o.groupBy(
@@ -1644,74 +1649,43 @@ def q_agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    # the polish references the grid ~15 times across sweeps; without a
-    # persist every reference re-runs the corpus rollup (measured: 62
-    # parquet scans in the unpersisted plan). The grid is model-sized
-    # (|priorities|·|months| = 60 rows), so caching it is free and the
-    # fact table is scanned exactly once.
-    g = g.persist()
-
-    def lower_median(df, key):
-        w = Window.partitionBy(key).orderBy("v")
-        wc = Window.partitionBy(key)
-        return (
-            df.select(
-                key,
-                "v",
-                F.row_number().over(w).alias("rn"),
-                F.count("*").over(wc).alias("n"),
-            )
-            .groupBy(key)
-            .agg(
-                F.min(
-                    F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v"))
-                ).alias("med")
-            )
+    grid = {(row.r, row.c): int(row.v) for row in g.collect()}
+    if len(grid) > 100_000:  # dimension-bounded guard (cf. max_groups)
+        raise ValueError(
+            "median-polish grid exceeds the bounded-driver-state cap; "
+            "use a distributed polish for unbounded key domains"
         )
 
-    effects = {}
-    cur = g
-    for sweep in (1, 2):
-        rm = lower_median(cur, "r")
-        effects[f"rm{sweep}"] = rm
-        cur = (
-            cur.join(F.broadcast(rm), "r")
-            .select("r", "c", (F.col("v") - F.col("med")).alias("v"))
-        )
-        cm = lower_median(cur, "c")
-        effects[f"cm{sweep}"] = cm
-        cur = (
-            cur.join(F.broadcast(cm), "c")
-            .select("r", "c", (F.col("v") - F.col("med")).alias("v"))
-        )
-    row_eff = (
-        effects["rm1"]
-        .select("r", F.col("med").alias("m1"))
-        .join(effects["rm2"].select("r", F.col("med").alias("m2")), "r")
-        .select(
-            F.lit("row").alias("kind"),
-            F.col("r").alias("key"),
-            (F.col("m1") + F.col("m2")).cast("long").alias("effect_cents"),
-        )
+    def lower_median(vals: list[int]) -> int:
+        # rank ⌈n/2⌉ in ascending order — the (n + 1) DIV 2 convention
+        # of the oracle, exact integers throughout
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    row_keys = sorted({r for r, _ in grid})
+    col_keys = sorted({c for _, c in grid})
+    row_eff = {r: 0 for r in row_keys}
+    col_eff = {c: 0 for c in col_keys}
+    for _sweep in (1, 2):
+        for r in row_keys:
+            med = lower_median([v for (rr, _), v in grid.items() if rr == r])
+            row_eff[r] += med
+            for key in [k for k in grid if k[0] == r]:
+                grid[key] -= med
+        for c in col_keys:
+            med = lower_median([v for (_, cc), v in grid.items() if cc == c])
+            col_eff[c] += med
+            for key in [k for k in grid if k[1] == c]:
+                grid[key] -= med
+    resid = sum(abs(v) for v in grid.values())
+    out = (
+        [("row", r, row_eff[r]) for r in row_keys]
+        + [("col", str(c), col_eff[c]) for c in col_keys]
+        + [("resid_abs_sum", "*", resid)]
     )
-    col_eff = (
-        effects["cm1"]
-        .select("c", F.col("med").alias("m1"))
-        .join(effects["cm2"].select("c", F.col("med").alias("m2")), "c")
-        .select(
-            F.lit("col").alias("kind"),
-            F.col("c").cast("string").alias("key"),
-            (F.col("m1") + F.col("m2")).cast("long").alias("effect_cents"),
-        )
-    )
-    resid = cur.agg(
-        F.sum(F.abs(F.col("v"))).cast("long").alias("effect_cents")
-    ).select(
-        F.lit("resid_abs_sum").alias("kind"),
-        F.lit("*").alias("key"),
-        "effect_cents",
-    )
-    return row_eff.unionAll(col_eff).unionAll(resid).orderBy("kind", "key")
+    return spark.createDataFrame(
+        out, "kind string, key string, effect_cents long"
+    ).orderBy("kind", "key")
 
 
 @query(
