@@ -1484,31 +1484,14 @@ s{k} AS (
     )
 
 
-@query("q_select_mmr_diverse", oracle=_mmr_oracle())
-def q_select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance selection: greedily pick 4 vectors
-    from the relevance top-12 shortlist, each maximizing
-    0.7·rel(v) − 0.3·max_{s∈S} sim(v, s) — relevance traded against
-    redundancy with what is already selected.  THE diversity-aware
-    subset selector of training-data curation and RAG reranking
-    (a top-k that refuses to return four copies of the same
-    document); complements q_similarity_topk_cosine (pure relevance)
-    and q_sample_mixture_balance (source-level diversity) at the
-    instance level.
-
-    Determinism: relevance and pairwise sims are house fixed-point
-    dots; the objective is two correctly-rounded double products and
-    one subtraction on identical inputs; every argmax rides
-    (obj DESC, vec_id).  Greedy round count is FIXED (4), so the
-    dataframe loop and the unrolled-CTE oracle compute the same
-    selection (the kcore/LPA discipline).
-
-    Scale shape: the corpus-sized work is ONE brute-force relevance
-    pass (TakeOrderedAndProject top-12 — the same shape as topk_cosine,
-    swappable for the IVF probe at 100 TB); everything after runs on
-    the 12-row shortlist (144 pairwise sims, 3 argmax rounds) — model-
-    sized, data-free, no collect (the greedy state stays in the plan
-    as 1-row frames)."""
+def _mmr_shortlist(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy (shortlist, pairwise-sims) plans for MMR — split out so the
+    plan lock can assert the corpus pass is TakeOrderedAndProject (the
+    public query collects both frames, so its returned plan is a local
+    result). The shortlist comes back persisted; the caller's first
+    collect materializes it and the caller unpersists."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
@@ -1537,38 +1520,71 @@ def q_select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim")
         )
     )
+    return sl, sims
+
+
+@query("q_select_mmr_diverse", oracle=_mmr_oracle())
+def q_select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick 4 vectors
+    from the relevance top-12 shortlist, each maximizing
+    0.7·rel(v) − 0.3·max_{s∈S} sim(v, s) — relevance traded against
+    redundancy with what is already selected.  THE diversity-aware
+    subset selector of training-data curation and RAG reranking
+    (a top-k that refuses to return four copies of the same
+    document); complements q_similarity_topk_cosine (pure relevance)
+    and q_sample_mixture_balance (source-level diversity) at the
+    instance level.
+
+    Determinism: relevance and pairwise sims are house fixed-point
+    dots; the objective is two correctly-rounded double products and
+    one subtraction on identical inputs; every argmax rides
+    (obj DESC, vec_id).  Greedy round count is FIXED (4), so the
+    dataframe loop and the unrolled-CTE oracle compute the same
+    selection (the kcore/LPA discipline).
+
+    Scale shape: the corpus-sized work is ONE brute-force relevance
+    pass (TakeOrderedAndProject top-12 — the same shape as topk_cosine,
+    swappable for the IVF probe at 100 TB); everything after runs on
+    the 12-row shortlist. r8 rewrite: the shortlist relevances and the
+    132 pairwise sims are still computed by SPARK (identical
+    fixed-point expressions — nothing numeric moved engines), but the
+    greedy argmax rounds now run driver-side on those two collected
+    k-bounded frames (the selection.py bounded-driver-state pattern;
+    k=12 by construction) instead of as 3 chained TakeOrdered plans
+    whose per-round stage overhead dwarfed the 12-row work. The
+    objective arithmetic is the same IEEE doubles either way (Python
+    floats ARE doubles; same multiply/subtract order)."""
+    sl, sims = _mmr_shortlist(spark, sf_dir)
     lam = MMR_LAMBDA
-    picks = [
-        sl.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select("vec_id", F.lit(1).alias("step"))
-    ]
-    sel = picks[0].select("vec_id")
+    mu = round(1 - lam, 10)
+    # two k-bounded collects (k = 12 shortlist rows, 132 sims); the
+    # first materializes the sl cache, the second reads it
+    short = sl.select("vec_id", "rel").collect()
+    sim_rows = sims.collect()
+    sl.unpersist()
+    rel_map = {int(r.vec_id): float(r.rel) for r in short}
+    if not rel_map:
+        # degenerate fixture: no embeddings besides the query vector
+        return spark.createDataFrame([], "step int, vec_id long")
+    sim_map: dict[tuple[int, int], float] = {}
+    for r in sim_rows:
+        sim_map[(int(r.va), int(r.vb))] = float(r.sim)
+    first = min(rel_map, key=lambda v: (-rel_map[v], v))
+    selected = [first]
+    out_rows = [(1, first)]
     for k in range(2, MMR_PICKS + 1):
-        cand = sl.join(sel, "vec_id", "left_anti")
-        maxsim = (
-            sims.join(
-                sel.select(F.col("vec_id").alias("vb")), "vb"
-            )
-            .groupBy("va")
-            .agg(F.max("sim").alias("ms"))
-        )
-        scored = cand.join(
-            maxsim, cand.vec_id == maxsim.va
-        ).select(
-            "vec_id",
-            (F.lit(lam) * F.col("rel") - F.lit(round(1 - lam, 10)) * F.col("ms")).alias(
-                "obj"
-            ),
-        )
-        nxt = (
-            scored.orderBy(F.col("obj").desc(), "vec_id")
-            .limit(1)
-            .select("vec_id", F.lit(k).alias("step"))
-        )
-        picks.append(nxt)
-        sel = sel.unionAll(nxt.select("vec_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionAll(p)
-    return out.select("step", "vec_id").orderBy("step")
+        best = None
+        for v in sorted(rel_map):
+            if v in selected:
+                continue
+            ms = max(sim_map[(v, s)] for s in selected)
+            obj = lam * rel_map[v] - mu * ms
+            if best is None or obj > best[0]:
+                best = (obj, v)
+        if best is None:
+            break
+        selected.append(best[1])
+        out_rows.append((k, best[1]))
+    return spark.createDataFrame(
+        out_rows, "step int, vec_id long"
+    ).orderBy("step")

@@ -1562,11 +1562,17 @@ def test_spatial_grid_is_equi_join_not_cartesian(spark, sf_smoke):
 
 def test_mmr_corpus_pass_is_take_ordered(spark, sf_smoke):
     """MMR's only corpus-sized pass is the relevance top-12 — it must
-    plan TakeOrderedAndProject; the greedy rounds run on the 12-row
-    shortlist and must not re-scan embeddings (one file scan of the
-    embeddings parquet in the whole plan, shortlist reuse after)."""
-    plan = plan_of(get_queries()["q_select_mmr_diverse"](spark, sf_smoke))
-    assert "TakeOrderedAndProject" in plan, plan
+    plan TakeOrderedAndProject. Since the r8 bounded-driver-state
+    rewrite the public query collects the shortlist, so the lock
+    inspects the lazy helper plans: the corpus pass is TakeOrdered,
+    and the returned result frame is local (no embeddings scan)."""
+    from highload_kafka_streams_spark.llm.similarity import _mmr_shortlist
+
+    sl, _sims = _mmr_shortlist(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in plan_of(sl), plan_of(sl)
+    sl.unpersist()
+    out_plan = plan_of(get_queries()["q_select_mmr_diverse"](spark, sf_smoke))
+    assert "FileScan" not in out_plan, out_plan
 
 
 def test_growth_accounting_single_customer_shuffle(spark, sf_smoke):
