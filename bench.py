@@ -372,6 +372,23 @@ def main() -> None:
             if isinstance(prev_q.get(n), (int, float)) and prev_q[n] > 0
         }
         flagged = {n: r for n, r in sorted(ratios.items()) if r > 1.3}
+        # Host-speed normalization (r8): this VM's speed shifts between
+        # rounds by a UNIFORM factor (observed 1.5x slower across every
+        # untouched query, incl. pure-Catalyst TPC-H, on an idle box).
+        # The median ratio estimates that host factor; dividing it out
+        # leaves genuine per-query drift. Raw flags stay reported —
+        # normalized flags are the ones worth triaging first.
+        rvals = sorted(ratios.values())
+        host_factor = rvals[len(rvals) // 2] if rvals else 1.0
+        norm_flagged = (
+            {
+                n: round(r / host_factor, 2)
+                for n, r in sorted(ratios.items())
+                if r / host_factor > 1.3
+            }
+            if host_factor > 0
+            else {}
+        )
         prev_total = data.get("value")
         out["vs_prev"] = {
             "round": rnd,
@@ -380,7 +397,9 @@ def main() -> None:
                 if isinstance(prev_total, (int, float)) and prev_total > 0
                 else None
             ),
+            "host_factor_median_ratio": round(host_factor, 2),
             "flagged_over_1_3x": flagged,
+            "flagged_host_normalized": norm_flagged,
             "ratios": ratios,
         }
     # Absolute outlier flag (VERDICT r6 item 2): a query >30x the series
@@ -439,12 +458,15 @@ def main() -> None:
         compact["vs_prev"] = {
             "round": vp["round"],
             "headline_ratio": vp["headline_ratio"],
-            "flagged_over_1_3x": dict(
+            "host_factor_median_ratio": vp["host_factor_median_ratio"],
+            "flagged_host_normalized": dict(
                 sorted(
-                    vp["flagged_over_1_3x"].items(), key=lambda kv: -kv[1]
+                    vp["flagged_host_normalized"].items(),
+                    key=lambda kv: -kv[1],
                 )[:10]
             ),
-            "n_flagged": len(vp["flagged_over_1_3x"]),
+            "n_flagged_raw": len(vp["flagged_over_1_3x"]),
+            "n_flagged_host_normalized": len(vp["flagged_host_normalized"]),
         }
     print(json.dumps(compact))
     spark.stop()
