@@ -109,11 +109,18 @@ def main() -> None:
             f"remeasuring {len(flagged)} flagged query(ies) quietly ...",
             file=sys.stderr,
         )
-        re_base = run_bench(ns.base, flagged)
-        re_big = run_bench(ns.big, flagged)
+        # ONE fresh JVM PER QUERY PER LEG (r8): the prior protocol ran
+        # the whole flagged subset through one bench.py subprocess per
+        # scale, and the host's sustained-load degradation lives exactly
+        # there — an r8 run measured the same query at 27.5 s inside a
+        # 6-query sequential leg and 2.35 s in a fresh JVM minutes
+        # apart, which minted two false confirmed_superlinear verdicts.
+        # Per-query JVMs cost ~10 s startup each but make the verdict
+        # trustworthy; a confirmed_superlinear from THIS protocol is
+        # actionable.
         for n in flagged:
-            tb = re_base["queries"].get(n)
-            tg = re_big["queries"].get(n)
+            tb = run_bench(ns.base, [n])["queries"].get(n)
+            tg = run_bench(ns.big, [n])["queries"].get(n)
             r2 = round(tg / tb, 2) if tb and tg else None
             triage[n] = {
                 "first_ratio": superlinear[n],
@@ -128,6 +135,7 @@ def main() -> None:
                     else "in_context_noise"
                 ),
             }
+            print(f"  {n}: {tb} -> {tg} ({r2}x)", file=sys.stderr)
     artifact = {
         "metric": "scale_linearity",
         "factor": ns.factor,
