@@ -234,13 +234,16 @@ def _prev_bench(here: str, cur_round: int) -> tuple[int, dict] | None:
     import glob
     import re
 
-    # round -> (priority, data); LOCAL files (priority 1) beat driver tails
-    candidates: dict[int, tuple[int, dict]] = {}
-    for pattern, prio in (("BENCH_LOCAL_r*.json", 1), ("BENCH_r*.json", 0)):
+    # round -> (priority, data); LOCAL files (priority 1) beat driver tails,
+    # and the builder's canonical BENCH_LOCAL beats the side-by-side
+    # BENCH_LOCAL_r{N}_driver.json written when the canonical is committed
+    candidates: dict[int, tuple[float, dict]] = {}
+    for pattern, prio in (("BENCH_LOCAL_r*.json", 1.0), ("BENCH_r*.json", 0.0)):
         for path in glob.glob(os.path.join(here, pattern)):
             name = os.path.basename(path)
             if prio == 0 and name.startswith("BENCH_LOCAL"):
                 continue  # glob overlap guard
+            file_prio = 0.5 if name.endswith("_driver.json") else prio
             m = re.search(r"r(\d+)", name)
             if not m:
                 continue
@@ -260,8 +263,8 @@ def _prev_bench(here: str, cur_round: int) -> tuple[int, dict] | None:
             if not isinstance(data, dict) or "queries" not in data:
                 continue
             have = candidates.get(rnd)
-            if have is None or prio > have[0]:
-                candidates[rnd] = (prio, data)
+            if have is None or file_prio > have[0]:
+                candidates[rnd] = (file_prio, data)
     if not candidates:
         return None
     rnd = max(candidates)
@@ -285,6 +288,32 @@ def _current_round(here: str) -> int:
         if m
     ]
     return max(rounds, default=0) + 1
+
+
+def _is_committed_clean(path: str) -> bool:
+    """True iff `path` is git-tracked with no uncommitted modification —
+    i.e. it already holds a round artifact somebody committed on purpose
+    and this process must not clobber it (see the BENCH_LOCAL dual-source
+    rule below). Any git failure (no repo, no binary) returns False so
+    the legacy overwrite behavior is the fallback."""
+    import subprocess
+
+    if not os.path.exists(path):
+        return False
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", os.path.basename(path)],
+            cwd=_HERE, capture_output=True, timeout=10,
+        ).returncode == 0
+        if not tracked:
+            return False
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", os.path.basename(path)],
+            cwd=_HERE, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return dirty == ""
+    except (OSError, subprocess.SubprocessError):
+        return False
 
 
 def main() -> None:
@@ -372,14 +401,26 @@ def main() -> None:
             if isinstance(prev_q.get(n), (int, float)) and prev_q[n] > 0
         }
         flagged = {n: r for n, r in sorted(ratios.items()) if r > 1.3}
-        # Host-speed normalization (r8): this VM's speed shifts between
-        # rounds by a UNIFORM factor (observed 1.5x slower across every
-        # untouched query, incl. pure-Catalyst TPC-H, on an idle box).
-        # The median ratio estimates that host factor; dividing it out
-        # leaves genuine per-query drift. Raw flags stay reported —
-        # normalized flags are the ones worth triaging first.
-        rvals = sorted(ratios.values())
-        host_factor = rvals[len(rvals) // 2] if rvals else 1.0
+        # Host-speed normalization (r8, control-set estimator r9): this
+        # VM's speed shifts between rounds by a UNIFORM factor (observed
+        # 1.5x slower across every untouched query on an idle box). The
+        # host factor is estimated from the TPC-H CONTROL SET — pure
+        # Catalyst plans that are deliberately never touched round to
+        # round — instead of the median over ALL ratios (r8 advisor: an
+        # all-ratios median would absorb a genuine uniform regression in
+        # a shared helper and normalize it away; the control set only
+        # absorbs drift in code that did not change). Falls back to the
+        # all-ratios median when the control set is absent from the run.
+        def _median(xs: list[float]) -> float:
+            xs = sorted(xs)
+            n = len(xs)
+            if n == 0:
+                return 1.0
+            mid = n // 2
+            return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+        control = [ratios[n] for n in TPCH if n in ratios]
+        host_factor = _median(control if len(control) >= 5 else list(ratios.values()))
         norm_flagged = (
             {
                 n: round(r / host_factor, 2)
@@ -397,7 +438,10 @@ def main() -> None:
                 if isinstance(prev_total, (int, float)) and prev_total > 0
                 else None
             ),
-            "host_factor_median_ratio": round(host_factor, 2),
+            "host_factor_control_median": round(host_factor, 2),
+            "host_factor_source": (
+                "tpch_control" if len(control) >= 5 else "all_ratios_median"
+            ),
             "flagged_over_1_3x": flagged,
             "flagged_host_normalized": norm_flagged,
             "ratios": ratios,
@@ -424,7 +468,17 @@ def main() -> None:
     # next round always has a full prior to diff against. Commit it.
     local_path = os.path.join(_HERE, f"BENCH_LOCAL_r{cur_round:02d}.json")
     if sf_dir == "/root/testdata/sf0.1" and runs >= 2 and not only:
-        # only the canonical protocol overwrites the round artifact
+        # only the canonical protocol overwrites the round artifact — and
+        # never a COMMITTED one (r8 verdict item 5: the driver's own bench
+        # run overwrote the builder's committed canonical artifact, losing
+        # one of the two measurements). If the round's BENCH_LOCAL is
+        # already committed clean, this run is the driver's (or a re-run):
+        # record it side-by-side as BENCH_LOCAL_r{N}_driver.json so both
+        # measurements survive for drift analysis.
+        if _is_committed_clean(local_path):
+            local_path = os.path.join(
+                _HERE, f"BENCH_LOCAL_r{cur_round:02d}_driver.json"
+            )
         with open(local_path, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
@@ -458,12 +512,20 @@ def main() -> None:
         compact["vs_prev"] = {
             "round": vp["round"],
             "headline_ratio": vp["headline_ratio"],
-            "host_factor_median_ratio": vp["host_factor_median_ratio"],
+            "host_factor_control_median": vp["host_factor_control_median"],
+            "host_factor_source": vp["host_factor_source"],
+            # r8 advisor: keep the RAW flagged dict visible alongside the
+            # normalized one — a genuine uniform regression shows up raw
+            # even when normalization hides it (both truncated to worst 8
+            # so the compact line stays inside the driver's 2000-char tail)
+            "flagged_raw": dict(
+                sorted(vp["flagged_over_1_3x"].items(), key=lambda kv: -kv[1])[:8]
+            ),
             "flagged_host_normalized": dict(
                 sorted(
                     vp["flagged_host_normalized"].items(),
                     key=lambda kv: -kv[1],
-                )[:10]
+                )[:8]
             ),
             "n_flagged_raw": len(vp["flagged_over_1_3x"]),
             "n_flagged_host_normalized": len(vp["flagged_host_normalized"]),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from highload_kafka_streams_spark.io import load_table
+from highload_kafka_streams_spark.io import load_table, memo_parquet
 from highload_kafka_streams_spark.registry import query
 
 
@@ -106,60 +106,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic formulation the oracle uses). Cost ∝ Σ_g df(g)², i.e.
     shingle-frequency-bounded rather than corpus²; at 100 TB the
     remaining lever is dropping ultra-frequent shingles before the join.
-    """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    # gram strings never materialize: hash each 3-gram straight off the
-    # token array (same trick as minhash_signatures); set sizes and the
-    # inverted index both come from the distinct-hash array, and the
-    # equi-join keys on 8-byte longs instead of gram strings. Collisions
-    # (~|grams|²/2⁶⁴) are negligible against the distinct-string oracle.
-    tok_df = d.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
-    )
-    tk = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
-    gram_h = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.element_at(tk, i + k + 1) for k in range(3)]
-            ),
-        )
-    )
-    sh = tok_df.select("doc_id", "lang", gram_h.alias("grams"))
-    # four consumers (both self-join sides + both size lookups) would
-    # each recompute the shingle pipeline — persist the small hash table
-    sh = sh.persist()
-    sh.count()
-    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
-    inv = sh.select(
-        "doc_id", "lang", F.explode("grams").alias("g")
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
-    )
+
+    r9: the pair derivation now lives in the memoized
+    ``_shingle_pair_base`` (one implementation shared with every graph
+    consumer — r8 advisor item 4); this public query is the ≥ 0.5 band
+    of that table plus the jaccard column and the presentation sort."""
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        _shingle_pair_base(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -588,17 +543,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm in the surface, driver-checkable because both
     engines agree on the fixpoint.
 
-    r8 rewrite: pairs come from _jaccard_pairs_05 — the identical pair
-    set q_dedup_ngram_jaccard computes, minus its presentation sort
-    (a global sort samples its input once and shuffles it again, so
-    feeding the sorted frame to the clusterer executed the whole
-    inverted-index join an extra time). The clusterer's output is
-    localCheckpointed per round, so the shingle cache can be released
-    before return."""
-    pairs, sh = _jaccard_pairs_05(spark, sf_dir)
-    out = duplicate_clusters(pairs)
-    sh.unpersist()
-    return out.orderBy("doc_id")
+    r9: pairs come from the memoized ``_shingle_pair_base`` via
+    _jaccard_pairs_05 — the identical pair set q_dedup_ngram_jaccard
+    computes, minus its presentation sort, derived once per (fixture,
+    process) instead of once per consumer. The clusterer's output is
+    localCheckpointed per round; no build-side cache leaks out."""
+    return duplicate_clusters(_jaccard_pairs_05(spark, sf_dir)).orderBy("doc_id")
 
 
 # Portable hash family for the oracle-backed sketch variants below:
@@ -862,8 +812,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is bounded by Σ deg(v)² of the PAIR graph — already
     similarity-pruned, so this never touches the corpus. At 100 TB
     you'd pre-order edges by degree (the standard compact-forward
-    optimization); the joins themselves are the same."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    optimization); the joins themselves are the same. r9: pairs read
+    from the memoized ``_shingle_pair_base`` ≥ 0.5 band (identical set,
+    derived once per fixture, no presentation sort paid)."""
+    pairs = _jaccard_pairs_05(spark, sf_dir)
     pairs = pairs.persist()
     pairs.count()  # three triangle-join consumers + two degree scans
     nodes = pairs.select(F.col("doc_a").alias("x")).unionAll(
@@ -946,62 +898,94 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_05(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+def _shingle_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared similarity-pair table of the graph/dedup family —
+    ``(doc_a, doc_b, inter, jaccard)`` for every language-blocked
+    document pair with ``inter >= 2`` shared distinct word-3-grams (the
+    AFFINITY band) **or** ``jaccard >= 0.5`` (the dedup band; a pair of
+    tiny docs can clear 0.5 with inter = 1, so the bands overlap but
+    neither contains the other). One inverted-index shingle join
+    (hashed grams, Σ df(g)² cost — never corpus²) computes both bands
+    at once, and ``memo_parquet`` materializes the result ONCE per
+    (fixture, process): the r8 bench's top five queries were all
+    consumers of this pipeline, each re-deriving it from scratch at
+    ~2-4 s a time (r8 verdict item 3). Consumers filter the band they
+    need; the parquet roundtrip is exact for long/double columns, so
+    filtering on the stored jaccard is bit-identical to filtering the
+    live expression. At 100 TB this is the curated pair table a
+    production dedup pipeline materializes after the candidate join —
+    every downstream graph analysis reads it instead of re-joining."""
+
+    def build(spark: SparkSession):
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.size(F.split(F.col("text"), " ")) >= 3
+        )
+        tok_df = d.select(
+            "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+        )
+        tk = F.col("toks")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
+        gram_h = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(tk, i + k + 1) for k in range(3)]
+                ),
+            )
+        )
+        sh = tok_df.select("doc_id", "lang", gram_h.alias("grams")).persist()
+        sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+        inv = sh.select("doc_id", "lang", F.explode("grams").alias("g"))
+        a, b = inv.alias("a"), inv.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        sa, sb = sizes.alias("sa"), sizes.alias("sb")
+        jac = F.col("inter").cast("double") / (
+            F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+        )
+        base = (
+            inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("inter").cast("long").alias("inter"),
+                jac.alias("jaccard"),
+            )
+            .filter((F.col("inter") >= 2) | (F.col("jaccard") >= 0.5))
+        )
+        return base, sh.unpersist
+
+    return memo_parquet(
+        spark, sf_dir, "shingle_pair_base", ("documents",), build, version="r9"
+    )
+
+
+def _jaccard_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted exact word-3-gram Jaccard ≥ 0.5 near-dup pairs — the
     pair set of q_dedup_ngram_jaccard WITHOUT its presentation
-    ``orderBy`` (a global sort costs a sampling pass plus a range
-    shuffle, and every graph consumer of the pairs discards the order
-    anyway). Returns ``(pairs, sh)`` where ``sh`` is the persisted
-    shingle table backing the plan — the caller unpersists ``sh`` once
-    its own derivation is materialized. The jaccard threshold is the
-    oracle's own double-divide expression, exact-integer inputs, one
-    correctly-rounded IEEE divide per pair."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    tok_df = d.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
-    )
-    tk = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
-    gram_h = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.element_at(tk, i + k + 1) for k in range(3)]
-            ),
-        )
-    )
-    sh = tok_df.select("doc_id", "lang", gram_h.alias("grams")).persist()
-    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
-    inv = sh.select("doc_id", "lang", F.explode("grams").alias("g"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
-    )
-    pairs = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+    ``orderBy``. Since r9 this is a band filter over the memoized
+    ``_shingle_pair_base`` table (single pair-derivation implementation
+    for the public dedup query and every graph consumer — r8 advisor
+    item: the previous 40-line duplicate could silently diverge). The
+    jaccard threshold compares the stored double the oracle's own
+    divide expression produced — exact roundtrip, identical set."""
+    return (
+        _shingle_pair_base(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    return pairs, sh
 
 
 def _pagerank_fx_ranks(
@@ -1013,7 +997,7 @@ def _pagerank_fx_ranks(
     executes (or inspects) ``ranks`` and then unpersists ``edges``.
     Split out so the plan-lock test can inspect the iteration joins,
     which the public query hides behind an eager localCheckpoint."""
-    pairs, sh = _jaccard_pairs_05(spark, sf_dir)
+    pairs = _jaccard_pairs_05(spark, sf_dir)
     raw_edges = pairs.select(
         F.explode(
             F.array(
@@ -1038,11 +1022,12 @@ def _pagerank_fx_ranks(
     # one job: materializes the edge cache AND returns the node count
     # (one bounded long — the BFS-seed class of driver value)
     n_nodes = edges.select("src").distinct().count()
-    sh.unpersist()
     if n_nodes == 0:
         # degenerate fixture: no near-dup pair anywhere — the oracle's
-        # pr3 CTE is empty too (and the old in-plan DIV never fired)
-        edges.unpersist()
+        # pr3 CTE is empty too (and the old in-plan DIV never fired).
+        # edges stays persisted so the documented contract ("the caller
+        # executes ranks and then unpersists edges") holds on every
+        # path — the caller's single unpersist releases it (r8 advisor).
         empty = spark.createDataFrame([], "doc_id long, pagerank_fx long")
         return empty, edges
     pr = (
@@ -1120,6 +1105,10 @@ def q_graph_pagerank_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled iterations match DuckDB digit-for-digit where float
     PageRank would drift with reduction order. Per iteration: one join
     edges⋈ranks + one groupBy dst (see _pagerank_fx_ranks).
+
+    r9: the near-dup pairs now come from the memoized
+    ``_shingle_pair_base`` table (derived once per fixture, shared by
+    every graph/dedup consumer — r8 verdict item 3).
 
     r8 rewrite (execution-shape fixes, semantics identical):
     - the near-dup pairs are derived inline WITHOUT the final global
@@ -1510,8 +1499,10 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg² of the similarity-pruned PAIR graph, never the corpus —
     then each triangle is exploded to its 3 corners and counted; the
     degree table is one groupBy over the symmetrized edges. All
-    shuffles key on doc_id."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    shuffles key on doc_id. r9: pairs read from the memoized
+    ``_shingle_pair_base`` ≥ 0.5 band (identical set, derived once per
+    fixture, no presentation sort paid)."""
+    pairs = _jaccard_pairs_05(spark, sf_dir)
     pairs = pairs.persist()
     pairs.count()  # feeds 3 triangle sides + the degree scan
     sym = pairs.select(F.col("doc_a").alias("u")).unionAll(
@@ -1741,43 +1732,14 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (doc_a < doc_b) edges of the shared-shingle AFFINITY
     graph: documents sharing ≥ 2 distinct word-3-grams, blocked by
     language — one similarity band below the ≥ 0.5 Jaccard dedup
-    threshold. Same inverted-index join as q_dedup_ngram_jaccard
-    (hashed grams, Σ df(g)² cost); consumers persist as needed (the
-    per-block locks in the block manager make a consumer-side persist
-    sufficient: concurrent scans of a cold cache serialize per
-    partition instead of recomputing — verified by A/B timing the
-    graph consumers with and without an eager pre-count, which was a
-    wash)."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    tok_df = d.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
-    )
-    tk = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - 3, F.lit(0)))
-    gram_h = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.element_at(tk, i + k + 1) for k in range(3)]
-            ),
-        )
-    )
-    inv = tok_df.select("doc_id", "lang", F.explode(gram_h).alias("g"))
-    ia, ib = inv.alias("ia"), inv.alias("ib")
+    threshold. Since r9 this is the ``inter >= 2`` band filter over the
+    memoized ``_shingle_pair_base`` table: the inverted-index shingle
+    join (the dominant cost of every graph consumer at r8) executes
+    once per (fixture, process) and every consumer reads the
+    materialized pairs — identical set, same ``Σ df(g)²`` build cost
+    paid exactly once."""
     return (
-        ia.join(
-            ib,
-            (F.col("ia.g") == F.col("ib.g"))
-            & (F.col("ia.lang") == F.col("ib.lang"))
-            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
-        )
-        .groupBy(
-            F.col("ia.doc_id").alias("doc_a"),
-            F.col("ib.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+        _shingle_pair_base(spark, sf_dir)
         .filter(F.col("inter") >= 2)
         .select("doc_a", "doc_b")
     )
@@ -1869,7 +1831,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the affinity graph has hubs and families, which is the regime
     link prediction is for. Pairs come from the same inverted-index
     shingle join as q_dedup_ngram_jaccard (hashed grams, Σ df(g)²
-    cost), just thresholded on the shared-gram COUNT."""
+    cost), just thresholded on the shared-gram COUNT — since r9 read
+    from the memoized ``_shingle_pair_base`` (built once per fixture,
+    shared by every graph consumer)."""
     pairs = _affinity_pairs(spark, sf_dir).persist()
     pairs.count()  # consumed by sym (twice), the anti-join, and degrees
     sym = pairs.select(
@@ -1951,7 +1915,9 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: frontier/visited stay partitioned on doc_id, each hop
     is one shuffle join, and the 6-hop cap bounds both work and the
     recursion (production contamination sweeps cap radius the same
-    way)."""
+    way). r9: edges read from the memoized ``_shingle_pair_base``
+    affinity band (built once per fixture, shared by every graph
+    consumer)."""
     pairs = _affinity_pairs(spark, sf_dir).persist()
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -2045,7 +2011,9 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: degrees are one groupBy over the symmetrized edges;
     decorating each edge with both endpoint degrees is two doc_id-
     keyed joins; the moment rollup is a 1-row aggregate. Nothing
-    beyond the similarity-pruned edge list is ever touched."""
+    beyond the similarity-pruned edge list is ever touched. r9: edges
+    read from the memoized ``_shingle_pair_base`` affinity band (built
+    once per fixture, shared by every graph consumer)."""
     pairs = _affinity_pairs(spark, sf_dir).persist()
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -2236,22 +2204,13 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by node, never global).  The edge list is built once and reused;
     at 100 TB the join runs shuffle-free on src-bucketed edges
     (the q_graph_pagerank_fx posture), and the per-round state is one
-    (node, label) table — the standard distributed LPA layout."""
-    li = load_table(spark, sf_dir, "lineitem")
-    keys = li.select("l_orderkey", "l_partkey")
-    a, b = keys.alias("a"), keys.alias("b")
-    cop = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    (node, label) table — the standard distributed LPA layout.
+    r9: the co-purchase pairs come from the memoized
+    ``_copurchase_pairs`` table (built once per fixture, shared with
+    q_graph_modularity — r8 verdict item 3)."""
+    from highload_kafka_streams_spark.plans.round8 import _copurchase_pairs
+
+    cop = _copurchase_pairs(spark, sf_dir)
     # symmetrize with ONE explode instead of a self-union: cop (the
     # expensive co-purchase self-join) is not persisted, so the union's
     # two branches each executed it in full when the sym cache first

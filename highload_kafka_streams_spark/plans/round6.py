@@ -1649,12 +1649,19 @@ def q_agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    grid = {(row.r, row.c): int(row.v) for row in g.collect()}
-    if len(grid) > 100_000:  # dimension-bounded guard (cf. max_groups)
+    # dimension-bounded guard (cf. max_groups) — enforced BY the transfer
+    # itself, not after it (r8 advisor: a post-collect len() check detects
+    # rather than prevents an unbounded-key-domain OOM): limit(cap+1)
+    # bounds the driver transfer to cap+1 rows in the same single job,
+    # and the overflow row proves the violation without materializing it
+    _GRID_CAP = 100_000
+    rows = g.limit(_GRID_CAP + 1).collect()
+    if len(rows) > _GRID_CAP:
         raise ValueError(
             "median-polish grid exceeds the bounded-driver-state cap; "
             "use a distributed polish for unbounded key domains"
         )
+    grid = {(row.r, row.c): int(row.v) for row in rows}
 
     def lower_median(vals: list[int]) -> int:
         # rank ⌈n/2⌉ in ascending order — the (n + 1) DIV 2 convention

@@ -648,7 +648,9 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) — walk count stays |nodes| forever, never multiplies;
     3 steps = 3 bounded join rounds, the q_graph_pagerank_fx iteration
     shape with a sampling payload. The edge list is built once and
-    persisted."""
+    persisted; r9: edges read from the memoized ``_shingle_pair_base``
+    affinity band (built once per fixture, shared by every graph
+    consumer)."""
     from highload_kafka_streams_spark.llm.dedup import _affinity_pairs
 
     pairs = _affinity_pairs(spark, sf_dir)

@@ -22,21 +22,112 @@ Maintenance: run ``python -m highload_kafka_streams_spark.qhash update
 ritual). Entries whose hash changed (or are new) get
 ``since_round = N``; unchanged entries keep their earlier round.
 
-Known limitation (documented, accepted): the hash covers the query
-function's own source, not transitively the helpers it calls. A
-behavior change hidden entirely in a shared helper will not bump the
-hash; in practice every rewrite so far edited the query body, and the
-oldest-evidence-first rotation still re-verifies everything eventually.
+Helper coverage (r9, closes the r8 advisor's gap): the main hash still
+covers only the decorated function's own source (so the ledger format
+and every recorded hash stay stable), but the ledger now ALSO records a
+``helpers`` hash — the transitive source of every module-private
+(``_``-prefixed) package function the query references, found by AST
+walk (plain ``Name`` loads plus ``from X import _y`` inside the body).
+The staleness gate demands the helpers hash match whenever the ledger
+records one, and ``update_ledger`` bumps ``since_round`` when it moves
+— so a behavior change hidden entirely in a shared helper (e.g. the
+pair-derivation pipelines in llm/dedup.py) now demotes its consumers
+back into the driver's verification window. Migration rule: entries
+recorded before r9 carry no ``helpers`` field and gate on the main
+hash alone until the round-end update writes one.
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
+import sys
+import textwrap
+import types
 from pathlib import Path
 
 HASH_FILE = "QUERY_HASHES.json"
+
+_PKG_PREFIX = "highload_kafka_streams_spark"
+
+
+def _normalized_source(fn) -> str | None:
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    return "\n".join(line.rstrip() for line in src.splitlines()).strip()
+
+
+def _referenced_private_fns(fn) -> dict[str, types.FunctionType]:
+    """Module-private package functions `fn` references, by AST walk of
+    its source: bare ``_name`` loads resolved against the function's own
+    module globals, plus names bound by ``from <mod> import _name``
+    statements inside the body (the cross-module pattern the plans
+    modules use). Unresolvable sources return {} — the main hash still
+    covers the function itself."""
+    src = _normalized_source(fn)
+    if src is None:
+        return {}
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return {}
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    mod_globals = getattr(mod, "__dict__", {})
+    found: dict[str, types.FunctionType] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            if not node.module.startswith(_PKG_PREFIX) and node.level == 0:
+                continue
+            try:
+                import importlib
+
+                src_mod = importlib.import_module(
+                    node.module if node.level == 0 else _PKG_PREFIX
+                )
+            except ImportError:
+                continue
+            for alias in node.names:
+                if not alias.name.startswith("_"):
+                    continue
+                obj = getattr(src_mod, alias.name, None)
+                if isinstance(obj, types.FunctionType):
+                    found[f"{obj.__module__}.{obj.__qualname__}"] = obj
+        elif isinstance(node, ast.Name) and node.id.startswith("_"):
+            obj = mod_globals.get(node.id)
+            if isinstance(obj, types.FunctionType) and getattr(
+                obj, "__module__", ""
+            ).startswith(_PKG_PREFIX):
+                found[f"{obj.__module__}.{obj.__qualname__}"] = obj
+    found.pop(f"{fn.__module__}.{fn.__qualname__}", None)
+    return found
+
+
+def helper_hash(fn) -> str:
+    """Hash over the transitive module-private helper closure of a query
+    function (normalized sources, sorted by qualified name). Stable
+    ``"0" * 16`` when the query calls no private helpers, so the ledger
+    field is always present and comparable."""
+    seen: dict[str, types.FunctionType] = {}
+    frontier = list(_referenced_private_fns(fn).items())
+    while frontier:
+        key, obj = frontier.pop()
+        if key in seen:
+            continue
+        seen[key] = obj
+        frontier.extend(_referenced_private_fns(obj).items())
+    if not seen:
+        return "0" * 16
+    h = hashlib.sha256()
+    for key in sorted(seen):
+        h.update(key.encode("utf-8"))
+        h.update(b"\x00")
+        h.update((_normalized_source(seen[key]) or "").encode("utf-8"))
+        h.update(b"\x01")
+    return h.hexdigest()[:16]
 
 
 def content_hash(fn, oracle: str | None) -> str:
@@ -70,6 +161,14 @@ def current_hashes() -> dict[str, str]:
     }
 
 
+def current_helper_hashes() -> dict[str, str]:
+    """Transitive private-helper hash for every registered query."""
+    from . import registry
+
+    registry.load_all()
+    return {name: helper_hash(fn) for name, fn in registry.QUERIES.items()}
+
+
 def repo_root() -> Path:
     return Path(__file__).resolve().parents[1]
 
@@ -95,18 +194,29 @@ def update_ledger(round_no: int, root: Path | None = None) -> dict[str, int]:
     root = Path(root or repo_root())
     old = load_ledger(root) or {}
     cur = current_hashes()
+    cur_helpers = current_helper_hashes()
     out: dict[str, dict] = {}
     stats = {"new": 0, "changed": 0, "unchanged": 0, "removed": 0}
     for name, h in sorted(cur.items()):
         prev = old.get(name)
+        hh = cur_helpers.get(name, "0" * 16)
         if prev is None:
-            out[name] = {"hash": h, "since_round": round_no}
+            out[name] = {"hash": h, "helpers": hh, "since_round": round_no}
             stats["new"] += 1
-        elif prev.get("hash") != h:
-            out[name] = {"hash": h, "since_round": round_no}
+        elif prev.get("hash") != h or (
+            "helpers" in prev and prev["helpers"] != hh
+        ):
+            # main source moved, or a recorded private-helper closure
+            # moved — either way the implementation changed since the
+            # last green and must re-enter the verification window
+            out[name] = {"hash": h, "helpers": hh, "since_round": round_no}
             stats["changed"] += 1
         else:
-            out[name] = prev
+            # unchanged main hash; record (or refresh a first-time)
+            # helpers hash without bumping since_round — pre-r9 entries
+            # have no helper baseline to compare against (documented
+            # migration rule in the module docstring)
+            out[name] = {**prev, "helpers": hh}
             stats["unchanged"] += 1
     stats["removed"] = len([n for n in old if n not in cur])
     (root / HASH_FILE).write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")

@@ -557,12 +557,26 @@ def _driver_green_rounds(root=None, *, pre_gate: bool = False) -> dict[str, int]
     ledger = qhash.load_ledger(root)
     if ledger is not None:
         cur = qhash.current_hashes()
+        # r9: the gate also checks the private-helper closure hash when
+        # the ledger records one — a rewrite hidden entirely inside a
+        # shared helper (the r8 advisor's blind spot) demotes every
+        # consumer back into the verification window. Entries recorded
+        # before r9 carry no "helpers" field and gate on the main hash
+        # alone (migration rule, qhash.py docstring).
+        cur_helpers: dict[str, str] | None = None
+        if any("helpers" in rec for rec in ledger.values() if isinstance(rec, dict)):
+            cur_helpers = qhash.current_helper_hashes()
         green = {
             n: rnd
             for n, rnd in green.items()
             if (rec := ledger.get(n)) is not None
             and rec.get("hash") == cur.get(n)
             and rec.get("since_round", 10**9) <= rnd
+            and (
+                "helpers" not in rec
+                or cur_helpers is None
+                or rec["helpers"] == cur_helpers.get(n)
+            )
         }
     return green
 
