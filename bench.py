@@ -159,6 +159,14 @@ R8 = [
     "q_time_theta_forecast",
 ]
 
+# Round-9 additions as their own series (`r9_total_sec`, first measured
+# in BENCH_LOCAL_r09): the mergeable quantile sketch and the weighted
+# near-dup scorer.
+R9 = [
+    "q_agg_quantile_sketch_mergeable",
+    "q_dedup_weighted_jaccard",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -322,7 +330,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -376,6 +384,7 @@ def main() -> None:
     r6_total = round(sum(timings[n] for n in R6 if n in timings), 3)
     r7_total = round(sum(timings[n] for n in R7 if n in timings), 3)
     r8_total = round(sum(timings[n] for n in R8 if n in timings), 3)
+    r9_total = round(sum(timings[n] for n in R9 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -387,6 +396,7 @@ def main() -> None:
         "r6_total_sec": r6_total,
         "r7_total_sec": r7_total,
         "r8_total_sec": r8_total,
+        "r9_total_sec": r9_total,
     }
     cur_round = _current_round(_HERE)
     prev = _prev_bench(_HERE, cur_round)
@@ -500,6 +510,7 @@ def main() -> None:
         "r6_total_sec": r6_total,
         "r7_total_sec": r7_total,
         "r8_total_sec": r8_total,
+        "r9_total_sec": r9_total,
         "n_queries_timed": len(timings),
         "full_artifact": os.path.basename(local_path),
     }

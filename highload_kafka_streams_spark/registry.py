@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round6g",
     "highload_kafka_streams_spark.plans.round7",
     "highload_kafka_streams_spark.plans.round8",
+    "highload_kafka_streams_spark.plans.round9",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -480,6 +481,11 @@ _QUERY_LEDGER = (
     "q_sample_group_kfold",
     "q_agg_pot_tail",
     "q_time_theta_forecast",
+    # round 9 (capped at 2 — the 50-slot window must fit the 17-query
+    # never-green drain plus the 12 pair-table rewrites and still spend
+    # ~19 slots rotating stale r1 evidence)
+    "q_agg_quantile_sketch_mergeable",
+    "q_dedup_weighted_jaccard",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

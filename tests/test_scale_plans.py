@@ -2372,3 +2372,62 @@ def test_theta_windows_partition_by_event_type(spark, sf_smoke):
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(p == "event_type" for p in specs), specs
     assert "partial_sum" in plan, plan
+
+
+def test_quantile_sketch_windows_partition_by_type(spark, sf_smoke):
+    """Mergeable quantile sketch: every cumulative window must partition
+    by event_type (histogram-cell grain, never a global row sort), both
+    rollup layers must map-side combine, and the exact↔sketch join must
+    broadcast the 5-row sketch side. No corpus-sized join anywhere."""
+    import re
+
+    plan = plan_of(
+        get_queries()["q_agg_quantile_sketch_mergeable"](spark, sf_smoke)
+    )
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "event_type" for p in specs), specs
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quantile_sketch_merge_equals_direct_sample(spark, sf_smoke):
+    """The mergeability CLAIM, checked as data: building the histogram
+    via per-day partials then summing must equal a direct one-shot
+    histogram of the same hash sample, cell for cell."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from highload_kafka_streams_spark.plans.round9 import _QSK_SAMPLE_SQL
+
+    ev = load_table(spark, sf_smoke, "events")
+    v_fx = F.expr("CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)")
+    s = ev.filter(F.expr(_QSK_SAMPLE_SQL)).select(
+        "event_type", v_fx.alias("v_fx"), F.date_trunc("day", "ts").alias("day")
+    )
+    merged = (
+        s.groupBy("event_type", "day", "v_fx")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("event_type", "v_fx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = s.groupBy("event_type", "v_fx").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+
+def test_weighted_jaccard_is_inverted_index_keyed(spark, sf_smoke):
+    """Weighted Jaccard: the pair join must be the gram-keyed inverted
+    index (no cartesian/NLJ), the shingle table must be served from ONE
+    cache (df pass + both join sides), and every score must respect the
+    threshold and the [0, 1e6] ppm range."""
+    df = get_queries()["q_dedup_weighted_jaccard"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    rows = df.collect()
+    assert rows, "no weighted near-dup pairs on fixture"
+    assert all(500_000 <= r.wjac_ppm <= 1_000_000 for r in rows)
