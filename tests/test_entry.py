@@ -162,6 +162,10 @@ def test_green_rounds_hash_staleness_gate(tmp_path):
     def fake(spark, sf_dir):  # pragma: no cover - never executed
         return None
 
+    # load BEFORE snapshotting (same hazard as the helper-gate test):
+    # current_hashes() triggers load_all(), and restoring a pre-load
+    # snapshot with _loaded True would empty the registry process-wide
+    reg.load_all()
     saved_q = dict(reg.QUERIES)
     saved_o = dict(reg.ORACLE)
     try:
@@ -368,3 +372,94 @@ def test_bench_scrape_tail_ignores_vs_prev_ratios():
     assert got["queries"]["q_pricing_summary"] == 0.45
     assert got["queries"]["q_window_tumbling"] == 0.29
     assert got["value"] == 6.5
+
+
+def test_green_rounds_helper_hash_gate(tmp_path):
+    """Round-9 contract (r8 advisor item 2): when the ledger records a
+    `helpers` hash, a green row additionally requires the query's LIVE
+    transitive private-helper closure to hash the same — a rewrite
+    hidden entirely inside a shared helper demotes every consumer.
+    Entries without a `helpers` field (pre-r9) gate on the main hash
+    alone."""
+    import json
+
+    from highload_kafka_streams_spark import qhash
+    from highload_kafka_streams_spark import registry as reg
+    from highload_kafka_streams_spark.registry import _driver_green_rounds
+
+    greenrow = {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_helper_ok": greenrow,     # helpers hash matches → green
+        "q_helper_moved": greenrow,  # recorded helpers != live → stale
+        "q_legacy": greenrow,        # no helpers field → main hash only
+    }))
+
+    def fake(spark, sf_dir):  # pragma: no cover - never executed
+        return None
+
+    # load BEFORE snapshotting: the helper gate triggers load_all()
+    # inside _driver_green_rounds, and restoring a pre-load (empty)
+    # snapshot with _loaded already True would wipe the registry for
+    # every later test in the process
+    reg.load_all()
+    saved_q = dict(reg.QUERIES)
+    saved_o = dict(reg.ORACLE)
+    try:
+        for n in ("q_helper_ok", "q_helper_moved", "q_legacy"):
+            reg.QUERIES[n] = fake
+            reg.ORACLE[n] = "SELECT 1"
+        live = qhash.content_hash(fake, "SELECT 1")
+        live_helpers = qhash.helper_hash(fake)  # "0"*16 — no helpers
+        (tmp_path / "QUERY_HASHES.json").write_text(json.dumps({
+            "q_helper_ok": {"hash": live, "helpers": live_helpers,
+                            "since_round": 1},
+            "q_helper_moved": {"hash": live, "helpers": "feedfacefeedface",
+                               "since_round": 1},
+            "q_legacy": {"hash": live, "since_round": 1},
+        }))
+        green = _driver_green_rounds(root=tmp_path)
+    finally:
+        reg.QUERIES.clear()
+        reg.QUERIES.update(saved_q)
+        reg.ORACLE.clear()
+        reg.ORACLE.update(saved_o)
+    assert green == {"q_helper_ok": 2, "q_legacy": 2}, green
+
+
+def test_helper_hash_tracks_transitive_private_closure():
+    """helper_hash must (a) see through the query to module-private
+    functions it references — including cross-module `from X import _y`
+    inside the body — and (b) change when any helper in the closure
+    changes. Checked against the real pair-table consumers."""
+    from highload_kafka_streams_spark import qhash
+    from highload_kafka_streams_spark import registry as reg
+
+    reg.load_all()
+    # the affinity consumers share _affinity_pairs -> _shingle_pair_base
+    h_bfs = qhash.helper_hash(reg.QUERIES["q_graph_bfs_distance"])
+    h_assort = qhash.helper_hash(reg.QUERIES["q_graph_assortativity"])
+    assert h_bfs == h_assort != "0" * 16
+    # cross-module lazy import: round6c's random walks reach the same
+    # dedup helpers through `from ...dedup import _affinity_pairs`
+    h_walks = qhash.helper_hash(reg.QUERIES["q_graph_random_walks"])
+    assert h_walks != "0" * 16
+    # a no-helper query hashes to the stable sentinel
+    assert qhash.helper_hash(reg.QUERIES["q_filter"]) == "0" * 16
+
+
+def test_query_hash_ledger_helpers_in_sync():
+    """The committed ledger's `helpers` hashes must match the live
+    transitive closures — i.e. qhash update was re-run after the last
+    helper edit. (The main-hash sync test above catches query-body
+    drift; this catches helper-only drift.)"""
+    from highload_kafka_streams_spark import qhash
+
+    ledger = qhash.load_ledger()
+    assert ledger is not None
+    cur = qhash.current_helper_hashes()
+    stale = sorted(
+        n for n, rec in ledger.items()
+        if "helpers" in rec and rec["helpers"] != cur.get(n)
+    )
+    assert not stale, f"run qhash update; helper-stale entries: {stale}"
