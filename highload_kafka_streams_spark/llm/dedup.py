@@ -2195,13 +2195,15 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dataframe loop and the unrolled-CTE oracle compute the same
     partial fixpoint (the q_graph_kcore_peel discipline).
 
-    Determinism: the mode is resolved by (count DESC, label ASC) under
-    a row_number window — a total order both engines share; labels
-    are exact BIGINTs throughout.
+    Determinism: the mode is resolved by the (count DESC, label ASC)
+    total order — computed as max_by over the orderable struct
+    (cnt, −label), a pure hash aggregate both engines agree with the
+    oracle's row_number CTE on; labels are exact BIGINTs throughout.
 
     Scale shape: each round is one labels-join on the symmetrized edge
-    list + one (node, label) count + one per-node window (partitioned
-    by node, never global).  The edge list is built once and reused;
+    list + one (node, label) count + one per-node max_by rollup (both
+    map-side combinable; r9 dropped the per-round sort a row_number
+    window paid).  The edge list is built once and reused;
     at 100 TB the join runs shuffle-free on src-bucketed edges
     (the q_graph_pagerank_fx posture), and the per-round state is one
     (node, label) table — the standard distributed LPA layout.
@@ -2227,18 +2229,22 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = sym.persist()
     # neighbor-label view of round 0: identity labels, lab(v) = v
     lab = sym.select("u", F.col("v").alias("lv"))
-    from pyspark.sql.window import Window as _W
 
     picked = None
     for _ in range(2):
         cnt = lab.groupBy("u", F.col("lv").alias("l")).agg(
             F.count("*").alias("cnt")
         )
-        w = _W.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("l"))
-        picked = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("u", "l")
+        # mode pick as a HASH aggregate, not a sort window (r9): the
+        # (count DESC, label ASC) total order is exactly max over the
+        # orderable struct (cnt, -l) — max_by keeps both rounds fully
+        # map-side-combinable and drops the per-round partition sort a
+        # row_number window pays. Labels are positive BIGINTs, so -l is
+        # exact and the order strict (l unique within a group).
+        picked = cnt.groupBy("u").agg(
+            F.max_by(
+                F.col("l"), F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
+            ).alias("l")
         )
         # next round's neighbor-label view: edges decorated with the
         # neighbor's freshly-picked label

@@ -1514,11 +1514,16 @@ def test_diff_in_diff_single_pass_cells(spark, sf_smoke):
 
 
 def test_label_propagation_window_partitioned_per_node(spark, sf_smoke):
-    """Each LPA round's mode-pick window must partition by node — a
-    global mode window would single-task; and no cartesian anywhere."""
+    """Each LPA round's mode pick must be a pure hash aggregate (max_by
+    over (cnt, -label)) — no sort window anywhere in the plan (r9; the
+    previous lock allowed a node-partitioned row_number window, which
+    paid a per-round partition sort) — and no cartesian anywhere. Both
+    rollup layers must map-side combine."""
     plan = plan_of(get_queries()["q_graph_label_propagation"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
-    assert "windowspecdefinition(u" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "max_by" in plan, plan
 
 
 def test_kmeans_step_centroids_broadcast(spark, sf_smoke):
