@@ -2436,3 +2436,55 @@ def test_weighted_jaccard_is_inverted_index_keyed(spark, sf_smoke):
     rows = df.collect()
     assert rows, "no weighted near-dup pairs on fixture"
     assert all(500_000 <= r.wjac_ppm <= 1_000_000 for r in rows)
+
+
+def test_memo_parquet_builds_once_and_invalidates_on_fixture_change(
+    spark, tmp_path
+):
+    """io.memo_parquet contract (the r9 pair-table mechanism): (a) the
+    build fn runs ONCE for repeated calls against the same fixture and
+    later calls read the materialized parquet; (b) the cleanup hook
+    fires after the write; (c) a fixture whose source file changed
+    (regenerated: new mtime/size) NEVER reuses the stale memo; (d) a
+    different kind under the same fixture gets its own entry."""
+    import time as _time
+
+    from highload_kafka_streams_spark.io import memo_parquet
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    src = fx / "documents.parquet"
+    spark.range(5).toDF("doc_id").write.mode("overwrite").parquet(str(src))
+
+    calls = {"build": 0, "cleanup": 0}
+
+    def build(s):
+        calls["build"] += 1
+        return (
+            s.read.parquet(str(src)).selectExpr("doc_id", "doc_id * 2 AS v"),
+            lambda: calls.__setitem__("cleanup", calls["cleanup"] + 1),
+        )
+
+    a = memo_parquet(spark, str(fx), "t_double", ("documents",), build, "1")
+    b = memo_parquet(spark, str(fx), "t_double", ("documents",), build, "1")
+    assert calls == {"build": 1, "cleanup": 1}
+    assert sorted(r.v for r in b.collect()) == [0, 2, 4, 6, 8]
+    assert a.schema == b.schema
+
+    # same fixture dir, different kind → independent entry
+    def build2(s):
+        calls["build"] += 1
+        return s.read.parquet(str(src)).selectExpr("doc_id", "doc_id + 1 AS v")
+
+    c = memo_parquet(spark, str(fx), "t_inc", ("documents",), build2, "1")
+    assert calls["build"] == 2
+    assert sorted(r.v for r in c.collect()) == [1, 2, 3, 4, 5]
+
+    # regenerate the source file (different rows; ensure mtime moves on
+    # coarse-grained filesystems) → the memo MUST rebuild, not serve
+    # the 5-row table
+    _time.sleep(0.05)
+    spark.range(3).toDF("doc_id").write.mode("overwrite").parquet(str(src))
+    d = memo_parquet(spark, str(fx), "t_double", ("documents",), build, "1")
+    assert calls["build"] == 3
+    assert sorted(r.v for r in d.collect()) == [0, 2, 4]
