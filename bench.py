@@ -366,11 +366,22 @@ def main() -> None:
     # runs are what it needs, not absolute best-case numbers.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    # Memo observability (r9 advisor): pair-table consumers read a
+    # materialized parquet after the first consumer's warm-up pays the
+    # build, so their timings measure the memo, not the derivation.
+    # Snapshot hit counters around each query and record which timings
+    # were memo-served (plus the cold build seconds, paid in warm-up)
+    # directly in the artifact so round-over-round comparisons can
+    # separate the two.
+    from highload_kafka_streams_spark.io import memo_stats
+
+    memo_served: dict[str, list[str]] = {}
     for name in names:
         print(f"timing {name}", file=sys.stderr, flush=True)
         best, worst = float("inf"), 0.0
+        hits_before = memo_stats()["hits"]
 
-        def _pass() -> None:
+        def _pass() -> float:
             nonlocal best, worst
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
@@ -379,6 +390,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best, worst = min(best, dt), max(worst, dt)
             spark.catalog.clearCache()  # a persist() in pass 1 must not feed pass 2
+            return dt
 
         for _ in range(runs):
             _pass()
@@ -389,13 +401,24 @@ def main() -> None:
         # disagree by >3x the stall likely clipped only one of them —
         # take up to two extra passes so the reported min reflects the
         # engine, not the noisiest coincidence. min stays the statistic,
-        # so the series remains comparable round-over-round.
+        # so the series remains comparable round-over-round. Stop as soon
+        # as a rescue pass lands within 3x of best (r9 advisor: `worst`
+        # only grows, so re-checking it would always burn both passes
+        # even after the first rescue confirmed a fast time).
         extra = 0
         while runs >= 2 and worst > 3 * best and extra < 2:
             print(f"  stall-rescue pass for {name}", file=sys.stderr, flush=True)
-            _pass()
+            dt = _pass()
             extra += 1
+            if dt <= 3 * best:
+                break
         timings[name] = round(best, 3)
+        hits_after = memo_stats()["hits"]
+        kinds = sorted(
+            k for k, n in hits_after.items() if n > hits_before.get(k, 0)
+        )
+        if kinds:
+            memo_served[name] = kinds
 
     # Late-window drift retry (r9): a stall can cover BOTH passes of a
     # query (the contiguous-block case above — worst/best stays ~1 and
@@ -446,6 +469,12 @@ def main() -> None:
         "r7_total_sec": r7_total,
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
+        # which timed queries read a memoized pair table instead of
+        # deriving it, and what the cold build cost (paid once during
+        # warm-up) — so memo-read timings are never mistaken for
+        # derivation timings in drift analysis
+        "memo_served": memo_served,
+        "memo_build_sec": memo_stats()["builds"],
     }
     cur_round = _current_round(_HERE)
     prev = _prev_bench(_HERE, cur_round)
@@ -561,6 +590,8 @@ def main() -> None:
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
         "n_queries_timed": len(timings),
+        "n_memo_served": len(memo_served),
+        "memo_build_sec": memo_stats()["builds"],
         "full_artifact": os.path.basename(local_path),
     }
     if outliers:

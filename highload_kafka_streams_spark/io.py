@@ -26,9 +26,11 @@ actually matters at scale.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,7 +121,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 _MEMO_LOCK = threading.Lock()
 _MEMO_PATHS: dict[tuple, str] = {}
+_MEMO_KEY_LOCKS: dict[tuple, threading.Lock] = {}
 _MEMO_ROOT: str | None = None
+# Per-process memo observability (r9 advisor): builds records the cold
+# build+write seconds per kind, hits counts read-back serves per kind.
+# bench.py snapshots hits around each timed query so the artifact marks
+# which timings rode the memo instead of deriving the table.
+_MEMO_STATS: dict[str, dict] = {"builds": {}, "hits": {}}
+
+
+def memo_stats() -> dict[str, dict]:
+    """Copy of the process's memo counters: ``{"builds": {kind: sec},
+    "hits": {kind: n_serves}}``."""
+    with _MEMO_LOCK:
+        return {"builds": dict(_MEMO_STATS["builds"]), "hits": dict(_MEMO_STATS["hits"])}
+
+
+def _memo_valid(path: str) -> bool:
+    # Serve a memo only while Spark's commit sentinel survives. The memo
+    # lives under a /tmp mkdtemp dir: a tmp reaper can prune part files
+    # out from under a long-lived driver, and a dir-exists check alone
+    # would then hand consumers a read failure (or partial data) instead
+    # of a rebuild.
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
 def _fixture_signature(sf_dir: str, src_tables: tuple[str, ...]) -> tuple:
@@ -148,25 +172,45 @@ def memo_parquet(
     miss; its result is written to parquet and every consumer (including
     the builder's own return) reads the file back, so the expensive plan
     executes exactly once per (kind, version, fixture). ``cleanup`` (e.g.
-    an unpersist of a build-side cache) runs after the write."""
+    an unpersist of a build-side cache) runs after the write.
+
+    Concurrency: build+write for a key runs under that key's own lock,
+    and the memo map is re-checked after acquiring it, so two concurrent
+    consumers of one key build once and wait rather than racing one
+    output dir. The dir name is a stable hash of the full key (never a
+    counter), so distinct fixtures of the same kind can never be assigned
+    the same path even if they build simultaneously. A hit is only served
+    while the write's ``_SUCCESS`` sentinel survives; a reaped or
+    half-gone memo drops its entry and rebuilds in place."""
     global _MEMO_ROOT
     key = (kind, version, os.path.realpath(sf_dir), _fixture_signature(sf_dir, src_tables))
     with _MEMO_LOCK:
-        path = _MEMO_PATHS.get(key)
-    if path is not None and os.path.isdir(path):
+        key_lock = _MEMO_KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
+        with _MEMO_LOCK:
+            path = _MEMO_PATHS.get(key)
+        if path is not None:
+            if _memo_valid(path):
+                with _MEMO_LOCK:
+                    _MEMO_STATS["hits"][kind] = _MEMO_STATS["hits"].get(kind, 0) + 1
+                return spark.read.parquet(path)
+            with _MEMO_LOCK:
+                _MEMO_PATHS.pop(key, None)
+        t0 = time.perf_counter()
+        result = build(spark)
+        df, cleanup = result if isinstance(result, tuple) else (result, None)
+        digest = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+        with _MEMO_LOCK:
+            if _MEMO_ROOT is None:
+                _MEMO_ROOT = tempfile.mkdtemp(prefix="hks_memo_")
+            path = os.path.join(_MEMO_ROOT, f"{kind}_v{version}_{digest}")
+        df.write.mode("overwrite").parquet(path)
+        if cleanup is not None:
+            cleanup()
+        with _MEMO_LOCK:
+            _MEMO_PATHS[key] = path
+            _MEMO_STATS["builds"][kind] = round(time.perf_counter() - t0, 3)
         return spark.read.parquet(path)
-    result = build(spark)
-    df, cleanup = result if isinstance(result, tuple) else (result, None)
-    with _MEMO_LOCK:
-        if _MEMO_ROOT is None:
-            _MEMO_ROOT = tempfile.mkdtemp(prefix="hks_memo_")
-        path = os.path.join(_MEMO_ROOT, f"{kind}_v{version}_{len(_MEMO_PATHS)}")
-    df.write.mode("overwrite").parquet(path)
-    if cleanup is not None:
-        cleanup()
-    with _MEMO_LOCK:
-        _MEMO_PATHS[key] = path
-    return spark.read.parquet(path)
 
 
 def write_compacted(

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import ast
 import hashlib
+import importlib
+import importlib.util
 import inspect
 import json
 import sys
@@ -66,8 +68,15 @@ def _referenced_private_fns(fn) -> dict[str, types.FunctionType]:
     its source: bare ``_name`` loads resolved against the function's own
     module globals, plus names bound by ``from <mod> import _name``
     statements inside the body (the cross-module pattern the plans
-    modules use). Unresolvable sources return {} — the main hash still
-    covers the function itself."""
+    modules use; relative imports resolve against the function's own
+    package). Unresolvable sources return {} — the main hash still
+    covers the function itself.
+
+    Coverage limit (documented, r9 advisor): ONLY ``_``-prefixed
+    FunctionType references are in the closure. Public helpers
+    (``duplicate_clusters``, ``memo_parquet``) and module constants are
+    outside both hashes — changes there rely on the consumer's own
+    source or the round-end review to re-enter the window."""
     src = _normalized_source(fn)
     if src is None:
         return {}
@@ -79,15 +88,30 @@ def _referenced_private_fns(fn) -> dict[str, types.FunctionType]:
     mod_globals = getattr(mod, "__dict__", {})
     found: dict[str, types.FunctionType] = {}
     for node in ast.walk(tree):
-        if isinstance(node, ast.ImportFrom) and node.module:
-            if not node.module.startswith(_PKG_PREFIX) and node.level == 0:
-                continue
+        if isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                if not (node.module or "").startswith(_PKG_PREFIX):
+                    continue
+                target = node.module
+            else:
+                # relative import: resolve against the module the function
+                # actually lives in (r9 advisor: importing the top package
+                # instead silently dropped `from .dedup import _helper`
+                # helpers from the closure — the exact blind spot the
+                # helpers hash exists to close)
+                pkg = getattr(mod, "__package__", None) or getattr(
+                    fn, "__module__", ""
+                ).rpartition(".")[0]
+                try:
+                    target = importlib.util.resolve_name(
+                        "." * node.level + (node.module or ""), pkg
+                    )
+                except (ImportError, ValueError):
+                    continue
+                if not target.startswith(_PKG_PREFIX):
+                    continue
             try:
-                import importlib
-
-                src_mod = importlib.import_module(
-                    node.module if node.level == 0 else _PKG_PREFIX
-                )
+                src_mod = importlib.import_module(target)
             except ImportError:
                 continue
             for alias in node.names:

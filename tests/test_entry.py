@@ -463,3 +463,40 @@ def test_query_hash_ledger_helpers_in_sync():
         if "helpers" in rec and rec["helpers"] != cur.get(n)
     )
     assert not stale, f"run qhash update; helper-stale entries: {stale}"
+
+
+def test_helper_hash_resolves_relative_imports(tmp_path):
+    """r9-advice: `from .dedup import _helper` inside a query body must
+    contribute the helper to the hash closure (the old code resolved
+    every relative import to the TOP package and silently dropped it).
+    A relative-import query must hash identically to an absolute-import
+    twin reaching the same helper."""
+    import importlib.util
+    import sys
+
+    from highload_kafka_streams_spark import qhash
+
+    src = (
+        "def q_rel(spark, sf_dir):\n"
+        "    from .dedup import _affinity_pairs\n"
+        "    return _affinity_pairs(spark, sf_dir)\n"
+        "\n"
+        "def q_abs(spark, sf_dir):\n"
+        "    from highload_kafka_streams_spark.llm.dedup import _affinity_pairs\n"
+        "    return _affinity_pairs(spark, sf_dir)\n"
+    )
+    p = tmp_path / "relmod.py"
+    p.write_text(src)
+    name = "highload_kafka_streams_spark.llm._test_relmod"
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    try:
+        spec.loader.exec_module(mod)
+        refs = qhash._referenced_private_fns(mod.q_rel)
+        assert any(k.endswith("._affinity_pairs") for k in refs), refs
+        h_rel = qhash.helper_hash(mod.q_rel)
+        h_abs = qhash.helper_hash(mod.q_abs)
+        assert h_rel == h_abs != "0" * 16
+    finally:
+        sys.modules.pop(name, None)

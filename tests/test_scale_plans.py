@@ -2488,3 +2488,68 @@ def test_memo_parquet_builds_once_and_invalidates_on_fixture_change(
     d = memo_parquet(spark, str(fx), "t_double", ("documents",), build, "1")
     assert calls["build"] == 3
     assert sorted(r.v for r in d.collect()) == [0, 2, 4]
+
+
+def test_memo_parquet_concurrent_reaped_and_collision_free(spark, tmp_path):
+    """r9-advice hardening of io.memo_parquet: (a) two concurrent
+    consumers of the SAME key build once — the second waits on the
+    per-key lock and reads the first's parquet; (b) two fixtures of the
+    same kind/version built concurrently land in DISTINCT dirs (path is
+    a stable key hash, not a shared counter); (c) a memo whose _SUCCESS
+    sentinel was reaped from /tmp is NOT served — the entry drops and
+    the build re-runs."""
+    import os
+    import threading
+
+    from highload_kafka_streams_spark import io as hio
+
+    fx1 = tmp_path / "fx1"
+    fx2 = tmp_path / "fx2"
+    for fx, n in ((fx1, 4), (fx2, 7)):
+        fx.mkdir()
+        spark.range(n).toDF("doc_id").write.mode("overwrite").parquet(
+            str(fx / "documents.parquet")
+        )
+
+    calls = {"n": 0}
+    gate = threading.Barrier(4, timeout=60)
+
+    def make_build(fx):
+        def build(s):
+            calls["n"] += 1
+            return s.read.parquet(str(fx / "documents.parquet")).selectExpr(
+                "doc_id", "doc_id * 10 AS v"
+            )
+
+        return build
+
+    results: dict[int, list] = {}
+
+    def worker(i, fx):
+        gate.wait()
+        df = hio.memo_parquet(spark, str(fx), "t_conc", ("documents",), make_build(fx), "1")
+        results[i] = sorted(r.v for r in df.collect())
+
+    threads = [
+        threading.Thread(target=worker, args=(i, fx))
+        for i, fx in enumerate((fx1, fx1, fx2, fx2))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    # same key built once each; no cross-fixture bleed
+    assert calls["n"] == 2, calls
+    assert results[0] == results[1] == [0, 10, 20, 30]
+    assert results[2] == results[3] == [0, 10, 20, 30, 40, 50, 60]
+
+    key1 = next(k for k, p in hio._MEMO_PATHS.items() if str(fx1) in repr(k) and k[0] == "t_conc")
+    key2 = next(k for k, p in hio._MEMO_PATHS.items() if str(fx2) in repr(k) and k[0] == "t_conc")
+    p1, p2 = hio._MEMO_PATHS[key1], hio._MEMO_PATHS[key2]
+    assert p1 != p2
+
+    # reap the sentinel (tmp-cleaner simulation) → entry must drop and rebuild
+    os.remove(os.path.join(p1, "_SUCCESS"))
+    df = hio.memo_parquet(spark, str(fx1), "t_conc", ("documents",), make_build(fx1), "1")
+    assert calls["n"] == 3
+    assert sorted(r.v for r in df.collect()) == [0, 10, 20, 30]
