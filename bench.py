@@ -167,6 +167,20 @@ R9 = [
     "q_dedup_weighted_jaccard",
 ]
 
+# Round-10 additions as their own series (`r10_total_sec`, first
+# measured in BENCH_LOCAL_r10): agreement, calibration repair, privacy,
+# weighted sampling, rule gating, conformal intervals, ROUGE, Kalman.
+R10 = [
+    "q_eval_krippendorff_alpha",
+    "q_eval_isotonic_calibration",
+    "q_privacy_l_diversity",
+    "q_sample_pps_bottomk",
+    "q_text_gopher_rules",
+    "q_agg_conformal_interval",
+    "q_eval_rouge_overlap",
+    "q_time_kalman_1d",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -330,7 +344,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9 + R10))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -457,6 +471,7 @@ def main() -> None:
     r7_total = round(sum(timings[n] for n in R7 if n in timings), 3)
     r8_total = round(sum(timings[n] for n in R8 if n in timings), 3)
     r9_total = round(sum(timings[n] for n in R9 if n in timings), 3)
+    r10_total = round(sum(timings[n] for n in R10 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -469,6 +484,7 @@ def main() -> None:
         "r7_total_sec": r7_total,
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
+        "r10_total_sec": r10_total,
         # which timed queries read a memoized pair table instead of
         # deriving it, and what the cold build cost (paid once during
         # warm-up) — so memo-read timings are never mistaken for
@@ -589,6 +605,7 @@ def main() -> None:
         "r7_total_sec": r7_total,
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
+        "r10_total_sec": r10_total,
         "n_queries_timed": len(timings),
         "n_memo_served": len(memo_served),
         "memo_build_sec": memo_stats()["builds"],

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round7",
     "highload_kafka_streams_spark.plans.round8",
     "highload_kafka_streams_spark.plans.round9",
+    "highload_kafka_streams_spark.plans.round10",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",

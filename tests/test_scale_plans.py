@@ -2553,3 +2553,145 @@ def test_memo_parquet_concurrent_reaped_and_collision_free(spark, tmp_path):
     df = hio.memo_parquet(spark, str(fx1), "t_conc", ("documents",), make_build(fx1), "1")
     assert calls["n"] == 3
     assert sorted(r.v for r in df.collect()) == [0, 10, 20, 30]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 plan locks + invariants
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_is_single_rollup(spark, sf_smoke):
+    """Krippendorff alpha: three per-row votes are projections (no
+    tokenize explode, no join anywhere) feeding ONE map-side-combinable
+    aggregate to source grain."""
+    plan = plan_of(get_queries()["q_eval_krippendorff_alpha"](spark, sf_smoke))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    df = get_queries()["q_eval_krippendorff_alpha"](spark, sf_smoke)
+    rows = df.collect()
+    assert rows and all(r.alpha_ppm is None or r.alpha_ppm <= 1_000_000 for r in rows)
+
+
+def test_isotonic_fit_is_bounded_grid_and_monotone(spark, sf_smoke):
+    """Isotonic calibration: the corpus collapses in ONE combinable
+    rollup to <=11 bins; the minimax runs on the bounded grid (allowed:
+    broadcast nested loop on the 11-row frames; banned: any
+    corpus-grain sort-merge join or cartesian). Fitted rates must be
+    non-decreasing in bin order and stay within [0, 1]."""
+    q = get_queries()["q_eval_isotonic_calibration"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    fitted = [r.fitted_rate for r in rows]
+    assert fitted == sorted(fitted), fitted
+    assert all(0.0 <= f <= 1.0 for f in fitted)
+    # PAVA preserves the weighted mean within every pooled level set,
+    # hence globally: sum n_i * fitted_i == sum n_pos_i (to fp eps)
+    tot_fit = sum(r.n * r.fitted_rate for r in rows)
+    tot_pos = sum(r.n_pos for r in rows)
+    assert abs(tot_fit - tot_pos) < 1e-6 * max(1, tot_pos)
+
+
+def test_l_diversity_is_two_stacked_rollups(spark, sf_smoke):
+    """l-diversity: cell rollup then QI rollup, both map-side
+    combinable; no join; output bounded by the QI domain."""
+    q = get_queries()["q_privacy_l_diversity"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(r.l_distinct <= r.k_anon for r in rows)
+    assert all(r.max_sens_cnt <= r.k_anon for r in rows)
+
+
+def test_pps_bottomk_plans_take_ordered(spark, sf_smoke):
+    """PPS bottom-k: the sample must plan as TakeOrderedAndProject
+    after a combinable weight rollup — no global sort, no sort-merge
+    join. Inclusion probabilities are capped at 1e6 ppm and estimator
+    terms dominate the raw weights."""
+    q = get_queries()["q_sample_pps_bottomk"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(0 < r.p_ppm <= 1_000_000 for r in rows)
+    assert all(r.est_term >= r.w_fx for r in rows)
+    ranks = [r.rank1000 for r in rows]
+    assert ranks == sorted(ranks)
+
+
+def test_gopher_rules_single_scan_no_explode(spark, sf_smoke):
+    """Gopher rule bundle: every feature is an expression over the
+    token array — no explode (Generate), no join; one combinable
+    rollup to source grain. Per-rule failure counts must each be <=
+    n_docs and n_pass consistent with the mask."""
+    q = get_queries()["q_text_gopher_rules"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pass <= r.n_docs
+        for f in (r.f_words, r.f_mean_wl, r.f_stopwords, r.f_max_wl, r.f_uniq):
+            assert 0 <= f <= r.n_docs
+
+
+def test_conformal_broadcasts_model_and_threshold(spark, sf_smoke):
+    """Split conformal: the 5-row model and threshold tables must
+    BROADCAST onto the scan sides; the residual quantile runs on the
+    histogram grain with per-group windows; coverage lands near the
+    90% design point (at the sf0.001 smoke fixture n_calib is only
+    ~70/group, so empirical coverage carries +-5pp sampling noise —
+    asserted loosely at >=75%; the sf0.01 oracle run pins exact
+    values)."""
+    import re
+
+    q = get_queries()["q_agg_conformal_interval"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "g" for p in specs), specs
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(r.coverage_ppm >= 750_000 for r in rows), rows
+
+
+def test_rouge_pairs_join_is_equi_and_pruned(spark, sf_smoke):
+    """ROUGE overlap: pair construction and gram-overlap joins are all
+    EQUI joins (no cartesian, no nested loop); n-gram extraction
+    happens only on the paired documents. Recalls stay in [0, 1e6]
+    ppm and clipped intersections never exceed the reference count."""
+    q = get_queries()["q_eval_rouge_overlap"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.ref_id > r.cand_id
+        assert 0 <= r.inter1 <= r.ref_unigrams
+        assert 0 <= r.rouge1_ppm <= 1_000_000
+        assert 0 <= r.inter2 <= max(0, r.ref_bigrams)
+        assert 0 <= r.rouge2_ppm <= 1_000_000
+
+
+def test_kalman_fold_has_no_window_no_join(spark, sf_smoke):
+    """Kalman 1d: the recurrence folds inside F.aggregate over the
+    calendar-bounded per-key array — no analytic window, no join, no
+    driver loop; the daily rollup map-side combines. The posterior
+    variance must be positive and below the prior ceiling."""
+    q = get_queries()["q_time_kalman_1d"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.p_fx <= 100000
+        assert r.n_days >= 1
