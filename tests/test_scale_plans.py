@@ -2695,3 +2695,84 @@ def test_kalman_fold_has_no_window_no_join(spark, sf_smoke):
     for r in rows:
         assert 0 < r.p_fx <= 100000
         assert r.n_days >= 1
+
+
+def test_pps_bottomk_is_mergeable_across_key_shards(spark, sf_smoke):
+    """The PPS bottom-k property that makes it shippable from 1000
+    executors: ranks are pure functions of (key, weight), so for any
+    KEY-partitioned sharding, the global bottom-(k+1) equals the
+    bottom-(k+1) of the union of per-shard bottom-(k+1)s. Checked
+    data-level on the smoke fixture with a parity split."""
+    from pyspark.sql import functions as F
+
+    from highload_kafka_streams_spark.io import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    ranked = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+            ).alias("w_fx")
+        )
+        .select(
+            "l_partkey",
+            "w_fx",
+            F.expr(
+                "CAST((CAST(conv(substr(md5(concat('pps:',"
+                " CAST(l_partkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+                " + 1) * 1000 DIV w_fx AS BIGINT)"
+            ).alias("rank1000"),
+        )
+    )
+    k1 = 51
+    glob = ranked.orderBy("rank1000", "l_partkey").limit(k1).collect()
+    shard_a = (
+        ranked.filter(F.col("l_partkey") % 2 == 0)
+        .orderBy("rank1000", "l_partkey")
+        .limit(k1)
+    )
+    shard_b = (
+        ranked.filter(F.col("l_partkey") % 2 == 1)
+        .orderBy("rank1000", "l_partkey")
+        .limit(k1)
+    )
+    merged = (
+        shard_a.unionByName(shard_b)
+        .orderBy("rank1000", "l_partkey")
+        .limit(k1)
+        .collect()
+    )
+    assert [tuple(r) for r in glob] == [tuple(r) for r in merged]
+
+
+def test_isotonic_fit_matches_sequential_pava(spark, sf_smoke):
+    """The minimax fit must equal classical sequential
+    pool-adjacent-violators run over the same (n, n_pos) bins — the
+    property-test pattern used for the Gale-Shapley band kernel."""
+    rows = get_queries()["q_eval_isotonic_calibration"](spark, sf_smoke).collect()
+    rows = sorted(rows, key=lambda r: r.bin)
+    # classical PAVA: pool backwards while a violator exists
+    blocks = [[r.n, r.n_pos] for r in rows]  # [weight, weighted-sum]
+    merged: list[list[int]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while (
+            len(merged) >= 2
+            and merged[-2][1] * merged[-1][0] > merged[-1][1] * merged[-2][0]
+        ):
+            b2 = merged.pop()
+            merged[-1][0] += b2[0]
+            merged[-1][1] += b2[1]
+    # expand block rates back to bins
+    fitted_seq: list[float] = []
+    i = 0
+    for w, s in merged:
+        covered = 0
+        while covered < w:
+            covered += rows[i].n
+            fitted_seq.append(s / w)
+            i += 1
+    assert len(fitted_seq) == len(rows)
+    for r, f in zip(rows, fitted_seq):
+        assert abs(r.fitted_rate - f) < 1e-9, (r.bin, r.fitted_rate, f)
