@@ -179,6 +179,8 @@ R10 = [
     "q_agg_conformal_interval",
     "q_eval_rouge_overlap",
     "q_time_kalman_1d",
+    "q_privacy_t_closeness",
+    "q_sample_neyman_allocation",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -2,7 +2,7 @@
 privacy auditing, weighted sampling, rule-bundle quality gating,
 conformal intervals, summary-overlap evaluation, and Kalman smoothing.
 
-Eight additions — the remaining breadth gaps a production LLM-data
+Ten additions — the remaining breadth gaps a production LLM-data
 pipeline hits that no earlier round covered:
 
 - q_eval_krippendorff_alpha — multi-rater chance-corrected agreement
@@ -27,6 +27,12 @@ pipeline hits that no earlier round covered:
 - q_time_kalman_1d — scalar constant-level Kalman filter per event
   type, folded in exact fixed-point (adaptive-gain smoothing; the
   state-space upgrade of q_time_ses_forecast's fixed-alpha fold).
+- q_privacy_t_closeness — ordered earth-mover's distance between each
+  QI group's sensitive distribution and the global one (the stricter
+  sibling of l-diversity), cross-multiplied integers throughout.
+- q_sample_neyman_allocation — variance-optimal stratified sample
+  sizes (n_h ∝ N_h·S_h) from exact integer moments; the DESIGN step
+  in front of q_sample_stratified's execution step.
 
 Every query is exact-integer (fixed-point BIGINT) in both engines
 except where a double is the DERIVED output of identical int64
@@ -1092,4 +1098,265 @@ def q_time_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             (st["x"] / 10000.0).alias("smoothed_mean"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_t_closeness — ordered EMD between group and global sensitive dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_privacy_t_closeness",
+    oracle="""
+WITH sens AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens_bucket
+  FROM customer
+),
+gdist AS (
+  SELECT sens_bucket, CAST(count(*) AS BIGINT) AS t_b FROM sens GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(t_b) AS BIGINT) AS n_all,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM gdist
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+  FROM sens GROUP BY 1, 2
+),
+cell AS (
+  SELECT c_nationkey, c_mktsegment, sens_bucket,
+         CAST(count(*) AS BIGINT) AS c_b
+  FROM sens GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.k, gl.sens_bucket, gl.t_b,
+         COALESCE(cell.c_b, 0) AS c_b
+  FROM grp g CROSS JOIN gdist gl
+  LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey
+   AND cell.c_mktsegment = g.c_mktsegment
+   AND cell.sens_bucket = gl.sens_bucket
+),
+cums AS (
+  SELECT c_nationkey, c_mktsegment, k, sens_bucket,
+         CAST(SUM(c_b) OVER (PARTITION BY c_nationkey, c_mktsegment
+              ORDER BY sens_bucket) AS BIGINT) AS c_cum,
+         CAST(SUM(t_b) OVER (PARTITION BY c_nationkey, c_mktsegment
+              ORDER BY sens_bucket) AS BIGINT) AS t_cum
+  FROM grid
+)
+SELECT c.c_nationkey, c.c_mktsegment, CAST(MIN(c.k) AS BIGINT) AS k_anon,
+       CAST(SUM(CASE WHEN c.c_cum * t.n_all >= c.t_cum * c.k
+                     THEN c.c_cum * t.n_all - c.t_cum * c.k
+                     ELSE c.t_cum * c.k - c.c_cum * t.n_all END)
+            * 1000000
+            // (MIN(c.k) * t.n_all * (t.n_buckets - 1)) AS BIGINT)
+         AS emd_ppm,
+       CAST(CASE WHEN SUM(CASE WHEN c.c_cum * t.n_all >= c.t_cum * c.k
+                     THEN c.c_cum * t.n_all - c.t_cum * c.k
+                     ELSE c.t_cum * c.k - c.c_cum * t.n_all END)
+            * 1000000
+            // (MIN(c.k) * t.n_all * (t.n_buckets - 1)) <= 300000
+            THEN 1 ELSE 0 END AS BIGINT) AS ok_t03
+FROM cums c CROSS JOIN tot t
+GROUP BY c.c_nationkey, c.c_mktsegment, t.n_all, t.n_buckets
+ORDER BY c.c_nationkey, c.c_mktsegment
+""",
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit per quasi-identifier group — the stricter
+    sibling of q_privacy_l_diversity: a group can be l-diverse yet
+    still leak (its sensitive distribution may be badly skewed vs the
+    population), so t-closeness bounds the ORDERED earth-mover's
+    distance between the group's sensitive-attribute distribution and
+    the global one. For ordinal buckets EMD = Σ|cum_p − cum_q|/(B−1),
+    computed here entirely in cross-multiplied integers
+    (|c_cum·N − t_cum·k| avoids normalizing divisions until the one
+    final ppm division), with absent buckets zero-filled via a
+    group×bucket grid so the cumulative walk is complete. ok_t03 flags
+    groups within the conventional t = 0.3. Headroom: c_cum·N ≤ k·N —
+    inside int64 while k·N ≤ 9e18 (per-QI-group k, not corpus rows,
+    is the small factor; document the same bound as cohens_kappa).
+
+    Scale shape: two map-side-combinable rollups (cell, group) plus
+    the FIXED global bucket table (broadcast, ≤ a dozen rows); the
+    grid and its per-group cumulative windows live at |QI|×|buckets|
+    grain — bounded by the attribute domains, never the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sens_bucket"),
+    )
+    glob = sens.groupBy("sens_bucket").agg(
+        F.count("*").cast("long").alias("t_b")
+    )
+    tot = glob.agg(
+        F.sum("t_b").cast("long").alias("n_all"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    grp = sens.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    cell = sens.groupBy("c_nationkey", "c_mktsegment", "sens_bucket").agg(
+        F.count("*").cast("long").alias("c_b")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            cell,
+            ["c_nationkey", "c_mktsegment", "sens_bucket"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "sens_bucket",
+            "t_b",
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+        )
+    )
+    wq = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "sens_bucket"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cums = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "sens_bucket",
+        F.sum("c_b").over(wq).cast("long").alias("c_cum"),
+        F.sum("t_b").over(wq).cast("long").alias("t_cum"),
+    )
+    diff = F.expr(
+        "CASE WHEN c_cum * n_all >= t_cum * k"
+        " THEN c_cum * n_all - t_cum * k"
+        " ELSE t_cum * k - c_cum * n_all END"
+    )
+    emd = F.expr(
+        "CAST(SUM(CASE WHEN c_cum * n_all >= t_cum * k"
+        " THEN c_cum * n_all - t_cum * k"
+        " ELSE t_cum * k - c_cum * n_all END) * 1000000"
+        " DIV (MIN(k) * n_all * (n_buckets - 1)) AS BIGINT)"
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_all", "n_buckets")
+        .agg(
+            F.min("k").cast("long").alias("k_anon"),
+            emd.alias("emd_ppm"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_anon",
+            "emd_ppm",
+            F.when(F.col("emd_ppm") <= 300000, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("ok_t03"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_neyman_allocation — variance-optimal stratified sample sizes
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 100
+
+
+@query(
+    "q_sample_neyman_allocation",
+    oracle=f"""
+WITH strata AS (
+  SELECT c_mktsegment AS stratum,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM customer GROUP BY 1
+),
+sd AS (
+  SELECT stratum, n_h,
+         CAST(FLOOR(SQRT(s2 / CAST(n_h AS DOUBLE)
+              - (s1 / CAST(n_h AS DOUBLE))
+                * (s1 / CAST(n_h AS DOUBLE)))) AS BIGINT) AS s_c
+  FROM strata
+),
+tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_pop,
+         CAST(SUM(n_h * s_c) AS BIGINT) AS sum_ns
+  FROM sd
+)
+SELECT sd.stratum, sd.n_h, sd.s_c,
+       CAST({_NEYMAN_N} * sd.n_h * sd.s_c // t.sum_ns AS BIGINT)
+         AS neyman_n,
+       CAST({_NEYMAN_N} * sd.n_h // t.n_pop AS BIGINT) AS proportional_n
+FROM sd CROSS JOIN tot t
+ORDER BY sd.stratum
+""",
+)
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation over the
+    customer segments: for a fixed budget n, sample n_h ∝ N_h·S_h —
+    strata that are BIG or VOLATILE get more budget, which minimizes
+    the variance of the stratified mean estimator; the proportional
+    allocation (n_h ∝ N_h) is emitted beside it as the naive baseline.
+    The survey-sampling DESIGN step in front of q_sample_stratified's
+    md5-bucket EXECUTION step. Determinism: the population sd per
+    stratum is computed from exact integer moments (cents), the float
+    appears only in one SQRT of an exact ratio — IEEE sqrt and
+    division are correctly rounded identically in both engines — and
+    is floored straight back to an integer cents scale before the
+    exact integer allocation arithmetic.
+
+    Scale shape: one map-side-combinable moments rollup to |strata|
+    rows; everything after runs on the bounded strata table. Headroom:
+    Σy² in cents² reaches int64 limits near 1e9 rows per stratum at
+    this value domain — shard-and-merge the moments (they add) before
+    that."""
+    cust = load_table(spark, sf_dir, "customer")
+    y = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    strata = cust.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y * y).cast("long").alias("s2"),
+    )
+    sd = strata.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                F.col("s2") / F.col("n_h").cast("double")
+                - (F.col("s1") / F.col("n_h").cast("double"))
+                * (F.col("s1") / F.col("n_h").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("s_c"),
+    )
+    tot = sd.agg(
+        F.sum("n_h").cast("long").alias("n_pop"),
+        F.sum(F.col("n_h") * F.col("s_c")).cast("long").alias("sum_ns"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            "s_c",
+            F.expr(
+                f"CAST({_NEYMAN_N} * n_h * s_c DIV sum_ns AS BIGINT)"
+            ).alias("neyman_n"),
+            F.expr(
+                f"CAST({_NEYMAN_N} * n_h DIV n_pop AS BIGINT)"
+            ).alias("proportional_n"),
+        )
+        .orderBy("stratum")
     )

@@ -2776,3 +2776,36 @@ def test_isotonic_fit_matches_sequential_pava(spark, sf_smoke):
     assert len(fitted_seq) == len(rows)
     for r, f in zip(rows, fitted_seq):
         assert abs(r.fitted_rate - f) < 1e-9, (r.bin, r.fitted_rate, f)
+
+
+def test_t_closeness_grid_is_domain_bounded(spark, sf_smoke):
+    """t-closeness: the global bucket table must BROADCAST onto the QI
+    grid (a dozen rows against |QI| groups — never a shuffle join), the
+    cumulative windows partition by the QI pair, and EMD stays within
+    [0, 1e6] ppm with l-diversity consistency (a 1-bucket group has
+    maximal skew unless the population is 1-bucket too)."""
+    import re
+
+    q = get_queries()["q_privacy_t_closeness"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(p == "c_nationkey" for p in specs), specs
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(0 <= r.emd_ppm <= 1_000_000 for r in rows)
+
+
+def test_neyman_allocation_single_moments_rollup(spark, sf_smoke):
+    """Neyman allocation: ONE map-side-combinable moments rollup to
+    |strata| rows; no corpus-grain join (the totals broadcast). The
+    allocations must spend at most the budget and dominate the
+    proportional split exactly where relative spread is higher."""
+    q = get_queries()["q_sample_neyman_allocation"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    assert sum(r.neyman_n for r in rows) <= 100
+    assert sum(r.proportional_n for r in rows) <= 100
+    assert all(r.s_c > 0 for r in rows)
