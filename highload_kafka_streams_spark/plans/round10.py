@@ -861,9 +861,11 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, rank+1). N-gram counting happens only for PAIRED
     documents (the join prunes the corpus before the explode), and the
     overlap join keys on (pair, gram) — token-grain but pair-local,
-    the same bounded-fanout contract as the dedup verify joins. Two
-    grams (uni+bi) = two independent count/join lineages joined back
-    at pair grain."""
+    the same bounded-fanout contract as the dedup verify joins. Uni-
+    and bigrams ride ONE fused count/join lineage (tokens carry no
+    spaces, bigrams always do, so the union is collision-free and a
+    conditional sum splits the orders back out at pair grain) — half
+    the shuffles of separate per-order pipelines."""
     docs = load_table(spark, sf_dir, "documents")
     ranked = docs.select(
         "doc_id",
@@ -892,16 +894,11 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b_rn") == F.col("a_rn") + 1),
     ).select("cand_id", "ref_id", "cand_text", "ref_text")
 
-    def _uni_counts(col: str):
-        return (
-            pairs.select(
-                "cand_id", F.explode(F.split(F.col(col), " ")).alias("tok")
-            )
-            .groupBy("cand_id", "tok")
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-
-    def _bi_counts(col: str):
+    def _gram_counts(col: str):
+        # unigrams and bigrams share ONE exploded lineage: tokens carry
+        # no spaces (split-defined), bigrams always do, so the union is
+        # collision-free and one count/join pass serves both orders —
+        # half the shuffles of separate uni/bi pipelines
         toks = F.split(F.col(col), " ")
         bgs = F.when(
             F.size(toks) >= 2,
@@ -915,45 +912,37 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
         return (
-            pairs.select("cand_id", F.explode(bgs).alias("bg"))
-            .groupBy("cand_id", "bg")
+            pairs.select("cand_id", F.explode(F.concat(toks, bgs)).alias("g"))
+            .groupBy("cand_id", "g")
             .agg(F.count("*").cast("long").alias("c"))
         )
 
-    ct1, rt1 = _uni_counts("cand_text"), _uni_counts("ref_text")
-    i1 = (
-        ct1.alias("ca")
+    ct, rt = _gram_counts("cand_text"), _gram_counts("ref_text")
+    is_bi = F.instr(F.col("ca.g"), " ") > 0
+    ov = (
+        ct.alias("ca")
         .join(
-            rt1.alias("ra"),
+            rt.alias("ra"),
             (F.col("ra.cand_id") == F.col("ca.cand_id"))
-            & (F.col("ra.tok") == F.col("ca.tok")),
+            & (F.col("ra.g") == F.col("ca.g")),
         )
         .groupBy(F.col("ca.cand_id").alias("cand_id"))
         .agg(
-            F.sum(F.least(F.col("ca.c"), F.col("ra.c")))
+            F.sum(
+                F.when(~is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
+            )
             .cast("long")
-            .alias("inter1")
-        )
-    )
-    ct2, rt2 = _bi_counts("cand_text"), _bi_counts("ref_text")
-    i2 = (
-        ct2.alias("cb")
-        .join(
-            rt2.alias("rb"),
-            (F.col("rb.cand_id") == F.col("cb.cand_id"))
-            & (F.col("rb.bg") == F.col("cb.bg")),
-        )
-        .groupBy(F.col("cb.cand_id").alias("cand_id"))
-        .agg(
-            F.sum(F.least(F.col("cb.c"), F.col("rb.c")))
+            .alias("inter1"),
+            F.sum(
+                F.when(is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
+            )
             .cast("long")
-            .alias("inter2")
+            .alias("inter2"),
         )
     )
     refn = F.size(F.split(F.col("ref_text"), " ")).cast("long")
     return (
-        pairs.join(i1, "cand_id", "left")
-        .join(i2, "cand_id", "left")
+        pairs.join(ov, "cand_id", "left")
         .select(
             "cand_id",
             "ref_id",
