@@ -893,6 +893,12 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_src") == F.col("a_src"))
         & (F.col("b_rn") == F.col("a_rn") + 1),
     ).select("cand_id", "ref_id", "cand_text", "ref_text")
+    # three consumers (cand counts, ref counts, final readout) — persist
+    # the PAIR-bounded frame so the ranking window and pair join run
+    # once, not three times (PLANS §12 cache-lifetime rule; the 10x
+    # audit caught the recomputation as an 11.8x scale ratio)
+    pairs = pairs.persist()
+    pairs.count()
 
     def _gram_counts(col: str):
         # unigrams and bigrams share ONE exploded lineage: tokens carry

@@ -2671,6 +2671,10 @@ def test_rouge_pairs_join_is_equi_and_pruned(spark, sf_smoke):
     plan = plan_of(q(spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pair frame has three consumers: its cache must appear in the
+    # plan, or the ranking window + pair join re-run per consumer (the
+    # 11.8x scale flag the r10 audit caught)
+    assert "InMemoryTableScan" in plan, plan
     rows = q(spark, sf_smoke).collect()
     assert rows
     for r in rows:
