@@ -181,6 +181,7 @@ R10 = [
     "q_time_kalman_1d",
     "q_privacy_t_closeness",
     "q_sample_neyman_allocation",
+    "q_privacy_dp_noisy_count",
 ]
 
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —

@@ -2,7 +2,7 @@
 privacy auditing, weighted sampling, rule-bundle quality gating,
 conformal intervals, summary-overlap evaluation, and Kalman smoothing.
 
-Ten additions — the remaining breadth gaps a production LLM-data
+Eleven additions — the remaining breadth gaps a production LLM-data
 pipeline hits that no earlier round covered:
 
 - q_eval_krippendorff_alpha — multi-rater chance-corrected agreement
@@ -33,6 +33,9 @@ pipeline hits that no earlier round covered:
 - q_sample_neyman_allocation — variance-optimal stratified sample
   sizes (n_h ∝ N_h·S_h) from exact integer moments; the DESIGN step
   in front of q_sample_stratified's execution step.
+- q_privacy_dp_noisy_count — seeded-Laplace differentially-private
+  count release (ε=1), one ⌊ln·1e6⌋ transcendental per calendar cell;
+  completes the privacy family (k-anon, l-div, t-close, DP).
 
 Every query is exact-integer (fixed-point BIGINT) in both engines
 except where a double is the DERIVED output of identical int64
@@ -1355,3 +1358,111 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_dp_noisy_count — seeded-Laplace differentially-private release
+# ---------------------------------------------------------------------------
+
+# 2^52 as a double divisor: a power of two, so u = h / 2^52 is EXACT
+# (no rounding), and identical in both engines.
+_DP_POW52 = "4503599627370496.0"
+
+
+@query(
+    "q_privacy_dp_noisy_count",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT event_type, day, true_cnt,
+         CAST(('0x' || substring(md5('dp:' || event_type || ':'
+              || CAST(CAST(day AS DATE) AS VARCHAR)), 1, 13)) AS BIGINT)
+           / {_DP_POW52} AS uu
+  FROM g
+),
+lap AS (
+  SELECT event_type, day, true_cnt,
+         CASE WHEN uu >= 0.5 THEN -1 ELSE 1 END AS sgn,
+         CAST(FLOOR(ln(CASE WHEN uu >= 0.5 THEN 2 * (1 - uu)
+                            ELSE 2 * uu END) * 1000000) AS BIGINT)
+           AS lnterm_fx
+  FROM u
+)
+SELECT event_type, day, true_cnt,
+       CAST(-sgn * lnterm_fx AS BIGINT) AS noise_fx,
+       CAST(true_cnt * 1000000 - sgn * lnterm_fx AS BIGINT)
+         AS noisy_cnt_fx,
+       (true_cnt * 1000000 - sgn * lnterm_fx) / 1000000.0 AS noisy_cnt
+FROM lap ORDER BY event_type, day
+""",
+)
+def q_privacy_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, ε = 1,
+    sensitivity 1) over the per-type daily event counts — the fourth
+    member of the privacy family: k-anonymity bounds re-identification,
+    l-diversity and t-closeness bound attribute disclosure, and DP
+    bounds what ANY release reveals about one row. Noise is Laplace(1/ε)
+    via the inverse CDF −sgn(u−½)·ln(1−2|u−½|) with u drawn from a
+    SEEDED md5 of the group key — deterministic for the cross-engine
+    check (a production release would use a fresh secret seed per
+    release and project away true_cnt; both are emitted here because
+    the correctness gate needs the truth beside the mechanism).
+    Determinism chain: the 52-bit hash is exact in int64 and double,
+    u = h/2^52 divides by a power of two (exact), the CASE folds to an
+    exact double, and ln lands in the ⌊ln·1e6⌋ fixed-point idiom the
+    bigram-LM oracle established — one transcendental per GROUP (a few
+    hundred calendar cells), never per row.
+
+    Scale shape: ONE map-side-combinable rollup to the calendar-bounded
+    (type, day) grid; the mechanism is a pure projection on the grid
+    rows. This is the standard shape of a DP telemetry release at any
+    corpus size — the noise cost is O(cells), the scan cost O(rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("true_cnt"))
+    u = g.select(
+        "event_type",
+        "day",
+        "true_cnt",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('dp:', event_type, ':',"
+                " CAST(CAST(day AS DATE) AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+            )
+            / F.lit(4503599627370496.0)
+        ).alias("uu"),
+    )
+    lap = u.select(
+        "event_type",
+        "day",
+        "true_cnt",
+        F.when(F.col("uu") >= 0.5, -1).otherwise(1).alias("sgn"),
+        F.floor(
+            F.log(
+                F.when(F.col("uu") >= 0.5, 2 * (1 - F.col("uu"))).otherwise(
+                    2 * F.col("uu")
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lnterm_fx"),
+    )
+    return lap.select(
+        "event_type",
+        "day",
+        "true_cnt",
+        (-F.col("sgn") * F.col("lnterm_fx")).cast("long").alias("noise_fx"),
+        (F.col("true_cnt") * 1000000 - F.col("sgn") * F.col("lnterm_fx"))
+        .cast("long")
+        .alias("noisy_cnt_fx"),
+        (
+            (F.col("true_cnt") * 1000000 - F.col("sgn") * F.col("lnterm_fx"))
+            / 1000000.0
+        ).alias("noisy_cnt"),
+    ).orderBy("event_type", "day")

@@ -2813,3 +2813,21 @@ def test_neyman_allocation_single_moments_rollup(spark, sf_smoke):
     assert sum(r.neyman_n for r in rows) <= 100
     assert sum(r.proportional_n for r in rows) <= 100
     assert all(r.s_c > 0 for r in rows)
+
+
+def test_dp_noisy_count_grid_projection(spark, sf_smoke):
+    """DP noisy count: one combinable rollup to the calendar grid, the
+    Laplace mechanism a pure projection on grid rows — no join, no
+    window. Noise must be symmetric-capable (both signs present on the
+    fixture) and noisy counts within true ± 40 (Laplace b=1 tail at
+    150 cells is far inside that)."""
+    q = get_queries()["q_privacy_dp_noisy_count"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    signs = {1 if r.noise_fx > 0 else -1 for r in rows if r.noise_fx != 0}
+    assert signs == {1, -1}, signs
+    assert all(abs(r.noisy_cnt - r.true_cnt) < 40 for r in rows)
