@@ -489,9 +489,10 @@ def main() -> None:
         "r9_total_sec": r9_total,
         "r10_total_sec": r10_total,
         # which timed queries read a memoized pair table instead of
-        # deriving it, and what the cold build cost (paid once during
-        # warm-up) — so memo-read timings are never mistaken for
-        # derivation timings in drift analysis
+        # deriving it, and what the cold builds cost (paid during
+        # warm-up; {kind: {"sec": total, "count": n}} ACCUMULATED over
+        # in-run rebuilds per the r10 advice) — so memo-read timings are
+        # never mistaken for derivation timings in drift analysis
         "memo_served": memo_served,
         "memo_build_sec": memo_stats()["builds"],
     }

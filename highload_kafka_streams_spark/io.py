@@ -127,14 +127,22 @@ _MEMO_ROOT: str | None = None
 # build+write seconds per kind, hits counts read-back serves per kind.
 # bench.py snapshots hits around each timed query so the artifact marks
 # which timings rode the memo instead of deriving the table.
+# builds ACCUMULATES across rebuilds of the same kind (r10 advisor: a
+# reaped _SUCCESS sentinel triggers an in-run rebuild, and an overwrite
+# would under-report the total cold-build cost the artifact claims to
+# record): each entry is {"sec": total_seconds, "count": n_builds}.
 _MEMO_STATS: dict[str, dict] = {"builds": {}, "hits": {}}
 
 
 def memo_stats() -> dict[str, dict]:
-    """Copy of the process's memo counters: ``{"builds": {kind: sec},
-    "hits": {kind: n_serves}}``."""
+    """Copy of the process's memo counters: ``{"builds": {kind: {"sec":
+    total_build_seconds, "count": n_builds}}, "hits": {kind:
+    n_serves}}``."""
     with _MEMO_LOCK:
-        return {"builds": dict(_MEMO_STATS["builds"]), "hits": dict(_MEMO_STATS["hits"])}
+        return {
+            "builds": {k: dict(v) for k, v in _MEMO_STATS["builds"].items()},
+            "hits": dict(_MEMO_STATS["hits"]),
+        }
 
 
 def _memo_valid(path: str) -> bool:
@@ -209,7 +217,9 @@ def memo_parquet(
             cleanup()
         with _MEMO_LOCK:
             _MEMO_PATHS[key] = path
-            _MEMO_STATS["builds"][kind] = round(time.perf_counter() - t0, 3)
+            slot = _MEMO_STATS["builds"].setdefault(kind, {"sec": 0.0, "count": 0})
+            slot["sec"] = round(slot["sec"] + (time.perf_counter() - t0), 3)
+            slot["count"] += 1
         return spark.read.parquet(path)
 
 

@@ -2446,10 +2446,13 @@ def test_memo_parquet_builds_once_and_invalidates_on_fixture_change(
     later calls read the materialized parquet; (b) the cleanup hook
     fires after the write; (c) a fixture whose source file changed
     (regenerated: new mtime/size) NEVER reuses the stale memo; (d) a
-    different kind under the same fixture gets its own entry."""
+    different kind under the same fixture gets its own entry; (e) the
+    builds counter ACCUMULATES seconds/count across rebuilds of one
+    kind (r10 advice: an overwrite under-reported in-run rebuild
+    cost)."""
     import time as _time
 
-    from highload_kafka_streams_spark.io import memo_parquet
+    from highload_kafka_streams_spark.io import memo_parquet, memo_stats
 
     fx = tmp_path / "fx"
     fx.mkdir()
@@ -2488,6 +2491,13 @@ def test_memo_parquet_builds_once_and_invalidates_on_fixture_change(
     d = memo_parquet(spark, str(fx), "t_double", ("documents",), build, "1")
     assert calls["build"] == 3
     assert sorted(r.v for r in d.collect()) == [0, 2, 4]
+
+    # (e) t_double built twice in this process → its builds entry must
+    # record BOTH (count 2, sec = the sum), not just the last one
+    builds = memo_stats()["builds"]
+    assert builds["t_double"]["count"] >= 2
+    assert builds["t_double"]["sec"] > 0
+    assert builds["t_inc"]["count"] >= 1
 
 
 def test_memo_parquet_concurrent_reaped_and_collision_free(spark, tmp_path):
@@ -2671,10 +2681,14 @@ def test_rouge_pairs_join_is_equi_and_pruned(spark, sf_smoke):
     plan = plan_of(q(spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # the pair frame has three consumers: its cache must appear in the
-    # plan, or the ranking window + pair join re-run per consumer (the
-    # 11.8x scale flag the r10 audit caught)
-    assert "InMemoryTableScan" in plan, plan
+    # the pair frame has three consumers: every consumer must read the
+    # MATERIALIZED memo parquet, or the ranking window + pair join
+    # re-run per consumer (the 11.8x scale flag the r10 audit caught;
+    # the r10-advice rewrite swapped the leaky persist() for
+    # io.memo_parquet, so the plan now scans rouge_pairs files and
+    # contains no window at all — the ranking ran once, at build time)
+    assert "rouge_pairs" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
     rows = q(spark, sf_smoke).collect()
     assert rows
     for r in rows:
@@ -2797,6 +2811,51 @@ def test_t_closeness_grid_is_domain_bounded(spark, sf_smoke):
     assert specs and all(p == "c_nationkey" for p in specs), specs
     rows = q(spark, sf_smoke).collect()
     assert rows and all(0 <= r.emd_ppm <= 1_000_000 for r in rows)
+
+
+def test_t_closeness_staged_ppm_no_overflow(spark):
+    """r10-advice overflow guard: the old EMD formula SUM(diff)·1e6 DIV D
+    needed B·k·N·1e6 ≤ 9.2e18 (breached near TPC-H sf≥50, where Spark's
+    non-ANSI int64 wraps SILENTLY while DuckDB errors). The staged form
+    ⌊R·1e6/D⌋ = (R·1e3 div D)·1e3 + ((R·1e3 mod D)·1e3 div D) is (a) an
+    exact identity, (b) int64-safe while D ≤ 9.2e15, and (c) identical
+    in Spark and DuckDB — checked here on adversarial (R, D) pairs where
+    R·1e6 ALREADY exceeds 2^63, i.e. exactly the regime the old formula
+    corrupted."""
+    import duckdb
+
+    # R ≤ D (EMD ≤ 1 guarantees this in the query); push both toward
+    # the documented staging bound D ≤ 9.2e15 and include the wrap
+    # regime R·1e6 > 2^63 (R > ~9.2e12)
+    cases = [
+        (9_200_000_000_000_000, 9_200_000_000_000_000),  # R = D (EMD = 1)
+        (9_199_999_999_999_999, 9_200_000_000_000_000),
+        (2_760_000_000_000_123, 9_200_000_000_000_000),  # ~0.3 boundary
+        (9_223_372_036_854,     9_200_000_000_000_000),  # just below wrap
+        (9_223_372_036_854_000, 9_223_372_036_854_775),  # at int64/1e3
+        (1,                     9_200_000_000_000_000),
+        (0,                     9_200_000_000_000_000),
+    ]
+    staged = (
+        "CAST((r * 1000 DIV d) * 1000"
+        " + ((r * 1000 % d) * 1000) DIV d AS BIGINT)"
+    )
+    got = {
+        (row.r, row.d): row.ppm
+        for row in spark.createDataFrame(cases, "r long, d long")
+        .selectExpr("r", "d", f"{staged} AS ppm")
+        .collect()
+    }
+    con = duckdb.connect()
+    for r, d in cases:
+        exact = (r * 1_000_000) // d  # Python big-int: the true value
+        assert got[(r, d)] == exact, (r, d, got[(r, d)], exact)
+        duck = con.execute(
+            f"SELECT CAST(({r}::BIGINT * 1000 // {d}) * 1000"
+            f" + (({r}::BIGINT * 1000 % {d}) * 1000) // {d} AS BIGINT)"
+        ).fetchone()[0]
+        assert duck == exact, (r, d, duck, exact)
+    con.close()
 
 
 def test_neyman_allocation_single_moments_rollup(spark, sf_smoke):
