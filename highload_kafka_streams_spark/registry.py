@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "highload_kafka_streams_spark.plans.round8",
     "highload_kafka_streams_spark.plans.round9",
     "highload_kafka_streams_spark.plans.round10",
+    "highload_kafka_streams_spark.plans.round11",
     "highload_kafka_streams_spark.functions.scalar",
     "highload_kafka_streams_spark.functions.udfs",
     "highload_kafka_streams_spark.streaming.replay",
@@ -487,6 +488,13 @@ _QUERY_LEDGER = (
     # ~19 slots rotating stale r1 evidence)
     "q_agg_quantile_sketch_mergeable",
     "q_dedup_weighted_jaccard",
+    # round 11 (capped at 4 new oracle-backed — the window must absorb
+    # the four r11 rewrites' re-verification plus stale-evidence
+    # rotation): decoding, causal eval, basket rules, feature binning
+    "q_time_viterbi_decode",
+    "q_eval_did_estimator",
+    "q_basket_rules_confidence",
+    "q_feature_decile_binning",
 )
 
 # Rows-only (no batch-SQL oracle) queries, pinned LAST in a fixed relative

@@ -2890,3 +2890,101 @@ def test_dp_noisy_count_grid_projection(spark, sf_smoke):
     signs = {1 if r.noise_fx > 0 else -1 for r in rows if r.noise_fx != 0}
     assert signs == {1, -1}, signs
     assert all(abs(r.noisy_cnt - r.true_cnt) < 40 for r in rows)
+
+
+def test_viterbi_decode_is_optimal_and_fold_shaped(spark, sf_smoke):
+    """Viterbi (r11): the fold must run on the Kalman lane — one
+    combinable daily rollup, broadcast stats join, NO analytic window,
+    no sort-merge join — and the decoded path must be max-plus OPTIMAL:
+    an independent pure-Python forward DP (scores only, no survivor
+    paths — a different formulation than the SQL fold) must attain
+    exactly the emitted path's score, per event type."""
+    q = get_queries()["q_time_viterbi_decode"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(r.state in (0, 1) and r.sym in (0, 1) for r in rows)
+
+    STAY, SWITCH, MATCH, MISS = 1, -2, 2, -1
+
+    def score(syms, path):
+        s = MATCH if path[0] == syms[0] else MISS
+        for i in range(1, len(path)):
+            s += STAY if path[i] == path[i - 1] else SWITCH
+            s += MATCH if path[i] == syms[i] else MISS
+        return s
+
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.day, r.sym, r.state))
+    for et, seq in by_type.items():
+        seq.sort()
+        syms = [s for _, s, _ in seq]
+        path = [st for _, _, st in seq]
+        # independent forward DP: max score over ALL 2^n paths in O(n)
+        s0 = MATCH if syms[0] == 0 else MISS
+        s1 = MATCH if syms[0] == 1 else MISS
+        for y in syms[1:]:
+            s0, s1 = (
+                max(s0 + STAY, s1 + SWITCH) + (MATCH if y == 0 else MISS),
+                max(s0 + SWITCH, s1 + STAY) + (MATCH if y == 1 else MISS),
+            )
+        best = max(s0, s1)
+        assert score(syms, path) == best, (et, syms, path)
+
+
+def test_did_estimator_single_rollup_no_join(spark, sf_smoke):
+    """DiD (r11): one map-side-combinable rollup to 4 cells, a 4-row
+    pivot, no join anywhere; the reported did_fx must recompose from
+    the four cell means and the cell counts must cover every order."""
+    q = get_queries()["q_eval_did_estimator"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    (r,) = q(spark, sf_smoke).collect()
+    assert r.did_fx == (r.mean_t_post_fx - r.mean_t_pre_fx) - (
+        r.mean_c_post_fx - r.mean_c_pre_fx
+    )
+    total = load_table(spark, sf_smoke, "orders").count()
+    assert r.n_t_pre + r.n_t_post + r.n_c_pre + r.n_c_post == total
+
+
+def test_basket_rules_ride_memo_and_take_ordered(spark, sf_smoke):
+    """Basket rules (r11): supports must read the memoized pair-count
+    silver table (never re-derive the per-order self-join), the top-k
+    cut must be TakeOrderedAndProject (no global sort
+    materialization), and the rule arithmetic must be internally
+    consistent: supp_ab <= min(supp_a, supp_b), conf <= 1e6, rows
+    sorted by the documented strict total order."""
+    q = get_queries()["q_basket_rules_confidence"]
+    plan = plan_of(q(spark, sf_smoke))
+    assert "copurchase_pair_counts" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = q(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.supp_ab <= min(r.supp_a, r.supp_b)
+        assert 0 < r.conf_ppm <= 1_000_000
+        assert r.lift_ppm > 0
+    keys = [(-r.lift_ppm, -r.conf_ppm, r.a, r.b) for r in rows]
+    assert keys == sorted(keys), "top-k not in the documented order"
+
+
+def test_decile_binning_equal_counts_ordered_bounds(spark, sf_smoke):
+    """Decile binning (r11): exactly 10 bins whose counts differ by at
+    most 1 (ntile contract), bin value ranges non-overlapping and
+    ordered, counts covering every customer, and each bin mean inside
+    its own [lo, hi]."""
+    q = get_queries()["q_feature_decile_binning"]
+    rows = q(spark, sf_smoke).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sum(counts) == load_table(spark, sf_smoke, "customer").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi_c <= cur.lo_c
+    for r in rows:
+        assert r.lo_c * 100 <= r.mean_fx <= r.hi_c * 100
