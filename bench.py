@@ -184,6 +184,16 @@ R10 = [
     "q_privacy_dp_noisy_count",
 ]
 
+# Round-11 additions as their own series (`r11_total_sec`, first
+# measured in BENCH_LOCAL_r11): Viterbi decoding, DiD, basket rules,
+# decile binning.
+R11 = [
+    "q_time_viterbi_decode",
+    "q_eval_did_estimator",
+    "q_basket_rules_confidence",
+    "q_feature_decile_binning",
+]
+
 # TPC-H group (r4): all 22 adapted TPC-H shapes as their own series —
 # the classic composite-join/agg workload, reported as `tpch_total_sec`
 # starting this round (not in `value`, same reasoning as EXTENDED).
@@ -347,7 +357,7 @@ def main() -> None:
     spark = get_spark(app_name="hks-bench")
     queries = registry.get_queries()
 
-    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9 + R10))
+    all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9 + R10 + R11))
     names = [n for n in all_names if n in queries]
     missing = [n for n in all_names if n not in queries]
     if missing:
@@ -475,6 +485,7 @@ def main() -> None:
     r8_total = round(sum(timings[n] for n in R8 if n in timings), 3)
     r9_total = round(sum(timings[n] for n in R9 if n in timings), 3)
     r10_total = round(sum(timings[n] for n in R10 if n in timings), 3)
+    r11_total = round(sum(timings[n] for n in R11 if n in timings), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -488,6 +499,7 @@ def main() -> None:
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
         "r10_total_sec": r10_total,
+        "r11_total_sec": r11_total,
         # which timed queries read a memoized pair table instead of
         # deriving it, and what the cold builds cost (paid during
         # warm-up; {kind: {"sec": total, "count": n}} ACCUMULATED over
@@ -610,6 +622,7 @@ def main() -> None:
         "r8_total_sec": r8_total,
         "r9_total_sec": r9_total,
         "r10_total_sec": r10_total,
+        "r11_total_sec": r11_total,
         "n_queries_timed": len(timings),
         "n_memo_served": len(memo_served),
         "memo_build_sec": memo_stats()["builds"],
