@@ -346,6 +346,33 @@ def _copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_order_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part order-support table ``(p, supp)`` = number of distinct
+    orders containing the part — the item-grain companion to
+    ``_copurchase_pair_counts`` (confidence divides by it, lift divides
+    by the consequent's). Memoized separately: the distinct (part,
+    order) projection is the same corpus-grain shuffle the pair memo
+    saves, so re-deriving it per bench pass would hand back most of the
+    memo's win (caught by the r11 canonical run: 5.7 s/pass with the
+    rollup inline, ~3 s riding both memos)."""
+    from highload_kafka_streams_spark.io import memo_parquet
+
+    def build(s: SparkSession) -> DataFrame:
+        li = load_table(s, sf_dir, "lineitem")
+        return (
+            li.select(
+                F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")
+            )
+            .distinct()
+            .groupBy("p")
+            .agg(F.count("*").cast("long").alias("supp"))
+        )
+
+    return memo_parquet(
+        spark, sf_dir, "part_order_supports", ("lineitem",), build, "1"
+    )
+
+
 @query(
     "q_basket_rules_confidence",
     oracle=f"""
@@ -390,19 +417,14 @@ def q_basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity computed identically in both engines with headroom
     conf_ppm·N ≤ 1e6·N — inside int64 to N ≈ 9e12 orders.
 
-    Scale shape: supports ride the memoized pair-count silver table
-    (``_copurchase_pair_counts``, order-local fan-out, built once per
-    fixture); item supports are one combinable rollup of the distinct
-    (part, order) projection; the rule join keys on part (co-keyed
-    shuffle, item table dwarfed by pairs), the order total is a
-    broadcast scalar, and the final cut is TakeOrderedAndProject —
-    never a global sort materialization."""
+    Scale shape: BOTH support tables are memoized silver tables
+    (``_copurchase_pair_counts`` — order-local fan-out — and the
+    item-grain ``_part_order_supports``), built once per fixture; the
+    rule join keys on part (co-keyed shuffle, item table dwarfed by
+    pairs), the order total is a broadcast scalar, and the final cut
+    is TakeOrderedAndProject — never a global sort materialization."""
     pc = _copurchase_pair_counts(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")
-    ).distinct()
-    item = po.groupBy("p").agg(F.count("*").cast("long").alias("supp"))
+    item = _part_order_supports(spark, sf_dir)
     tot = load_table(spark, sf_dir, "orders").agg(
         F.count("*").cast("long").alias("n_orders")
     )
