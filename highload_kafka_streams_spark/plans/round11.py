@@ -216,30 +216,33 @@ WITH cells AS (
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y_c
   FROM orders
 ),
-m AS (
-  SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
-         CAST((SUM(y_c) * 100) // count(*) AS BIGINT) AS mean_fx
-  FROM cells GROUP BY 1, 2
-),
 p AS (
   SELECT
-    CAST(MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS BIGINT)
-      AS n_t_pre,
-    CAST(MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS BIGINT)
-      AS n_t_post,
-    CAST(MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS BIGINT)
-      AS n_c_pre,
-    CAST(MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS BIGINT)
-      AS n_c_post,
-    CAST(MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_fx END)
+    CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_t_pre,
+    CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_t_post,
+    CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_c_pre,
+    CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_c_post,
+    CAST((SUM(CASE WHEN treated = 1 AND post = 0 THEN y_c ELSE 0 END)
+          * 100)
+         // SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)
          AS BIGINT) AS mean_t_pre_fx,
-    CAST(MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_fx END)
+    CAST((SUM(CASE WHEN treated = 1 AND post = 1 THEN y_c ELSE 0 END)
+          * 100)
+         // SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)
          AS BIGINT) AS mean_t_post_fx,
-    CAST(MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_fx END)
+    CAST((SUM(CASE WHEN treated = 0 AND post = 0 THEN y_c ELSE 0 END)
+          * 100)
+         // SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)
          AS BIGINT) AS mean_c_pre_fx,
-    CAST(MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_fx END)
+    CAST((SUM(CASE WHEN treated = 0 AND post = 1 THEN y_c ELSE 0 END)
+          * 100)
+         // SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)
          AS BIGINT) AS mean_c_post_fx
-  FROM m
+  FROM cells
 )
 SELECT *,
        CAST((mean_t_post_fx - mean_t_pre_fx)
@@ -258,9 +261,12 @@ def q_eval_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σcents·100 div n, all positive so truncation = floor in both
     engines); the DiD is a pure integer combination of the four means.
 
-    Scale shape: ONE map-side-combinable rollup to 4 cells, then a
-    4-row conditional pivot — corpus-size-independent after the first
-    exchange; nothing driver-side, no join anywhere."""
+    Scale shape: ONE fused conditional aggregation — the 2×2 cell
+    sums/counts are eight SUM(CASE…) accumulators in a single
+    map-side-combinable global agg, so the whole estimator is one scan
+    + one 8-value exchange (the r11 canonical bench caught the earlier
+    rollup-then-pivot form paying a second exchange for nothing);
+    nothing driver-side, no join anywhere."""
     orders = load_table(spark, sf_dir, "orders")
     cells = orders.select(
         F.when(
@@ -277,28 +283,33 @@ def q_eval_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y_c"),
     )
-    m = cells.groupBy("treated", "post").agg(
-        F.count("*").cast("long").alias("n"),
-        F.expr("CAST(SUM(y_c) * 100 DIV count(*) AS BIGINT)").alias(
-            "mean_fx"
-        ),
-    )
+    def n_cell(t: int, po: int):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == po), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+        )
 
-    def cell(col: str, t: int, po: int):
-        return F.max(
-            F.when((F.col("treated") == t) & (F.col("post") == po), F.col(col))
-        ).cast("long")
+    def mean_cell(t: int, po: int):
+        cond = f"treated = {t} AND post = {po}"
+        return F.expr(
+            f"CAST(SUM(CASE WHEN {cond} THEN y_c ELSE 0 END) * 100"
+            f" DIV SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        )
 
     return (
-        m.agg(
-            cell("n", 1, 0).alias("n_t_pre"),
-            cell("n", 1, 1).alias("n_t_post"),
-            cell("n", 0, 0).alias("n_c_pre"),
-            cell("n", 0, 1).alias("n_c_post"),
-            cell("mean_fx", 1, 0).alias("mean_t_pre_fx"),
-            cell("mean_fx", 1, 1).alias("mean_t_post_fx"),
-            cell("mean_fx", 0, 0).alias("mean_c_pre_fx"),
-            cell("mean_fx", 0, 1).alias("mean_c_post_fx"),
+        cells.agg(
+            n_cell(1, 0).alias("n_t_pre"),
+            n_cell(1, 1).alias("n_t_post"),
+            n_cell(0, 0).alias("n_c_pre"),
+            n_cell(0, 1).alias("n_c_post"),
+            mean_cell(1, 0).alias("mean_t_pre_fx"),
+            mean_cell(1, 1).alias("mean_t_post_fx"),
+            mean_cell(0, 0).alias("mean_c_pre_fx"),
+            mean_cell(0, 1).alias("mean_c_post_fx"),
         )
         .withColumn(
             "did_fx",
