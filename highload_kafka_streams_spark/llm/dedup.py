@@ -1947,6 +1947,13 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.count() == 0:
             break
+        # r11 NEGATIVE RESULT (measured, kept for the record): replacing
+        # this per-hop visited re-checkpoint with a lazy union of the
+        # already-checkpointed hop frames REGRESSED 2.8 s → 5.6 s —
+        # every hop's anti-join build side then evaluates a k-leg union
+        # (k × 32 partitions of scan tasks per broadcast) instead of one
+        # materialized table. The single re-checkpoint job per hop is
+        # cheaper than the union it avoids.
         new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         # free superseded checkpoint blocks NOW: they live in the unified
         # storage pool outside the catalog cache (clearCache can't reach
@@ -2227,31 +2234,33 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.u", "e.v")
     # every LPA round references sym twice — persist so it builds once
     sym = sym.persist()
-    # neighbor-label view of round 0: identity labels, lab(v) = v
-    lab = sym.select("u", F.col("v").alias("lv"))
 
-    picked = None
-    for _ in range(2):
-        cnt = lab.groupBy("u", F.col("lv").alias("l")).agg(
-            F.count("*").alias("cnt")
-        )
-        # mode pick as a HASH aggregate, not a sort window (r9): the
-        # (count DESC, label ASC) total order is exactly max over the
-        # orderable struct (cnt, -l) — max_by keeps both rounds fully
-        # map-side-combinable and drops the per-round partition sort a
-        # row_number window pays. Labels are positive BIGINTs, so -l is
-        # exact and the order strict (l unique within a group).
-        picked = cnt.groupBy("u").agg(
-            F.max_by(
-                F.col("l"), F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
-            ).alias("l")
-        )
-        # next round's neighbor-label view: edges decorated with the
-        # neighbor's freshly-picked label
-        lab = sym.join(
-            picked.select(F.col("u").alias("v"), F.col("l").alias("lv")),
-            "v",
-        ).select("u", "lv")
+    # Round 1 collapses to ONE aggregate (r11, guide §2.4): labels start
+    # as identity, and sym rows are UNIQUE (distinct pairs symmetrized),
+    # so every neighbor-label count is exactly 1 and the
+    # (count DESC, label ASC) mode is simply the MINIMUM neighbor id —
+    # min(v) — with no (u, label) count rollup. Identical result (the
+    # unchanged oracle re-verified at sf0.01/sf0.1), one exchange less.
+    picked = sym.groupBy("u").agg(F.min("v").alias("l"))
+    # round 2: neighbor-label view from round 1's picks, then the mode
+    # as a HASH aggregate, not a sort window (r9): the
+    # (count DESC, label ASC) total order is exactly max over the
+    # orderable struct (cnt, -l) — max_by keeps the round fully
+    # map-side-combinable and drops the partition sort a row_number
+    # window pays. Labels are positive BIGINTs, so -l is exact and the
+    # order strict (l unique within a group).
+    lab = sym.join(
+        picked.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+        "v",
+    ).select("u", "lv")
+    cnt = lab.groupBy("u", F.col("lv").alias("l")).agg(
+        F.count("*").alias("cnt")
+    )
+    picked = cnt.groupBy("u").agg(
+        F.max_by(
+            F.col("l"), F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
+        ).alias("l")
+    )
     return (
         picked.groupBy(F.col("l").alias("community"))
         .agg(F.count("*").cast("long").alias("size"))

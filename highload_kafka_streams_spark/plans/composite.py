@@ -1596,9 +1596,32 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-part MIN only matters for parts that survive the part
     # filter, so the filter joins in BEFORE the rollup (correct because
     # mn is keyed per part): at the reference filter's ~4% part
-    # selectivity this shrinks both the rollup input and the rejoin ~25×
+    # selectivity this shrinks both the rollup input and the rejoin ~25×.
+    # r11 (guide §3.2/§2.3): push BOTH restrictions below the rollup as
+    # semi-joins on the FACT table — the (partkey, suppkey) groups are
+    # dropped wholesale by a partkey or suppkey predicate, so per-group
+    # MINs are unchanged (oracle re-verified at sf0.01/sf0.1) and the
+    # rollup aggregates ~1% of lineitem instead of all of it.
+    euro_keys = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    li_q2 = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(euro_keys),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    )
+    # persist: eligible feeds both the min rollup and the rejoin —
+    # uncached, the whole scan→semi-join→rollup lineage executes twice
+    # (the two consumers key their exchanges differently, so nothing
+    # reuses). The cached table is ~1% of partsupp.
     eligible = (
-        _derived_partsupp(li)
+        _derived_partsupp(li_q2)
         .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -1607,6 +1630,7 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey", "ps_cost_fp", "s_acctbal", "s_name", "n_name",
             "p_partkey", "p_name",
         )
+        .persist()
     )
     mn = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
         F.min("ps_cost_fp").alias("min_cost_fp")
@@ -1668,7 +1692,20 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    ps = _derived_partsupp(li)
+    # r11 (guide §3.2/§2.3 — reduce the big side before the shuffle):
+    # derive the partsupp rollup from the PART-PREFILTERED lineitem
+    # instead of the full table. The LIKE keeps ~10% of parts, the
+    # rollup's min/sum group on (partkey, suppkey), and a partkey
+    # predicate drops whole groups only — per-group aggregates are
+    # unchanged (oracle re-verified at sf0.01/sf0.1). The q2 rollup
+    # applies the same discipline; this was the one TPC-H shape still
+    # aggregating lineitem twice at full width.
+    li_red = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    ps = _derived_partsupp(li_red)
     rev_fp = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
         + F.lit(0.5)
@@ -1738,11 +1775,27 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "EUROPE"
     )
-    pv = (
-        _derived_partsupp(li)
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+    # r11 (guide §3.2/§2.3): resolve the region restriction to a
+    # EUROPEAN SUPPLIER-KEY set first (three broadcast-size dims) and
+    # semi-join lineitem on it BEFORE the partsupp rollup — the rollup
+    # then aggregates ~1/5 of the fact table, and the old post-rollup
+    # supplier→nation→region join chain disappears (each ps row was
+    # 1:1 with its supplier, so those joins only re-checked the same
+    # predicate). Groups key on (partkey, suppkey); a suppkey filter
+    # drops whole groups, so per-group sums are unchanged (oracle
+    # re-verified at sf0.01/sf0.1).
+    euro_keys = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    li_euro = li.join(
+        F.broadcast(euro_keys),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    )
+    pv = (
+        _derived_partsupp(li_euro)
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_cost_fp") * F.col("ps_qty")).alias("value_fp"))
         .persist()

@@ -873,6 +873,11 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = fp.groupBy("fp").count().filter(
         F.col("count") <= WINNOW_HUB_CAP
     ).select("fp")
+    # r11 NEGATIVE RESULT (measured): persisting `kept` regressed
+    # 2.5 s → 3.4 s. Both self-join sides DO recompute the freq
+    # aggregate + fp⋈freq join, but from the fp cache that work is
+    # cheaper than the extra materialization barrier and storage write
+    # a second persist adds. fp stays the one cache.
     kept = fp.join(freq, "fp")
     pairs = (
         kept.alias("a")

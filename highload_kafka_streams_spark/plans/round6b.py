@@ -480,13 +480,20 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1r = w.groupBy("e").agg(
         F.sum(F.col("w") * _HITS_ONE).alias("a")
     )
-    a1 = norm(a1r, "a")
+    # persist the per-half-step score tables: a1 feeds BOTH h1r and the
+    # final readout join, h1 feeds a2r — without the cache each
+    # reference re-inlines the whole upstream subtree (measured: the
+    # r11 before-plan carried 102 Exchange nodes, 52 scans of the
+    # cached edge table; with a1/h1 cached it is one linear chain).
+    # Score tables are entity-sized (event types / users), the same
+    # bounded state every iterative-rank loop persists.
+    a1 = norm(a1r, "a").persist()
     h1r = (
         w.join(a1.withColumnRenamed("a", "a1"), "e")
         .groupBy("u")
         .agg(F.sum(F.col("w") * F.col("a1")).alias("h"))
     )
-    h1 = norm(h1r, "h")
+    h1 = norm(h1r, "h").persist()
     a2r = (
         w.join(h1, "u")
         .groupBy("e")
@@ -1549,6 +1556,15 @@ def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_AHASH_BLOCKS)
         ]
     )
+    # r11 (guide §1.2 per-task work): the block total ΣS used to sit
+    # INSIDE the per-bit lambda — aggregate(bl) re-folded 32× per doc
+    # (1024 element steps on the interpreted HOF path). A plain staged
+    # projection does NOT survive: CollapseProject inlines a
+    # once-referenced alias back into the lambda body (verified on the
+    # optimized plan). The explode-of-1-element-array Generate is the
+    # barrier that pins ΣS as a real per-row attribute, folded once.
+    # Bit rule unchanged (S_b·32 ≥ ΣS); bl itself is referenced twice,
+    # so its projection already survives.
     hashed = docs.select(
         "doc_id",
         F.col("meta.channel").alias("channel"),
@@ -1556,10 +1572,16 @@ def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "channel",
+        "bl",
+        F.explode(
+            F.array(F.expr("aggregate(bl, 0, (a, v) -> a + v)"))
+        ).alias("bl_tot"),
+    ).select(
+        "doc_id",
+        "channel",
         F.expr(
             f"CAST(aggregate(zip_with(bl, sequence(0, {_AHASH_BLOCKS - 1}),"
-            f" (x, i) -> CASE WHEN x * {_AHASH_BLOCKS} >="
-            " aggregate(bl, 0, (a, v) -> a + v)"
+            f" (x, i) -> CASE WHEN x * {_AHASH_BLOCKS} >= bl_tot"
             " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT)"
             " END), CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
         ).alias("h"),
@@ -1573,10 +1595,15 @@ def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(h >> (8 * j)) & 255").alias("bv"),
     )
     wb = Window.partitionBy("channel", "j", "bv")
+    # persist: kept feeds both sides of the candidate self-join —
+    # uncached, the whole signature lineage (scan → 32-block aHash
+    # projection → band fan-out → hub-cap window) ran twice (r11
+    # before-plan: 2 parquet scans + 2 Window nodes; after: 1 + cache)
     kept = (
         bands.withColumn("bucket_n", F.count("*").over(wb))
         .filter(F.col("bucket_n") <= _AHASH_HUB_CAP)
         .drop("bucket_n")
+        .persist()
     )
     ka, kb = kept.alias("a"), kept.alias("b")
     cand = (

@@ -109,11 +109,22 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back at panel cardinality. At a 1000-executor scale the
     query panel stays driver-bounded (eval sets are thousands, not
     corpus-sized) — the corpus never self-joins."""
+    from highload_kafka_streams_spark.llm.similarity import fdot
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # r11 (guide §1.2 per-task work): hoist the norms OUT of the
+    # query × corpus cross product. cosine() expands to three fdot HOF
+    # chains per scored row (~3 × 64 interpreted lambda steps); the
+    # corpus norm is constant per corpus row and the query norm per
+    # query row, so computing them in the pre-join projections does
+    # 1× fdot per scored row instead of 3×. Same IEEE ops in the same
+    # order (dot / (sqrt_na * sqrt_nb)), so cos_sim is bit-identical —
+    # the oracle re-verified at sf0.01 and sf0.1.
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
+        F.sqrt(fdot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     corpus = emb.filter(F.col("vec_id") >= 20)
     nrel = (
@@ -122,11 +133,17 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("label") == F.col("q_label"))
         .select("q_id", "n_rel")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = corpus.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(fdot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    ).crossJoin(F.broadcast(q)).select(
         "q_id",
         "vec_id",
         F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
-        cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        (fdot(F.col("embedding"), F.col("qe")) / (F.col("cn") * F.col("qn")))
+        .alias("cos_sim"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     topk = (
@@ -1383,6 +1400,12 @@ def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ")"
         ).alias("c"),
     )
+    # r11 NEGATIVE RESULT (measured): hoisting Σc out of the per-bit
+    # lambda via the explode-of-1-element Generate barrier regressed
+    # 2.2 s → 2.8 s — the saved refold is only 15×15 element steps per
+    # doc, smaller than the Generate's per-row overhead. (The same
+    # barrier PAYS in q_multimodal_ahash_buckets, where the refold is
+    # 32×32 per doc and the signature lineage feeds a self-join.)
     sig = co.select(
         "doc_id",
         "channel",

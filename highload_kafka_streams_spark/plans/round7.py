@@ -508,9 +508,13 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-cardinality; at 100 TB it shuffles on the pair's part keys
     instead — both sides key-partitioned) → TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
+    # persist: po feeds the degree rollup AND both sides of the
+    # within-order pair join — uncached, the corpus-grain distinct
+    # (scan + exchange) re-runs three times (r11 before-plan: 3 parquet
+    # scans of lineitem; after: one, then cached reads)
     po = li.select(
         F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")
-    ).distinct()
+    ).distinct().persist()
     deg = po.groupBy("p").agg(F.count("*").cast("long").alias("d"))
     b = po.select(F.col("p").alias("pb"), F.col("o").alias("o2"))
     inter = (
@@ -887,23 +891,28 @@ def q_multimodal_vad_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, frames-per-doc fixed at 8), then a (doc, seg) rollup and
     a channel rollup — corpus read once, no UDF, no pair table."""
     d = load_table(spark, sf_dir, "documents")
+    # r11 (guide §1.2 per-task work): stage the decode as doc-grain
+    # ARRAYS — decode the 64 payload bytes once per document, fold the
+    # 8 frame energies over slices of that array, THEN explode. The old
+    # form exploded first and re-evaluated ascii(substring(rpad(...)))
+    # 16× per frame row (128 rpad+substring+ascii per doc through the
+    # interpreted HOF path); this computes 64, once, at corpus grain.
+    # Energy per frame is the identical Σ(byte−96)² integer (oracle
+    # re-verified at sf0.01/sf0.1); the window stages are untouched.
     frames = d.select(
         "doc_id",
-        "text",
         (F.col("doc_id") % 3).cast("int").alias("channel"),
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_no"),
+        F.expr(
+            "transform(sequence(0, 7), f -> CAST(aggregate("
+            " transform(sequence(0, 7),"
+            "       i -> ascii(substring(rpad(text, 64, ' '),"
+            "            f * 8 + i + 1, 1)) - 96),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x * x) AS BIGINT))"
+        ).alias("energies"),
     ).select(
         "doc_id",
         "channel",
-        "frame_no",
-        F.expr(
-            "CAST(aggregate(transform(sequence(0, 7),"
-            " i -> (ascii(substring(rpad(text, 64, ' '),"
-            "       frame_no * 8 + i + 1, 1)) - 96)"
-            " * (ascii(substring(rpad(text, 64, ' '),"
-            "       frame_no * 8 + i + 1, 1)) - 96)),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
-        ).alias("energy"),
+        F.posexplode("energies").alias("frame_no", "energy"),
     )
     marked = frames.select(
         "doc_id",

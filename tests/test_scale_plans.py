@@ -1768,15 +1768,26 @@ def test_littles_law_sessionizes_per_user(spark, sf_smoke):
 
 
 def test_ahash_signature_is_projection_and_join_is_banded(spark, sf_smoke):
-    """The aHash signature must build as a projection (no Generate from
-    the block array) and candidates must come from a hash equi-join on
-    (channel, band, value) — never a cartesian over documents. The only
-    nested-loop nodes allowed are the bounded 4-row band-range
-    broadcasts."""
+    """The aHash signature must build as a projection (no row fan-out
+    from the 32-block array) and candidates must come from a hash
+    equi-join on (channel, band, value) — never a cartesian over
+    documents. The only nested-loop nodes allowed are the bounded
+    4-row band-range broadcasts. r11: the ONE permitted Generate is
+    the explode-of-1-element ΣS barrier (it pins the block total as a
+    per-row attribute so the per-bit lambda stops re-folding the block
+    array 32×/doc — CollapseProject would re-inline a plain staged
+    alias); it produces exactly one output row per input row, so the
+    no-fan-out contract this lock pins is intact."""
     plan = plan_of(get_queries()["q_multimodal_ahash_buckets"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
-    assert "Generate" not in plan, plan
+    # formatted output: tree lines name "Generate (n)", the generator
+    # expression lives on that node's "Arguments:" detail line — every
+    # explode in the plan must be the 1-element ΣS barrier, nothing may
+    # fan out the block array
+    explodes = [ln for ln in plan.splitlines() if "explode(" in ln]
+    assert explodes, plan  # the ΣS barrier must be present
+    assert all("explode(array(aggregate(bl" in ln for ln in explodes), plan
 
 
 def test_dtw_udf_sees_only_bounded_series(spark, sf_smoke):
