@@ -911,10 +911,18 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "rouge_pairs", ("documents",), _build_pairs, "1"
     )
 
-    def _grams(col: str):
+    def _gram_counts(col: str):
         # unigrams and bigrams share ONE exploded lineage: tokens carry
         # no spaces (split-defined), bigrams always do, so the union is
-        # collision-free and one pass serves both orders
+        # collision-free and one count/join pass serves both orders —
+        # half the shuffles of separate uni/bi pipelines.
+        # r11 NEGATIVE RESULT (measured, reverted): fusing the cand/ref
+        # pipelines into one explode of side-tagged STRUCTS + a single
+        # (pair, gram) aggregate (join → c_cand>0 AND c_ref>0 filter)
+        # was ~1.2–1.5× SLOWER host-normalized (fused 3.7 s in a faster
+        # window vs 3.0 s unfused in a slower one, set-cover control) —
+        # per-element struct wrapping on the interpreted HOF path costs
+        # more than the SMJ it removes. Two plain string explodes stay.
         toks = F.split(F.col(col), " ")
         bgs = F.when(
             F.size(toks) >= 2,
@@ -927,50 +935,30 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return F.concat(toks, bgs)
-
-    # r11 (guide §2.3/§2.4 — aggregate instead of join): candidate and
-    # reference gram counts ride ONE exploded lineage with a side flag
-    # and ONE (pair, gram) hash aggregate; the old form ran two separate
-    # count pipelines and an SMJ on (cand_id, gram). The inner join's
-    # "gram present on both sides" becomes the (c_cand > 0 AND
-    # c_ref > 0) filter — identical clipped-overlap sums (oracle
-    # re-verified at sf0.01/sf0.1). One exchange instead of two plus a
-    # join.
-    tagged = F.concat(
-        F.transform(
-            _grams("cand_text"),
-            lambda g: F.struct(
-                g.alias("g"), F.lit(1).alias("cs"), F.lit(0).alias("rs")
-            ),
-        ),
-        F.transform(
-            _grams("ref_text"),
-            lambda g: F.struct(
-                g.alias("g"), F.lit(0).alias("cs"), F.lit(1).alias("rs")
-            ),
-        ),
-    )
-    counts = (
-        pairs.select("cand_id", F.explode(tagged).alias("t"))
-        .groupBy("cand_id", F.col("t.g").alias("g"))
-        .agg(
-            F.sum("t.cs").cast("long").alias("c_cand"),
-            F.sum("t.rs").cast("long").alias("c_ref"),
+        return (
+            pairs.select("cand_id", F.explode(F.concat(toks, bgs)).alias("g"))
+            .groupBy("cand_id", "g")
+            .agg(F.count("*").cast("long").alias("c"))
         )
-    )
-    is_bi = F.instr(F.col("g"), " ") > 0
+
+    ct, rt = _gram_counts("cand_text"), _gram_counts("ref_text")
+    is_bi = F.instr(F.col("ca.g"), " ") > 0
     ov = (
-        counts.filter((F.col("c_cand") > 0) & (F.col("c_ref") > 0))
-        .groupBy("cand_id")
+        ct.alias("ca")
+        .join(
+            rt.alias("ra"),
+            (F.col("ra.cand_id") == F.col("ca.cand_id"))
+            & (F.col("ra.g") == F.col("ca.g")),
+        )
+        .groupBy(F.col("ca.cand_id").alias("cand_id"))
         .agg(
             F.sum(
-                F.when(~is_bi, F.least(F.col("c_cand"), F.col("c_ref"))).otherwise(0)
+                F.when(~is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
             )
             .cast("long")
             .alias("inter1"),
             F.sum(
-                F.when(is_bi, F.least(F.col("c_cand"), F.col("c_ref"))).otherwise(0)
+                F.when(is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
             )
             .cast("long")
             .alias("inter2"),
