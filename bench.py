@@ -355,6 +355,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="hks-bench")
+    # Scaling observability (r11 verdict item 2): the driver's low-core
+    # re-run flagged `suspect_cpus_ignored` because nothing in the
+    # output PROVED the session honored $SPARK_GRAFT_CPUS. Echo the
+    # session's effective master / parallelism in both the full artifact
+    # and the compact line so "honored but overhead-bound at this SF"
+    # is distinguishable from "ignored". (At sf0.1 the ~0.3–0.7 s fixed
+    # per-action cost dominates, so per-query core ratios stay ≈1; the
+    # committed SCALE_CORES_r12 probe shows the ratio emerging at a
+    # compute-dominated fixture size.)
+    env_block = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
     queries = registry.get_queries()
 
     all_names = list(dict.fromkeys(HEADLINE + EXTENDED + TPCH + R6 + R7 + R8 + R9 + R10 + R11))
@@ -492,6 +507,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": env_block,
         "extended_total_sec": extended_total,
         "tpch_total_sec": tpch_total,
         "r6_total_sec": r6_total,
@@ -626,6 +642,7 @@ def main() -> None:
         "n_queries_timed": len(timings),
         "n_memo_served": len(memo_served),
         "memo_build_sec": memo_stats()["builds"],
+        "env": env_block,
         "full_artifact": os.path.basename(local_path),
     }
     if outliers:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from highload_kafka_streams_spark.io import load_table, memo_parquet
-from highload_kafka_streams_spark.registry import query
+from highload_kafka_streams_spark.registry import query, scoped_persist
 
 
 @query(
@@ -1600,37 +1600,49 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tiny fraction of the corpus. Everything else is shuffle-on-digest
     groupBys, the exact shape of the chunk-dedup operator; no pairwise
     join of documents exists anywhere."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 8
     )
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.size("toks") - 8)
-            ).alias("pos"),
-            F.col("toks"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.array_join(F.slice("toks", F.col("pos") + 1, 8), " ")
-            ).alias("digest"),
-        )
+    # r12 doc-grain staging (guide §1.2 per-task work, the vad_runs
+    # recipe): digests are computed as ONE per-doc array and
+    # posexploded, so the Generate emits (doc_id, pos, digest) directly
+    # — the old per-position explode carried the full token array
+    # through every generated row and re-sliced it there. The explode
+    # input is a HOF argument, evaluated once per doc.
+    # the token array is pinned as a real attribute behind an
+    # explode-of-1-element Generate (the ahash ΣS barrier) — a plain
+    # staged alias would be re-inlined by CollapseProject and the
+    # lambda below would re-split the text once per POSITION
+    staged = d.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.col("text"), " "))).alias("tk"),
     )
-    grams = grams.persist()
-    grams.count()  # feeds both the repeat detection and the back-join
-    rep = (
-        grams.groupBy("digest")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("digest")
+    grams = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 8),
+                lambda p: F.md5(
+                    F.array_join(F.slice(F.col("tk"), p + 1, 8), " ")
+                ),
+            )
+        ).alias("pos", "digest"),
     )
-    r = grams.join(rep, "digest", "left_semi").select("doc_id", "pos")
-    from pyspark.sql.window import Window
-
+    # r12 (guide §2.4 aggregate instead of join): "digest appears in ≥2
+    # distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the digest's
+    # rows — two cheap window aggregates on ONE digest exchange replace
+    # the old persist + count() materialization job + count_distinct
+    # rollup + left-semi back-join (the whole gram table shuffled twice
+    # plus a join, now shuffled once with no join at all).
+    wd = Window.partitionBy("digest")
+    r = (
+        grams.withColumn("mn", F.min("doc_id").over(wd))
+        .withColumn("mx", F.max("doc_id").over(wd))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = r.withColumn("island", F.col("pos") - F.row_number().over(w))
     out = (
@@ -2233,7 +2245,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.u", "e.v")
     # every LPA round references sym twice — persist so it builds once
-    sym = sym.persist()
+    sym = scoped_persist(sym)
 
     # Round 1 collapses to ONE aggregate (r11, guide §2.4): labels start
     # as identity, and sym rows are UNIQUE (distinct pairs symmetrized),

@@ -94,6 +94,8 @@ def q_er_symspell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary table is millions of rows, the variant explosion is
     ~(len+1)× that, and every shuffle keys on a short token — this is
     exactly how SymSpell scales where a distance cross-join cannot."""
+    from highload_kafka_streams_spark.registry import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
@@ -101,7 +103,7 @@ def q_er_symspell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    vocab = vocab.persist()
+    vocab = scoped_persist(vocab)
     dirty = vocab.select(
         F.concat(
             F.expr("substring(t, 1, CAST(freq % length(t) AS INT))"),
@@ -112,6 +114,19 @@ def q_er_symspell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_var = vocab.select(
         "t", "freq", F.explode(_del_variants("t")).alias("variant")
     )
+    # r12 NEGATIVE RESULTS (measured in paired A/B windows with the
+    # set-cover control, both reverted — the r6 shape stands):
+    # (a) groupBy(d).agg(min(struct(-freq, t))) instead of the
+    #     distinct + rn=1 window: a struct extremum is not
+    #     hash-aggregable, so the plan degraded to two full
+    #     SortAggregates (0.80 → 1.40 s / 0.94 → 1.20 s);
+    # (b) dropping only the .distinct() and keeping the window
+    #     (rn = 1 is duplicate-insensitive in VALUES): still slower
+    #     (0.66 → 0.97 s same-window) — near-identical tokens share
+    #     most delete variants, so the join output carries heavy
+    #     duplication and the distinct's MAP-SIDE partial aggregate
+    #     dedupes before the exchange, cheaper than shuffling the
+    #     duplicates into the WindowGroupLimit's local sort.
     cand = (
         d_var.join(v_var, "variant")
         .select("d", "t", "freq")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from highload_kafka_streams_spark.compat import dsum, dsum_sql
 from highload_kafka_streams_spark.io import load_table
-from highload_kafka_streams_spark.registry import query
+from highload_kafka_streams_spark.registry import query, scoped_persist
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -1620,7 +1620,7 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached, the whole scan→semi-join→rollup lineage executes twice
     # (the two consumers key their exchanges differently, so nothing
     # reuses). The cached table is ~1% of partsupp.
-    eligible = (
+    eligible = scoped_persist(
         _derived_partsupp(li_q2)
         .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
@@ -1630,7 +1630,6 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey", "ps_cost_fp", "s_acctbal", "s_name", "n_name",
             "p_partkey", "p_name",
         )
-        .persist()
     )
     mn = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
         F.min("ps_cost_fp").alias("min_cost_fp")

@@ -772,6 +772,62 @@ def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rouge_kernel(batches):
+    """Arrow-vectorized clipped n-gram overlap (guide §4.2): per pair
+    row, count uni/bigram multisets with hash maps and emit the
+    finished ROUGE scalars. Exact parity with the relational form:
+    Python ``text.split(" ")`` keeps empty fields exactly like Spark's
+    ``split(text, ' ')`` (limit −1) and DuckDB's ``string_split``;
+    counts and ppm are unbounded Python ints with ``//`` on
+    non-negative operands — identical to BIGINT ``DIV``; ``rouge2_ppm``
+    is NULL when the reference has no bigram (the NULLIF contract)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    out_fields = [
+        ("cand_id", pa.int64()),
+        ("ref_id", pa.int64()),
+        ("ref_unigrams", pa.int64()),
+        ("inter1", pa.int64()),
+        ("rouge1_ppm", pa.int64()),
+        ("ref_bigrams", pa.int64()),
+        ("inter2", pa.int64()),
+        ("rouge2_ppm", pa.int64()),
+    ]
+
+    def clipped(a: Counter, b: Counter) -> int:
+        return sum(min(n, b[g]) for g, n in a.items() if g in b)
+
+    for batch in batches:
+        d = batch.to_pydict()
+        rows = {name: [] for name, _ in out_fields}
+        for cand_id, ref_id, cand_text, ref_text in zip(
+            d["cand_id"], d["ref_id"], d["cand_text"], d["ref_text"]
+        ):
+            tc = cand_text.split(" ")
+            tr = ref_text.split(" ")
+            inter1 = clipped(Counter(tc), Counter(tr))
+            bc = [f"{x} {y}" for x, y in zip(tc, tc[1:])]
+            br = [f"{x} {y}" for x, y in zip(tr, tr[1:])]
+            inter2 = clipped(Counter(bc), Counter(br))
+            nr, nb = len(tr), len(tr) - 1
+            rows["cand_id"].append(cand_id)
+            rows["ref_id"].append(ref_id)
+            rows["ref_unigrams"].append(nr)
+            rows["inter1"].append(inter1)
+            rows["rouge1_ppm"].append(inter1 * 1000000 // nr)
+            rows["ref_bigrams"].append(nb)
+            rows["inter2"].append(inter2)
+            rows["rouge2_ppm"].append(
+                inter2 * 1000000 // nb if nb != 0 else None
+            )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(rows[n], t) for n, t in out_fields],
+            [n for n, _ in out_fields],
+        )
+
+
 @query(
     "q_eval_rouge_overlap",
     oracle="""
@@ -861,14 +917,13 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairing needs an order, so one row_number window
     PARTITIONED BY SOURCE ranks documents (the sorted-neighborhood-ER
     shape — a per-source sort, never a global one), and pairs join on
-    (source, rank+1). N-gram counting happens only for PAIRED
-    documents (the join prunes the corpus before the explode), and the
-    overlap join keys on (pair, gram) — token-grain but pair-local,
-    the same bounded-fanout contract as the dedup verify joins. Uni-
-    and bigrams ride ONE fused count/join lineage (tokens carry no
-    spaces, bigrams always do, so the union is collision-free and a
-    conditional sum splits the orders back out at pair grain) — half
-    the shuffles of separate per-order pipelines."""
+    (source, rank+1). The clipped overlap itself is PAIR-LOCAL — every
+    gram count it needs lives inside one pair row's two texts — so
+    after the pair join it is per-row work, not relational work
+    (guide §2.4/§4.2): one Arrow batch per partition rides into
+    `_rouge_kernel`, which counts grams with hash maps and emits the
+    finished scalars. Nothing explodes, nothing shuffles except the
+    final presentation orderBy."""
     from highload_kafka_streams_spark.io import memo_parquet
 
     def _build_pairs(s: SparkSession) -> DataFrame:
@@ -911,80 +966,36 @@ def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "rouge_pairs", ("documents",), _build_pairs, "1"
     )
 
-    def _gram_counts(col: str):
-        # unigrams and bigrams share ONE exploded lineage: tokens carry
-        # no spaces (split-defined), bigrams always do, so the union is
-        # collision-free and one count/join pass serves both orders —
-        # half the shuffles of separate uni/bi pipelines.
-        # r11 NEGATIVE RESULT (measured, reverted): fusing the cand/ref
-        # pipelines into one explode of side-tagged STRUCTS + a single
-        # (pair, gram) aggregate (join → c_cand>0 AND c_ref>0 filter)
-        # was ~1.2–1.5× SLOWER host-normalized (fused 3.7 s in a faster
-        # window vs 3.0 s unfused in a slower one, set-cover control) —
-        # per-element struct wrapping on the interpreted HOF path costs
-        # more than the SMJ it removes. Two plain string explodes stay.
-        toks = F.split(F.col(col), " ")
-        bgs = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i),
-                    F.lit(" "),
-                    F.element_at(toks, i + 1),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return (
-            pairs.select("cand_id", F.explode(F.concat(toks, bgs)).alias("g"))
-            .groupBy("cand_id", "g")
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-
-    ct, rt = _gram_counts("cand_text"), _gram_counts("ref_text")
-    is_bi = F.instr(F.col("ca.g"), " ") > 0
-    ov = (
-        ct.alias("ca")
-        .join(
-            rt.alias("ra"),
-            (F.col("ra.cand_id") == F.col("ca.cand_id"))
-            & (F.col("ra.g") == F.col("ca.g")),
-        )
-        .groupBy(F.col("ca.cand_id").alias("cand_id"))
-        .agg(
-            F.sum(
-                F.when(~is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
-            )
-            .cast("long")
-            .alias("inter1"),
-            F.sum(
-                F.when(is_bi, F.least(F.col("ca.c"), F.col("ra.c"))).otherwise(0)
-            )
-            .cast("long")
-            .alias("inter2"),
-        )
-    )
-    refn = F.size(F.split(F.col("ref_text"), " ")).cast("long")
-    return (
-        pairs.join(ov, "cand_id", "left")
-        .select(
-            "cand_id",
-            "ref_id",
-            refn.alias("ref_unigrams"),
-            F.coalesce(F.col("inter1"), F.lit(0)).cast("long").alias("inter1"),
-            F.expr(
-                "CAST(COALESCE(inter1, 0) * 1000000"
-                " DIV size(split(ref_text, ' ')) AS BIGINT)"
-            ).alias("rouge1_ppm"),
-            (refn - 1).alias("ref_bigrams"),
-            F.coalesce(F.col("inter2"), F.lit(0)).cast("long").alias("inter2"),
-            F.expr(
-                "CAST(COALESCE(inter2, 0) * 1000000"
-                " DIV NULLIF(size(split(ref_text, ' ')) - 1, 0) AS BIGINT)"
-            ).alias("rouge2_ppm"),
-        )
-        .orderBy("cand_id")
-    )
+    # r12 (guide §2.4 remove shuffles outright + §4.2 heavy lifting in
+    # native code): the clipped overlap Σ_gram min(count_cand,
+    # count_ref) is PAIR-LOCAL — every gram count it needs lives inside
+    # one pair row's two texts. The r10/r11 shape exploded both texts
+    # to (pair, gram) rows, paid two hash-aggregate exchanges, a
+    # sort-merge join on (pair, gram) and a re-aggregate to pair grain,
+    # only to join the result back to the pair it came from. Now the
+    # pair rows ride ONE Arrow batch per partition into `_rouge_kernel`
+    # (hash-map gram counting, exact Python int arithmetic — see the
+    # kernel docstring for the split()-parity argument); nothing
+    # explodes and nothing shuffles except the final presentation
+    # orderBy, which samples/sorts the kernel's finished 8-column rows.
+    # r12 NEGATIVE RESULTS (measured in the same windows, not shipped):
+    # two pure-JVM per-row HOF forms of the same idea — (a) a fold over
+    # array_distinct(cand) of least(size(filter(c,=g)),
+    # size(filter(r,=g))) (~8 000 interpreted lambda evals/row,
+    # 3.2 → 5.8 s vs the explode shape), and (b) occurrence-tagged
+    # array_intersect over sorted gram arrays (~214 lambda evals/row,
+    # 2.3 s before the orderBy but the range-exchange sampling re-runs
+    # the un-materialized heavy projection, 6.7 s end-to-end). The
+    # interpreted HOF path loses to a vectorized Python kernel by an
+    # order of magnitude here — exactly the guide §4.2 trade.
+    # r11 NEGATIVE RESULT kept for the record: fusing the two explode
+    # pipelines into side-tagged structs + one (pair, gram) aggregate
+    # was oracle-identical but 1.2–1.5× slower host-normalized.
+    return pairs.mapInArrow(
+        _rouge_kernel,
+        "cand_id long, ref_id long, ref_unigrams long, inter1 long,"
+        " rouge1_ppm long, ref_bigrams long, inter2 long, rouge2_ppm long",
+    ).orderBy("cand_id")
 
 
 # ---------------------------------------------------------------------------

