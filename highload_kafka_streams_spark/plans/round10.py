@@ -685,23 +685,37 @@ def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable, the q_text_quality_per_lang_filter quantile
     shape), coverage rollup (5 rows). The per-group threshold join is
     a broadcast of |groups| rows; nothing driver-side."""
+    from highload_kafka_streams_spark.registry import scoped_persist
+
     orders = load_table(spark, sf_dir, "orders")
-    split = orders.select(
-        F.col("o_orderpriority").alias("g"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("y_c"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("conf:"), F.col("o_orderkey").cast("string"))),
-                1,
-                1,
-            ),
-            16,
-            10,
+    # r12 (guide §5 caching): three consumers (model, calib, test) each
+    # re-ran the orders scan AND the per-row md5 split nibble; the
+    # split table is three narrow columns, exactly the
+    # recompute-includes-a-scan+heavy-projection profile where persist
+    # pays (the jaccard-neighbors `po` precedent). Scoped: released
+    # when the next query builds.
+    split = scoped_persist(
+        orders.select(
+            F.col("o_orderpriority").alias("g"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y_c"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("nib"),
         )
-        .cast("long")
-        .alias("nib"),
     )
     model = (
         split.filter((F.col("nib") >= 4) & (F.col("nib") < 12))

@@ -21,6 +21,7 @@ semantics, SURVEY.md §2 tier 🌊) get the driver's rows-only check.
 from __future__ import annotations
 
 import importlib
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,21 +88,35 @@ _QUERY_MODULES = (
 # semantics-safe anyway (an unpersisted frame recomputes, never errs).
 # --------------------------------------------------------------------------
 
-_TRACKED_PERSISTS: list[DataFrame] = []
+_TRACKED_PERSISTS = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_TRACKED_PERSISTS, "frames", None)
+    if lst is None:
+        lst = _TRACKED_PERSISTS.frames = []
+    return lst
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """``persist()`` + register for release when the next query builds."""
+    """``persist()`` + register for release when the next query builds.
+
+    The registry is THREAD-LOCAL: harnesses that build/run queries from
+    several driver threads (the parallel oracle-parity lane, guide
+    §2.6) must not release each other's still-live caches — each
+    thread's build sequence manages its own."""
     df.persist()
-    _TRACKED_PERSISTS.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_persists() -> None:
-    """Unpersist every frame registered since the last release."""
-    while _TRACKED_PERSISTS:
+    """Unpersist every frame this thread registered since its last
+    release."""
+    lst = _tracked()
+    while lst:
         try:
-            _TRACKED_PERSISTS.pop().unpersist()
+            lst.pop().unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
 

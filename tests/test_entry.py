@@ -20,10 +20,25 @@ def test_queries_and_oracle_keys_align(spark):
 
 
 def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
+    # r12 (verdict item 1): the ~420 smoke counts overlap across driver
+    # threads (guide §2.6) — per-query fixed action cost dominated this
+    # test's serial wall-clock. Failures are collected and reported
+    # per-query; coverage is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     qs = ent.queries()
-    for name, fn in qs.items():
-        df = fn(spark, sf_smoke)
-        assert df.count() >= 0, name
+
+    def one(item):
+        name, fn = item
+        try:
+            assert fn(spark, sf_smoke).count() >= 0
+            return None
+        except Exception as e:
+            return f"{name}: {e}"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(one, qs.items()) if f]
+    assert not failures, failures[:5]
 
 
 def test_registry_window_ordering():

@@ -810,18 +810,22 @@ def test_pagerank_returned_plan_is_checkpoint_backed(spark, sf_smoke):
 
 
 def test_repeated_spans_no_pairwise_doc_join(spark, sf_smoke):
-    """Span dedup must never plan a document-pair join: its only joins
-    are the digest-keyed semi join (candidates) — no cartesian/nested-
-    loop anywhere, and the documents table is scanned once (shingle
-    table persisted and reused for repeat detection + back-join)."""
+    """Span dedup must never plan a document-pair join: no cartesian/
+    nested-loop anywhere, and since the r12 rewrite NO join at all —
+    repeat detection is min/max window aggregates over the one digest
+    exchange (min(doc_id) ≠ max(doc_id) ⟺ ≥2 distinct docs), so the
+    documents table is scanned exactly once and the old persist +
+    count() materialization + digest semi-join are gone. This lock is
+    strictly tighter than the r6–r11 one (which permitted the semi
+    join and required the 2-consumer cache)."""
     plan = plan_of(get_queries()["q_dedup_repeated_spans"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # both consumers (repeat detection + back-join) must read the ONE
-    # persisted shingle table, not re-derive it from parquet (the
-    # rendered plan repeats the cache's origin subtree, so count cache
-    # READS, not the textual parquet nodes inside them)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    import re as _re
+
+    scan_ids = set(_re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, (scan_ids, plan[:1500])
 
 
 def test_cusum_single_series_shuffle(spark, sf_smoke):
@@ -1788,6 +1792,15 @@ def test_ahash_signature_is_projection_and_join_is_banded(spark, sf_smoke):
     explodes = [ln for ln in plan.splitlines() if "explode(" in ln]
     assert explodes, plan  # the ΣS barrier must be present
     assert all("explode(array(aggregate(bl" in ln for ln in explodes), plan
+    # r12 (r11 advice): a fan-out via inline/stack/explode_outer would
+    # print a Generate without a bare "explode(" and slip past the line
+    # scan above — additionally pin that the plan's only DISTINCT
+    # Generate node is the ΣS barrier (the cached subtree re-renders
+    # the same node id, so count ids, not textual occurrences)
+    import re as _re
+
+    gen_ids = set(_re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) == 1, (gen_ids, plan[:2000])
 
 
 def test_dtw_udf_sees_only_bounded_series(spark, sf_smoke):
@@ -1996,15 +2009,18 @@ def test_stable_matching_candidates_are_band_bounded(spark, sf_smoke):
 
 def test_matrix_profile_corpus_feeds_one_rollup(spark, sf_smoke):
     """Matrix profile: the events corpus must appear only in the
-    hour-grain pre-aggregation (map-side combine); the all-pairs
-    window join is calendar-bounded by construction so its join
-    strategy is free, but the corpus-side rollup must be partial."""
+    hour-grain pre-aggregation (map-side combine). Since the r12
+    rewrite the bounded all-pairs problem rides ONE Arrow kernel over
+    the collected sparse series — the plan must contain exactly one
+    MapInArrow and none of the old BNLJ/persisted window-table
+    machinery."""
     plan = plan_of(get_queries()["q_ts_matrix_profile"](spark, sf_smoke))
     assert "partial_sum" in plan, plan
-    # the window table and pair table are persisted, so every branch
-    # re-reads the cache (raw scans printed under InMemoryRelation are
-    # lineage, not executed passes)
-    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("+- MapInArrow") == 1, plan
+    # the only nested-loop node allowed is the 1-row h0 spine-offset
+    # broadcast; the 577-window self-join must be gone
+    assert plan.count("+- BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_croston_windows_share_partkey_exchange(spark, sf_smoke):
