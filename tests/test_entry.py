@@ -19,26 +19,27 @@ def test_queries_and_oracle_keys_align(spark):
     assert not missing, f"oracle_sql keys without queries: {missing}"
 
 
+import pytest
+
+
+@pytest.mark.slowlane
 def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
-    # r12 (verdict item 1): the ~420 smoke counts overlap across driver
-    # threads (guide §2.6) — per-query fixed action cost dominated this
-    # test's serial wall-clock. Failures are collected and reported
-    # per-query; coverage is unchanged.
-    from concurrent.futures import ThreadPoolExecutor
+    # r12 lane split (verdict item 1): ~6 min of serial per-query fixed
+    # action cost — slowlane by default; the fast lane keeps the
+    # 25-query sample below, and the full sweep still runs in the
+    # round-end ritual and in the committed oracle preflight.
+    qs = ent.queries()
+    for name, fn in qs.items():
+        df = fn(spark, sf_smoke)
+        assert df.count() >= 0, name
+
+
+def test_sampled_queries_run_at_smoke_sf(spark, sf_smoke):
+    from test_oracle_parity import FAST_SAMPLE
 
     qs = ent.queries()
-
-    def one(item):
-        name, fn = item
-        try:
-            assert fn(spark, sf_smoke).count() >= 0
-            return None
-        except Exception as e:
-            return f"{name}: {e}"
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        failures = [f for f in pool.map(one, qs.items()) if f]
-    assert not failures, failures[:5]
+    for name in FAST_SAMPLE:
+        assert qs[name](spark, sf_smoke).count() >= 0, name
 
 
 def test_registry_window_ordering():

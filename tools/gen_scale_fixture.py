@@ -67,7 +67,14 @@ def generate(base: str, out: str, factor: int) -> None:
 
     def write(df: DataFrame, name: str, n_files: int = 4) -> None:
         path = os.path.join(out, f"{name}.parquet")
-        df.coalesce(n_files).write.mode("overwrite").parquet(path)
+        # r12: repartition, not coalesce — coalesce(4) collapsed the
+        # whole replica union into ONE written row group (parquet
+        # assigns a row group to the split holding its midpoint, so
+        # every scan of the fixture ran single-task and the core-count
+        # probe measured the file layout, not the engine; see
+        # SCALE_CORES_r12.json). Facts get one file per local core.
+        n = 32 if name in ("lineitem", "orders", "events") else n_files
+        df.repartition(n).write.mode("overwrite").parquet(path)
         print(f"  {name}: {spark.read.parquet(path).count()} rows")
 
     # bounded dims: pass through unchanged
